@@ -1,0 +1,241 @@
+"""Partitioned Bloom filter with the reference's exact geometry and semantics.
+
+Reimplements, from scratch on numpy, the semantics of the reference's
+``BloomFilter`` (``/root/reference/bloom.go``):
+
+- parameter derivation (bloom.go:100-125):
+    ``k = ceil(log2(1/err))``; ``M_bits = int(n * |ln err| / ln2^2)``;
+    ``m = M_bits // k`` bits per slice; seeds ``64 << (i+1)``;
+    byte width ``M_bits // 8 + 8`` (the reference's byteSize is the pointer
+    size 8, accidentally equal to bits-per-byte).
+- partitioned probes (bloom.go:297-307): hash function *i* owns the disjoint
+  slice ``[i*m, (i+1)*m)``; probe index ``i*m + murmur3_64(key, seed_i) % m``.
+- MSB-first bit addressing (bloom.go:283-294): byte ``idx // 8``, mask
+  ``128 >> (idx % 8)``.
+- ``Add`` errors once ``count >= capacity`` (bloom.go:170-172); ``Contains``
+  has no false negatives; ``Merge`` requires identical ``(k, bit_width)``
+  and bit-ORs (bloom.go:241-260); ``Clear`` zeroes bits and count
+  (bloom.go:364-373); ``Stats`` mirrors bloom.go:375-396.
+
+Unlike the reference (mmap + fslock single-writer), state is a plain numpy
+``uint8`` array — Ray owns distribution; persistence goes through
+:mod:`sprout_ray.state.checkpoint`, which (deliberately better than the
+reference, see bloom.go:130-160 which never restores ``count``) round-trips
+the full metadata including ``count``.
+
+All per-batch operations are vectorized: k seeded murmur3 passes over a
+zero-padded key matrix, then a single ``np.bitwise_or.at`` scatter / gather.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .murmur3 import (
+    arrow_to_key_matrix,
+    keys_to_matrix,
+    murmur3_64_padded,
+)
+
+
+class BloomCapacityError(RuntimeError):
+    """Raised when adding to a fixed filter that reached full capacity."""
+
+
+class BloomMergeError(ValueError):
+    """Raised when merging filters with mismatched geometry."""
+
+
+def derive_params(err_rate: float, capacity: int) -> tuple[int, int, int, list[int]]:
+    """(k, M_bits, m, seeds) exactly as the reference derives them.
+
+    bloom.go:100 (k), bloom.go:106 (M), bloom.go:109 (m), bloom.go:111-114
+    (seed schedule ``64 << (i+1)``).
+    """
+    if not (0.0 < err_rate < 1.0):
+        raise ValueError("Error rate must be between 0 and 1")
+    k = int(math.ceil(math.log2(1.0 / err_rate)))
+    ln22 = math.log(2) ** 2
+    m_bits = int(capacity * abs(math.log(err_rate)) / ln22)
+    m = m_bits // k
+    seeds = [64 << (i + 1) for i in range(k)]
+    return k, m_bits, m, seeds
+
+
+@dataclass(frozen=True)
+class BloomStats:
+    """Mirror of the reference's BloomFilterStats (bloom.go:375-384)."""
+
+    capacity: int
+    count: int
+    size: int
+    m: int
+    k: int
+    prob: float
+
+    def as_dict(self) -> dict:
+        return {
+            "capacity": self.capacity,
+            "count": self.count,
+            "size": self.size,
+            "m": self.m,
+            "k": self.k,
+            "prob": self.prob,
+        }
+
+
+class BloomFilter:
+    """Fixed-capacity partitioned Bloom filter over byte keys."""
+
+    __slots__ = ("err_rate", "capacity", "k", "m", "bit_width", "seeds", "bits", "count")
+
+    def __init__(self, err_rate: float = 0.001, capacity: int = 10_000):
+        if capacity <= 10:
+            raise ValueError("Capacity must be greater than 10")
+        self.err_rate = float(err_rate)
+        self.capacity = int(capacity)
+        self.k, m_bits, self.m, self.seeds = derive_params(err_rate, capacity)
+        # bloom.go:124-125: bits -> bytes with 8 bytes of slack
+        self.bit_width = m_bits // 8 + 8
+        self.bits = np.zeros(self.bit_width, dtype=np.uint8)
+        self.count = 0
+
+    # ---- probe layout -------------------------------------------------
+
+    def _probe_indices(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """(B, k) uint64 bit indices; slice i owns [i*m, (i+1)*m)."""
+        out = np.empty((mat.shape[0], self.k), dtype=np.uint64)
+        m = np.uint64(self.m)
+        for i, seed in enumerate(self.seeds):
+            h = murmur3_64_padded(mat, lengths, seed)
+            out[:, i] = np.uint64(i * self.m) + h % m
+        return out
+
+    @staticmethod
+    def _bit_addr(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """MSB-first byte/mask addressing (bloom.go:283-294)."""
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        masks = (np.uint8(128) >> (idx & np.uint64(7)).astype(np.uint8)).astype(
+            np.uint8
+        )
+        return byte_idx, masks
+
+    # ---- core ops -----------------------------------------------------
+
+    def _set_bits(self, mat: np.ndarray, lengths: np.ndarray) -> None:
+        idx = self._probe_indices(mat, lengths)
+        byte_idx, masks = self._bit_addr(idx)
+        np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())
+
+    def add_batch(self, keys) -> None:
+        """Add keys; mirrors per-row Add semantics: once count reaches
+        capacity, remaining keys raise BloomCapacityError (bloom.go:170-172).
+        Keys up to the boundary ARE added before the error is raised."""
+        mat, lengths = _as_matrix(keys)
+        n = mat.shape[0]
+        room = self.capacity - self.count
+        if room <= 0 and n > 0:
+            raise BloomCapacityError(
+                f"BloomFilter has reached full capacity {self.capacity}"
+            )
+        take = min(n, room)
+        self._set_bits(mat[:take], lengths[:take])
+        self.count += take
+        if take < n:
+            raise BloomCapacityError(
+                f"BloomFilter has reached full capacity {self.capacity}"
+            )
+
+    def add(self, key) -> None:
+        self.add_batch([key])
+
+    def contains_batch(self, keys) -> np.ndarray:
+        """Boolean array: True = maybe present (never a false negative)."""
+        mat, lengths = _as_matrix(keys)
+        idx = self._probe_indices(mat, lengths)
+        byte_idx, masks = self._bit_addr(idx)
+        return ((self.bits[byte_idx] & masks) != 0).all(axis=1)
+
+    def contains(self, key) -> bool:
+        return bool(self.contains_batch([key])[0])
+
+    # Sketch-protocol alias (see sprout_ray.kernel.sketch)
+    def update_batch(self, values) -> None:
+        self.add_batch(values)
+
+    def result(self) -> dict:
+        return self.stats().as_dict()
+
+    def merge(self, other: "BloomFilter") -> None:
+        """Bit-OR union; geometry must match (bloom.go:241-260).
+
+        Counts add (the reference keeps the left count; adding is strictly
+        more useful for distributed partial merging and is documented as a
+        deliberate deviation — the union contains count_a + count_b adds)."""
+        if self.k != other.k:
+            raise BloomMergeError("BloomFilter k values do not match")
+        if self.bit_width != other.bit_width:
+            raise BloomMergeError("BloomFilter bit_width values do not match")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.count += other.count
+
+    def clear(self) -> None:
+        self.bits[:] = 0
+        self.count = 0
+
+    # ---- introspection ------------------------------------------------
+
+    def filter_size(self) -> int:
+        return self.bit_width
+
+    def stats(self) -> BloomStats:
+        return BloomStats(
+            capacity=self.capacity,
+            count=self.count,
+            size=self.bit_width,
+            m=self.m,
+            k=self.k,
+            prob=self.err_rate,
+        )
+
+    # ---- serialization ------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        meta = json.dumps(
+            {
+                "kind": "bloom",
+                "err_rate": self.err_rate,
+                "capacity": self.capacity,
+                "count": self.count,
+            }
+        ).encode()
+        return len(meta).to_bytes(4, "little") + meta + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "BloomFilter":
+        mlen = int.from_bytes(buf[:4], "little")
+        meta = json.loads(buf[4 : 4 + mlen].decode())
+        assert meta["kind"] == "bloom", meta["kind"]
+        bf = cls(err_rate=meta["err_rate"], capacity=meta["capacity"])
+        bf.bits = np.frombuffer(buf[4 + mlen :], dtype=np.uint8).copy()
+        assert bf.bits.size == bf.bit_width
+        bf.count = meta["count"]
+        return bf
+
+
+def _as_matrix(keys) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize keys (Arrow array, padded-matrix tuple, or sequence)."""
+    if isinstance(keys, tuple) and len(keys) == 2:
+        return keys
+    try:
+        import pyarrow as pa
+
+        if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+            return arrow_to_key_matrix(keys)
+    except ImportError:  # pragma: no cover
+        pass
+    return keys_to_matrix(keys)

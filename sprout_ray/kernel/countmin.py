@@ -1,0 +1,99 @@
+"""Count-min sketch (Cormode & Muthukrishnan 2005).
+
+Not present in the reference (required by BASELINE.json north_rule).
+Geometry from the published bounds: width ``w = ceil(e / eps)``, depth
+``d = ceil(ln(1/delta))``; point-query overcount ``<= eps * N`` with
+probability ``>= 1 - delta``. Rows use the same seeded-murmur3 kernel as the
+Bloom filters (seed schedule ``64 << (i+1)``, mirroring bloom.go:111-114, so
+the whole library shares one hash family).
+
+Update: vectorized ``np.add.at`` per row; supports weighted increments.
+Merge: elementwise add — associative and commutative. Query: min over rows.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import numpy as np
+
+from .bloom import _as_matrix
+from .murmur3 import murmur3_64_padded
+
+
+class CountMinSketch:
+    __slots__ = ("eps", "delta", "w", "d", "seeds", "table", "total")
+
+    def __init__(self, eps: float = 0.0001, delta: float = 0.01):
+        if not (0 < eps < 1) or not (0 < delta < 1):
+            raise ValueError("eps and delta must be in (0, 1)")
+        self.eps = float(eps)
+        self.delta = float(delta)
+        self.w = int(math.ceil(math.e / eps))
+        self.d = int(math.ceil(math.log(1.0 / delta)))
+        self.seeds = [64 << (i + 1) for i in range(self.d)]
+        self.table = np.zeros((self.d, self.w), dtype=np.uint64)
+        self.total = 0
+
+    def _row_indices(self, mat, lengths) -> np.ndarray:
+        idx = np.empty((self.d, mat.shape[0]), dtype=np.int64)
+        w = np.uint64(self.w)
+        for i, seed in enumerate(self.seeds):
+            idx[i] = (murmur3_64_padded(mat, lengths, seed) % w).astype(np.int64)
+        return idx
+
+    def update_batch(self, keys, counts=None) -> None:
+        mat, lengths = _as_matrix(keys)
+        n = mat.shape[0]
+        if n == 0:
+            return
+        idx = self._row_indices(mat, lengths)
+        if counts is None:
+            weights = np.ones(n, dtype=np.uint64)
+        else:
+            weights = np.asarray(counts, dtype=np.uint64)
+        for i in range(self.d):
+            np.add.at(self.table[i], idx[i], weights)
+        self.total += int(weights.sum())
+
+    def query_batch(self, keys) -> np.ndarray:
+        mat, lengths = _as_matrix(keys)
+        if mat.shape[0] == 0:
+            return np.empty(0, dtype=np.uint64)
+        idx = self._row_indices(mat, lengths)
+        est = self.table[0][idx[0]]
+        for i in range(1, self.d):
+            est = np.minimum(est, self.table[i][idx[i]])
+        return est
+
+    def query(self, key) -> int:
+        return int(self.query_batch([key])[0])
+
+    def merge(self, other: "CountMinSketch") -> None:
+        if self.w != other.w or self.d != other.d:
+            raise ValueError("CountMinSketch geometry mismatch")
+        self.table += other.table
+        self.total += other.total
+
+    def result(self) -> dict:
+        return {"w": self.w, "d": self.d, "total": self.total}
+
+    def to_bytes(self) -> bytes:
+        meta = json.dumps(
+            {"kind": "cms", "eps": self.eps, "delta": self.delta, "total": self.total}
+        ).encode()
+        return len(meta).to_bytes(4, "little") + meta + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "CountMinSketch":
+        mlen = int.from_bytes(buf[:4], "little")
+        meta = json.loads(buf[4 : 4 + mlen].decode())
+        c = cls(eps=meta["eps"], delta=meta["delta"])
+        c.table = (
+            np.frombuffer(buf[4 + mlen :], dtype=np.uint64)
+            .reshape(c.d, c.w)
+            .copy()
+        )
+        c.total = meta["total"]
+        return c

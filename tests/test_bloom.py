@@ -1,0 +1,174 @@
+"""BloomFilter reference-semantics tests (FIXTURES.md F2/F3).
+
+Mirrors /root/reference/bloom_test.go behaviors: add/count (34-74), capacity
+breach (76-98), merge geometry + union (126-198), clear (326-372); parameter
+derivation per bloom.go:100-109.
+"""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from sprout_ray.kernel import (
+    BloomCapacityError,
+    BloomFilter,
+    BloomMergeError,
+    derive_params,
+)
+
+
+def test_params_match_reference_formulas():
+    # bloom.go:100: k = ceil(log2(1/err)); bloom.go:106: M = n*|ln e|/ln2^2
+    k, M, m, seeds = derive_params(0.001, 2_000_000)
+    assert k == 10
+    assert M == int(2_000_000 * abs(math.log(0.001)) / math.log(2) ** 2)
+    assert m == M // 10
+    assert seeds == [64 << (i + 1) for i in range(10)]
+    k7, _, _, _ = derive_params(0.01, 1000)
+    assert k7 == 7
+
+
+def test_storage_size_anchor():
+    # readme.md:15: 2M-capacity / 0.001 filter ~3.4 MB
+    bf = BloomFilter(err_rate=0.001, capacity=2_000_000)
+    assert 3.3e6 < bf.bit_width < 3.7e6
+
+
+def test_basic_add_contains_count():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add(b"foo")
+    assert bf.contains(b"foo")
+    assert bf.count == 1
+
+
+def test_count_100k():
+    bf = BloomFilter(err_rate=0.01, capacity=110_000)
+    keys = [i.to_bytes(4, "little") for i in range(100_000)]
+    bf.add_batch(keys)
+    assert bf.count == 100_000
+    assert bf.contains_batch(keys[:1000]).all()
+
+
+def test_capacity_breach_raises():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add_batch([str(i).encode() for i in range(1000)])
+    with pytest.raises(BloomCapacityError):
+        bf.add(b"one-more")
+    # keys up to the boundary in a crossing batch ARE added first
+    bf2 = BloomFilter(err_rate=0.01, capacity=1000)
+    with pytest.raises(BloomCapacityError):
+        bf2.add_batch([str(i).encode() for i in range(1500)])
+    assert bf2.count == 1000
+    assert bf2.contains(b"999")
+
+
+def test_merge_geometry_mismatch_raises():
+    a = BloomFilter(err_rate=0.01, capacity=1000)
+    b = BloomFilter(err_rate=0.01, capacity=10_000)
+    with pytest.raises(BloomMergeError):
+        a.merge(b)
+
+
+def test_merge_union_membership():
+    a = BloomFilter(err_rate=0.01, capacity=1000)
+    b = BloomFilter(err_rate=0.01, capacity=1000)
+    b.add(b"foo")
+    a.add(b"bar")
+    a.merge(b)
+    assert a.contains(b"foo") and a.contains(b"bar")
+
+
+def test_merge_associative_commutative_bitwise():
+    rng = random.Random(7)
+    sets = [
+        [bytes(rng.randrange(256) for _ in range(12)) for _ in range(200)]
+        for _ in range(3)
+    ]
+
+    def build(keysets):
+        acc = BloomFilter(err_rate=0.01, capacity=1000)
+        for ks in keysets:
+            p = BloomFilter(err_rate=0.01, capacity=1000)
+            p.add_batch(ks)
+            acc.merge(p)
+        return acc
+
+    ab_c = build([sets[0], sets[1], sets[2]])
+    ba_c = build([sets[1], sets[0], sets[2]])
+    c_ab = build([sets[2], sets[0], sets[1]])
+    assert (ab_c.bits == ba_c.bits).all()
+    assert (ab_c.bits == c_ab.bits).all()
+    assert ab_c.count == 600
+
+
+def test_clear():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add_batch([b"foo", b"baz", b"bar"])
+    bf.clear()
+    assert bf.count == 0
+    assert not bf.contains(b"foo")
+    bf.add(b"foo")
+    assert bf.contains(b"foo")
+
+
+def test_no_false_negatives():
+    rng = random.Random(7)
+    keys = list({bytes(rng.randrange(256) for _ in range(16)) for _ in range(10_000)})
+    bf = BloomFilter(err_rate=0.01, capacity=11_000)
+    bf.add_batch(keys)
+    assert bf.contains_batch(keys).all()
+
+
+@pytest.mark.parametrize("eps", [0.01, 0.001])
+def test_empirical_fpr(eps):
+    rng = random.Random(11)
+    n_build, n_probe = 10_000, 100_000
+    build = [f"in-{i}".encode() for i in range(n_build)]
+    probe = [f"out-{i}".encode() for i in range(n_probe)]
+    bf = BloomFilter(err_rate=eps, capacity=n_build)
+    bf.add_batch(build)
+    fp = int(bf.contains_batch(probe).sum())
+    fpr = fp / n_probe
+    slack = 3 * math.sqrt(eps / n_probe)
+    assert fpr <= eps + slack, (fpr, eps)
+
+
+def test_serialize_roundtrip():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add_batch([b"foo", b"bar"])
+    clone = BloomFilter.from_bytes(bf.to_bytes())
+    assert clone.count == 2
+    assert clone.contains(b"foo") and clone.contains(b"bar")
+    assert (clone.bits == bf.bits).all()
+    # unlike the reference (bloom.go:130-160 never restores count), count
+    # round-trips — required for resume correctness
+    assert clone.stats() == bf.stats()
+
+
+def test_stats():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add(b"x")
+    s = bf.stats()
+    assert s.capacity == 1000 and s.count == 1 and s.k == 7
+    assert s.size == bf.bit_width and s.prob == 0.01
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        BloomFilter(err_rate=0.0, capacity=100)
+    with pytest.raises(ValueError):
+        BloomFilter(err_rate=1.5, capacity=100)
+    with pytest.raises(ValueError):
+        BloomFilter(err_rate=0.01, capacity=10)
+
+
+def test_arrow_input():
+    import pyarrow as pa
+
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    bf.add_batch(pa.array(["a", "b", "c"]))
+    res = bf.contains_batch(pa.array(["a", "zzz"]))
+    assert res[0]
+    assert bf.count == 3

@@ -1,0 +1,229 @@
+"""Extension-sketch bound tests (FIXTURES.md F3): HLL / CMS / t-digest / KLL
+estimates within published error bounds vs exact answers, and merge algebra."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from sprout_ray.kernel import (
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    SketchSpec,
+    TDigest,
+)
+
+
+def _rand_keys(n, seed, card):
+    rng = random.Random(seed)
+    return [f"key-{rng.randrange(card)}".encode() for _ in range(n)]
+
+
+class TestHLL:
+    def test_estimate_within_bound(self):
+        for card in (100, 5_000, 50_000):
+            h = HyperLogLog(p=14)
+            keys = [f"k-{i}".encode() for i in range(card)]
+            h.update_batch(keys)
+            rel = abs(h.estimate() - card) / card
+            assert rel <= 3 * h.rel_std_error(), (card, h.estimate())
+
+    def test_merge_equals_single_build(self):
+        a, b, c = HyperLogLog(12), HyperLogLog(12), HyperLogLog(12)
+        whole = HyperLogLog(12)
+        k1 = [f"a-{i}".encode() for i in range(3000)]
+        k2 = [f"b-{i}".encode() for i in range(2000)]
+        k3 = [f"c-{i}".encode() for i in range(1000)]
+        a.update_batch(k1)
+        b.update_batch(k2)
+        c.update_batch(k3)
+        whole.update_batch(k1 + k2 + k3)
+        # (a+b)+c vs a+(b+c): max is associative => identical registers
+        ab_c = HyperLogLog.from_bytes(a.to_bytes())
+        ab_c.merge(b)
+        ab_c.merge(c)
+        bc = HyperLogLog.from_bytes(b.to_bytes())
+        bc.merge(c)
+        a_bc = HyperLogLog.from_bytes(a.to_bytes())
+        a_bc.merge(bc)
+        assert (ab_c.registers == a_bc.registers).all()
+        assert (ab_c.registers == whole.registers).all()
+
+    def test_duplicates_idempotent(self):
+        h = HyperLogLog(p=12)
+        keys = [f"k-{i}".encode() for i in range(1000)]
+        for _ in range(5):
+            h.update_batch(keys)
+        rel = abs(h.estimate() - 1000) / 1000
+        assert rel <= 3 * h.rel_std_error()
+
+    def test_roundtrip(self):
+        h = HyperLogLog(p=10)
+        h.update_batch([b"x", b"y"])
+        h2 = HyperLogLog.from_bytes(h.to_bytes())
+        assert (h.registers == h2.registers).all()
+        assert h2.estimate() == h.estimate()
+
+
+class TestCMS:
+    def test_overcount_bound(self):
+        eps, delta = 0.001, 0.01
+        cms = CountMinSketch(eps=eps, delta=delta)
+        rng = random.Random(5)
+        # zipf-ish frequencies
+        from collections import Counter
+
+        keys = [f"tok-{min(int(rng.paretovariate(1.2)), 500)}" for _ in range(50_000)]
+        exact = Counter(keys)
+        cms.update_batch([k.encode() for k in keys])
+        n = cms.total
+        assert n == 50_000
+        probes = list(exact.keys())
+        est = cms.query_batch([p.encode() for p in probes])
+        true = np.array([exact[p] for p in probes])
+        # no undercount, ever
+        assert (est >= true).all()
+        # overcount <= eps*N for >= (1-delta) of probes
+        over_ok = (est - true) <= eps * n
+        assert over_ok.mean() >= 1 - delta
+
+    def test_weighted_updates(self):
+        cms = CountMinSketch(eps=0.01, delta=0.01)
+        cms.update_batch([b"a", b"b"], counts=[10, 5])
+        assert cms.query(b"a") >= 10
+        assert cms.total == 15
+
+    def test_merge_equals_single_build(self):
+        a = CountMinSketch(eps=0.01, delta=0.01)
+        b = CountMinSketch(eps=0.01, delta=0.01)
+        whole = CountMinSketch(eps=0.01, delta=0.01)
+        k1 = [f"x-{i % 50}".encode() for i in range(2000)]
+        k2 = [f"y-{i % 30}".encode() for i in range(1000)]
+        a.update_batch(k1)
+        b.update_batch(k2)
+        whole.update_batch(k1 + k2)
+        a.merge(b)
+        assert (a.table == whole.table).all()
+        assert a.total == whole.total
+
+    def test_geometry_mismatch(self):
+        with pytest.raises(ValueError):
+            CountMinSketch(eps=0.01).merge(CountMinSketch(eps=0.001))
+
+    def test_roundtrip(self):
+        c = CountMinSketch(eps=0.01, delta=0.05)
+        c.update_batch([b"q"] * 7)
+        c2 = CountMinSketch.from_bytes(c.to_bytes())
+        assert c2.query(b"q") >= 7 and c2.total == 7
+
+
+class TestTDigest:
+    def test_quantiles_lognormal(self):
+        rng = np.random.default_rng(42)
+        data = rng.lognormal(3.0, 1.0, 100_000)
+        td = TDigest(delta=200)
+        for chunk in np.array_split(data, 20):
+            td.update_batch(chunk)
+        exact = np.quantile(data, [0.01, 0.25, 0.5, 0.75, 0.99])
+        est = td.quantile([0.01, 0.25, 0.5, 0.75, 0.99])
+        # rank-space tolerance: re-rank the estimate in the exact data
+        sorted_d = np.sort(data)
+        for q, e in zip([0.01, 0.25, 0.5, 0.75, 0.99], est):
+            rank = np.searchsorted(sorted_d, e) / len(data)
+            assert abs(rank - q) < 0.01, (q, rank)
+        assert td.count() == pytest.approx(100_000)
+
+    def test_extremes(self):
+        td = TDigest(delta=100)
+        td.update_batch(np.arange(1000, dtype=float))
+        assert td.quantile(0.0) == pytest.approx(0.0, abs=1.0)
+        assert td.quantile(1.0) == pytest.approx(999.0, abs=1.0)
+
+    def test_merge_close_to_single_build(self):
+        rng = np.random.default_rng(1)
+        d1, d2 = rng.normal(0, 1, 50_000), rng.normal(5, 2, 50_000)
+        a, b, whole = TDigest(), TDigest(), TDigest()
+        a.update_batch(d1)
+        b.update_batch(d2)
+        whole.update_batch(np.concatenate([d1, d2]))
+        a.merge(b)
+        alldata = np.sort(np.concatenate([d1, d2]))
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(alldata, a.quantile(q)) / len(alldata)
+            assert abs(rank - q) < 0.01
+
+    def test_roundtrip(self):
+        td = TDigest()
+        td.update_batch(np.arange(100.0))
+        td2 = TDigest.from_bytes(td.to_bytes())
+        assert td2.quantile(0.5) == pytest.approx(td.quantile(0.5))
+
+
+class TestKLL:
+    def test_rank_error_bound(self):
+        rng = np.random.default_rng(9)
+        data = rng.uniform(0, 1000, 200_000)
+        s = KLLSketch(k=200, seed=0)
+        for chunk in np.array_split(data, 40):
+            s.update_batch(chunk)
+        assert s.count() == 200_000
+        sorted_d = np.sort(data)
+        for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+            est = s.quantile(q)
+            rank = np.searchsorted(sorted_d, est) / len(data)
+            assert abs(rank - q) < 0.02, (q, rank)
+
+    def test_merge_within_bound(self):
+        rng = np.random.default_rng(2)
+        parts = [rng.normal(i, 1, 30_000) for i in range(4)]
+        sketches = []
+        for i, p in enumerate(parts):
+            s = KLLSketch(k=200, seed=i)
+            s.update_batch(p)
+            sketches.append(s)
+        acc = sketches[0]
+        for s in sketches[1:]:
+            acc.merge(s)
+        alldata = np.sort(np.concatenate(parts))
+        assert acc.count() == 120_000
+        for q in (0.1, 0.5, 0.9):
+            rank = np.searchsorted(alldata, acc.quantile(q)) / len(alldata)
+            assert abs(rank - q) < 0.025, (q, rank)
+
+    def test_rank_query(self):
+        s = KLLSketch(k=200)
+        s.update_batch(np.arange(10_000, dtype=float))
+        assert abs(s.rank(5000.0) - 0.5) < 0.02
+
+    def test_roundtrip(self):
+        s = KLLSketch(k=64, seed=3)
+        s.update_batch(np.arange(5000.0))
+        s2 = KLLSketch.from_bytes(s.to_bytes())
+        assert s2.n == s.n
+        assert s2.quantile(0.5) == s.quantile(0.5)
+
+
+class TestSketchSpec:
+    def test_make_and_roundtrip(self):
+        for spec, probe in [
+            (SketchSpec.of("bloom", 0.01, 1000), b"x"),
+            (SketchSpec.of("sbf", 0.01, 100), b"x"),
+            (SketchSpec.of("hll", 12), b"x"),
+            (SketchSpec.of("cms", 0.01, 0.01), b"x"),
+        ]:
+            s = spec.make()
+            s.update_batch([probe])
+            clone = spec.from_bytes(s.to_bytes())
+            assert type(clone) is type(s)
+        for spec in [SketchSpec.of("tdigest", 100.0), SketchSpec.of("kll", 128)]:
+            s = spec.make()
+            s.update_batch(np.arange(50.0))
+            clone = spec.from_bytes(s.to_bytes())
+            assert type(clone) is type(s)
+
+    def test_spec_hashable_and_stable(self):
+        a = SketchSpec.of("bloom", 0.01, 1000)
+        b = SketchSpec.of("bloom", 0.01, 1000)
+        assert a == b and hash(a) == hash(b)
