@@ -56,6 +56,15 @@ class SketchSpec:
 _REGISTRY: dict[str, tuple[Callable, Callable]] = {}
 
 
+def sketch_from_bytes(buf: bytes):
+    """Deserialize any registered sketch by the kind tag in its header."""
+    import json
+
+    mlen = int.from_bytes(buf[:4], "little")
+    kind = json.loads(buf[4 : 4 + mlen].decode())["kind"]
+    return _REGISTRY[kind][1](buf)
+
+
 def register_sketch(kind: str, ctor: Callable, deser: Callable) -> None:
     _REGISTRY[kind] = (ctor, deser)
 
