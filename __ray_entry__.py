@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing in
+here (or the sprout_ray library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps every implemented operator/pipeline (SURVEY.md §2 plus the
+training-data ops) to a callable over ``sf_dir``; ``oracle_sql()`` provides
+DuckDB twins for the exact ones. Sketch outputs are approximate by design and
+take the driver's rows-only check; their error bounds are gated by pytest
+(tests/test_sketches.py, tests/test_pipelines.py).
 """
 
 from __future__ import annotations
@@ -18,27 +15,102 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from sprout_ray.pipelines import analytics as A
+from sprout_ray.pipelines.flagship import flagship_over_documents
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship sketch battery over /root/testdata/sf0.001 (one streaming
+    pass building bloom/sbf/hll/cms/tdigest/kll + the sha256 invariant)."""
+    return flagship_over_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact (DuckDB-oracle checked)
+        "exact_distinct_source": A.exact_distinct_source,
+        "exact_lang_counts": A.exact_lang_counts,
+        "exact_dedup_first": A.exact_dedup_first,
+        "token_counts": A.token_counts,
+        "doc_quality": A.doc_quality,
+        "nchars_stats_by_lang": A.nchars_stats_by_lang,
+        "q1_pricing_summary": A.q1_pricing_summary,
+        "event_type_counts": A.event_type_counts,
+        "orders_semi_join": A.orders_semi_join,
+        "lang_sources_matrix": A.lang_sources_matrix,
+        # sketches / approximate (rows-only driver check; pytest-bound-gated)
+        "bloom_build_stats": A.bloom_build_stats,
+        "sbf_build_stats": A.sbf_build_stats,
+        "bloom_probe_prune": A.bloom_probe_prune,
+        "hll_cardinalities": A.hll_cardinalities,
+        "hll_by_lang": A.hll_by_lang,
+        "cms_heavy_hitters": A.cms_heavy_hitters,
+        "quantile_sketches": A.quantile_sketches,
+        # training-data ops
+        "minhash_neardup": A.minhash_neardup,
+        "simhash_neardup": A.simhash_neardup,
+        "embedding_neardup": A.embedding_neardup,
+        "ann_brute_topk": A.ann_brute_topk,
+        "langid_predictions": A.langid_predictions,
+        "doc_fingerprints": A.doc_fingerprints,
+        "media_features": A.media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_distinct_source": (
+            "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents"
+        ),
+        "exact_lang_counts": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "exact_dedup_first": (
+            "SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count "
+            "FROM documents"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count, "
+            "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+            "/ greatest(len(text), 1), 6) AS punct_ratio, "
+            "round((len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))) "
+            "/ greatest(len(text), 1), 6) AS alpha_ratio "
+            "FROM documents"
+        ),
+        "nchars_stats_by_lang": (
+            "SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(max(n_chars) AS BIGINT) AS max_chars, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_centicents, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "event_type_counts": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
+        "orders_semi_join": (
+            "SELECT l_orderkey, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_totalprice > 150000) "
+            "GROUP BY l_orderkey"
+        ),
+        "lang_sources_matrix": (
+            "SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents GROUP BY lang"
+        ),
+    }

@@ -1,0 +1,401 @@
+"""Driver-conformance query battery (`__ray_entry__.queries()`).
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+Exact queries have DuckDB oracle SQL twins in ``oracles.py`` — computed
+columns are named identically on both sides, monetary sums are done in
+integer cents so results are bit-deterministic across summation orders.
+Sketch queries are approximate by design and take the driver's rows-only
+check; their accuracy is separately gated by pytest bound tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import add_sha256
+from ..kernel.sketch import SketchSpec
+from ..stages.agg import SketchAgg
+from ..stages.builder import build_grouped, build_sketch
+from ..stages.probe import probe_filter
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# Exact queries (DuckDB-oracle checked)
+# --------------------------------------------------------------------------
+
+
+def exact_distinct_source(sf_dir: str):
+    """count(DISTINCT source) over documents — the exact twin of HLL."""
+    n = _read(sf_dir, "documents", ["source"]).unique("source")
+    return pa.table({"n_distinct": pa.array([len(n)], pa.int64())})
+
+
+def exact_lang_counts(sf_dir: str):
+    """Exact per-lang doc counts — the exact twin of CMS(lang)."""
+    ds = _read(sf_dir, "documents", ["lang"]).groupby("lang").count()
+    return ds.map_batches(
+        lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    )
+
+
+def exact_dedup_first(sf_dir: str):
+    """First (min doc_id) row per distinct text — exact dedup readout."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    firsts = ds.groupby("text").min("doc_id")
+    return firsts.map_batches(
+        lambda t: t.rename_columns(["text", "doc_id"]), batch_format="pyarrow"
+    )
+
+
+def token_counts(sf_dir: str):
+    """Whitespace token count per doc (vectorized Arrow kernels)."""
+    from ..stages.text import add_token_count
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "token_count"]
+    )
+
+
+def doc_quality(sf_dir: str):
+    """Quality features per doc (actor-pool stage, deterministic rounding)."""
+    from ..stages.text import QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2, batch_size=256
+    )
+    return out.select_columns(
+        ["doc_id", "token_count", "punct_ratio", "alpha_ratio"]
+    )
+
+
+def nchars_stats_by_lang(sf_dir: str):
+    """Distributed min/max/sum/count of n_chars per lang (integer-exact)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            *[
+                agg
+                for agg in _std_aggs("n_chars")
+            ]
+        )
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["lang", "min_chars", "max_chars", "sum_chars", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def _std_aggs(col):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    return [Min(col), Max(col), Sum(col), Count()]
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary; monetary sums in integer cents."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        # integer-cent arithmetic end to end: no float summation, no rounding
+        # ambiguity vs the oracle regardless of aggregation order
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        # discounted revenue in centi-cents: base_cents * (100 - disc_pct)
+        disc_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "base_cents": base_c,
+                "disc_centicents": disc_cc,
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_cents", alias_name="sum_base_cents"),
+            Sum("disc_centicents", alias_name="sum_disc_centicents"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return out
+
+
+def event_type_counts(sf_dir: str):
+    """Exact event-type frequencies (heavy-hitter ground truth)."""
+    out = _read(sf_dir, "events", ["event_type"]).groupby("event_type").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow"
+    )
+
+
+def orders_semi_join(sf_dir: str):
+    """Bloom-pruned exact semi-join: lineitems of orders with totalprice>150k.
+
+    The Bloom filter prunes the probe side (no false negatives); an exact
+    broadcast-set verification removes false positives, so the result is
+    exactly the SQL semi-join while only the pruned survivor stream pays the
+    exact check (the reference's Get/cache-guard pattern at dataset scale,
+    bloom.go:220-236)."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    hot = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150_000.0)),
+        batch_format="pyarrow",
+    ).select_columns(["o_orderkey"])
+    keys = [r["o_orderkey"] for r in hot.take_all()]
+    bf = build_sketch(
+        hot, SketchSpec.of("bloom", 0.01, max(len(keys), 11)), on="o_orderkey"
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    pruned = probe_filter(li, bf, on="l_orderkey", mode="maybe", concurrency=2)
+    key_ref = ray.put(set(keys))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        mask = pa.array([v in ks for v in t["l_orderkey"].to_pylist()])
+        return t.filter(mask)
+
+    exact = pruned.map_batches(verify, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("l_quantity"),
+            "l_quantity",
+            pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        )
+
+    out = (
+        exact.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_items"))
+    )
+    return out
+
+
+def lang_sources_matrix(sf_dir: str):
+    """Exact distinct sources per lang — twin of grouped HLL."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    import pandas as pd
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "n_sources": [g["source"].nunique()]}
+        )
+
+    return ds.groupby("lang").map_groups(distinct, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Sketch queries (approximate -> rows-only driver check; bounds in pytest)
+# --------------------------------------------------------------------------
+
+
+def bloom_build_stats(sf_dir: str):
+    """Build a Bloom filter over sha256(text); emit its stats row."""
+    ds = _read(sf_dir, "documents", ["text"])
+    n = ds.count()
+    ds = ds.map_batches(
+        lambda t: add_sha256(t, column="text"), batch_format="pyarrow"
+    )
+    bf = build_sketch(
+        ds, SketchSpec.of("bloom", 0.001, max(int(n * 1.2), 11)), on="sha256"
+    )
+    s = bf.stats()
+    return pa.table(
+        {
+            "capacity": pa.array([s.capacity], pa.int64()),
+            "count": pa.array([s.count], pa.int64()),
+            "size": pa.array([s.size], pa.int64()),
+            "m": pa.array([s.m], pa.int64()),
+            "k": pa.array([s.k], pa.int64()),
+            "prob": pa.array([s.prob], pa.float64()),
+        }
+    )
+
+
+def sbf_build_stats(sf_dir: str):
+    """Scalable-bloom build over text digests (growth exercised); stats row."""
+    ds = _read(sf_dir, "documents", ["text"])
+    n = ds.count()
+    ds = ds.map_batches(lambda t: add_sha256(t, column="text"), batch_format="pyarrow")
+    sbf = build_sketch(
+        ds, SketchSpec.of("sbf", 0.001, max(n // 8, 11)), on="sha256"
+    )
+    s = sbf.stats()
+    return pa.table(
+        {
+            "capacity": pa.array([s.capacity], pa.int64()),
+            "count": pa.array([s.count], pa.int64()),
+            "stages": pa.array([len(sbf.filters)], pa.int64()),
+            "prob_bound": pa.array([s.prob], pa.float64()),
+        }
+    )
+
+
+def bloom_probe_prune(sf_dir: str):
+    """Membership pruning: build on documents' digests, probe digests +
+    disjoint keys; report kept counts (no false negatives by construction)."""
+    ds = _read(sf_dir, "documents", ["text"])
+    n = ds.count()
+    ds = ds.map_batches(lambda t: add_sha256(t, column="text"), batch_format="pyarrow")
+    bf = build_sketch(ds, SketchSpec.of("bloom", 0.001, max(n * 2, 11)), on="sha256")
+    members_kept = probe_filter(ds, bf, on="sha256", mode="maybe", concurrency=2).count()
+    import ray.data as rd
+
+    foreign = rd.from_arrow(
+        pa.table({"sha256": pa.array([f"not-a-digest-{i}" for i in range(10_000)])})
+    )
+    foreign_kept = probe_filter(foreign, bf, on="sha256", mode="maybe", concurrency=2).count()
+    return pa.table(
+        {
+            "members": pa.array([n], pa.int64()),
+            "members_kept": pa.array([members_kept], pa.int64()),
+            "foreign_probes": pa.array([10_000], pa.int64()),
+            "foreign_kept": pa.array([foreign_kept], pa.int64()),
+        }
+    )
+
+
+def hll_cardinalities(sf_dir: str):
+    """HLL estimates for documents' source/lang/text cardinalities."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "text"])
+    rows = []
+    for col in ("source", "lang", "text"):
+        h = build_sketch(ds, SketchSpec.of("hll", 14), on=col)
+        rows.append({"column": col, "estimate": float(h.estimate())})
+    return pa.Table.from_pylist(rows)
+
+
+def hll_by_lang(sf_dir: str):
+    """Grouped HLL: distinct sources per lang (twin: lang_sources_matrix)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return build_grouped(
+        ds,
+        SketchSpec.of("hll", 14),
+        on="source",
+        key="lang",
+        finalizer=lambda s: float(s.estimate()),
+        alias="est_sources",
+    )
+
+
+def cms_heavy_hitters(sf_dir: str):
+    """CMS frequency estimates for every event_type (twin: exact counts)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    cms = build_sketch(ds, SketchSpec.of("cms", 0.001, 0.01), on="event_type")
+    types = sorted(ds.unique("event_type"))
+    est = cms.query_batch([t.encode() for t in types])
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "est_n": pa.array(est.astype(np.int64)),
+        }
+    )
+
+
+def quantile_sketches(sf_dir: str):
+    """t-digest + KLL quantiles of documents.n_chars."""
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    td = build_sketch(ds, SketchSpec.of("tdigest", 200.0), on="n_chars")
+    kll = build_sketch(ds, SketchSpec.of("kll", 200), on="n_chars")
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "tdigest": pa.array([float(x) for x in td.quantile(qs)], pa.float64()),
+            "kll": pa.array([float(x) for x in kll.quantile(qs)], pa.float64()),
+        }
+    )
+
+
+def minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents.text."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.8, concurrency=2).select_columns(
+        ["left_id", "right_id", "est_jaccard"]
+    )
+
+
+def simhash_neardup(sf_dir: str):
+    """SimHash candidate pairs (Hamming <= 3) over documents.text."""
+    from ..stages.dedup import simhash_candidates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_candidates(ds)
+
+
+def embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking."""
+    from ..stages.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup_pairs(ds, threshold=0.99)
+
+
+def ann_brute_topk(sf_dir: str):
+    """Brute-force cosine top-10 of the first 4 embeddings as queries."""
+    from ..stages.similarity import ann_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.take(4)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    return ann_topk(ds, q, k=10, concurrency=2)
+
+
+def langid_predictions(sf_dir: str):
+    """Heuristic language-ID counts over documents."""
+    from ..stages.text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    res = out.groupby("lang_pred").count()
+    return res.map_batches(
+        lambda t: t.rename_columns(["lang_pred", "n"]), batch_format="pyarrow"
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    """murmur3-64 content fingerprints (exact-dedup key material)."""
+    from ..stages.text import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table -> actor-pool fake decode."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_features, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200, seed=42))
+    return decode_features(ds, fake=True, concurrency=2)

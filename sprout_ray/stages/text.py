@@ -1,0 +1,163 @@
+"""Text-analysis stages for training-data pipelines (driver spec: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+All stages are vectorized ``map_batches`` bodies; the ones that hold compiled
+state (regexes, stopword tables) are callable CLASSES for actor pools —
+setup in ``__init__`` once per actor, per-batch work in ``__call__``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import token_count_column
+from ..kernel.murmur3 import arrow_to_key_matrix, murmur3_64_padded
+
+
+def _round6(x):
+    # DuckDB round() is half-away-from-zero; ratios are non-negative so
+    # half_towards_infinity reproduces it exactly (oracle parity)
+    return pc.round(x, 6, round_mode="half_towards_infinity")
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "was"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"},
+    "fr": {"le", "la", "les", "et", "des", "est", "dans", "pour", "que", "une"},
+    "es": {"el", "la", "los", "de", "que", "y", "en", "un", "por", "con"},
+}
+
+
+def add_token_count(batch: pa.Table, col: str = "text", out: str = "token_count") -> pa.Table:
+    """Whitespace token count (vectorized Arrow kernels)."""
+    return batch.append_column(out, token_count_column(batch[col]))
+
+
+class QualityScorer:
+    """Actor-pool stage: length/punctuation/stopword quality features.
+
+    Emits deterministic float features rounded to 6 decimals so the DuckDB
+    oracle can reproduce them bit-for-bit where expressible.
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.word_re = re.compile(r"[A-Za-z]+")
+        self.stop = _LANG_MARKERS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        tokens = token_count_column(text)
+        # punctuation ratio via vectorized char-class count
+        punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.int64())
+        alpha = pc.count_substring_regex(text, r"[A-Za-z]").cast(pa.int64())
+        safe_len = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        punct_ratio = _round6(
+            pc.divide(punct.cast(pa.float64()), safe_len.cast(pa.float64()))
+        )
+        alpha_ratio = _round6(
+            pc.divide(alpha.cast(pa.float64()), safe_len.cast(pa.float64()))
+        )
+        # stopword ratio needs tokenization; pandas-free python-per-doc over
+        # token LISTS is avoided: use count_substring_regex per stopword.
+        stop_hits = None
+        for w in sorted(self.stop):
+            c = pc.count_substring_regex(text, rf"(?i)\b{w}\b").cast(pa.int64())
+            stop_hits = c if stop_hits is None else pc.add(stop_hits, c)
+        safe_tok = pc.max_element_wise(tokens, pa.scalar(1, pa.int64()))
+        stop_ratio = _round6(
+            pc.divide(stop_hits.cast(pa.float64()), safe_tok.cast(pa.float64()))
+        )
+        quality = _round6(
+            pc.add(
+                pc.multiply(alpha_ratio, 0.6),
+                pc.add(
+                    pc.multiply(pc.min_element_wise(stop_ratio, 1.0), 0.3),
+                    pc.multiply(
+                        pc.subtract(1.0, pc.min_element_wise(punct_ratio, 1.0)), 0.1
+                    ),
+                ),
+            )
+        )
+        for name, col in [
+            ("token_count", tokens),
+            ("punct_ratio", punct_ratio),
+            ("alpha_ratio", alpha_ratio),
+            ("stop_ratio", stop_ratio),
+            ("quality", quality),
+        ]:
+            batch = batch.append_column(name, col)
+        return batch
+
+
+class LangId:
+    """Actor-pool stage: stopword-marker language heuristic over text.
+
+    Scores each doc against small per-language marker sets (vectorized regex
+    count per marker) and emits the argmax language + its hit count.
+    A deliberately simple, deterministic heuristic — the scale-path shape
+    (per-actor compiled patterns, vectorized batch scoring) is the point.
+    """
+
+    def __init__(self, col: str = "text"):
+        self.col = col
+        self.patterns = {
+            lang: rf"(?i)\b({'|'.join(sorted(words))})\b"
+            for lang, words in _LANG_MARKERS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        scores = []
+        langs = list(self.patterns)
+        for lang in langs:
+            scores.append(
+                pc.count_substring_regex(text, self.patterns[lang])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+        mat = np.stack(scores, axis=1)
+        best = mat.argmax(axis=1)
+        hits = mat.max(axis=1)
+        pred = np.where(hits > 0, np.array(langs)[best], "unknown")
+        batch = batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+        batch = batch.append_column("lang_hits", pa.array(hits, type=pa.int64()))
+        return batch
+
+
+def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
+    """64-bit murmur3 document fingerprint (content-addressed identity)."""
+    mat, lengths = arrow_to_key_matrix(batch[col])
+    h = murmur3_64_padded(mat, lengths, 0)
+    return batch.append_column(out, pa.array(h.astype(np.int64)))
+
+
+def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
+    """64-bit SimHash per document from whitespace-token murmur hashes.
+
+    Near-duplicate docs land within small Hamming distance; pair with the
+    16-bit band blocking in stages.dedup.simhash_candidates.
+    """
+    out = np.zeros(len(batch_texts), dtype=np.uint64)
+    bit_positions = np.arange(64, dtype=np.uint64)
+    for i, text in enumerate(batch_texts):
+        toks = text.split() if text else []
+        if not toks:
+            continue
+        from ..kernel.murmur3 import murmur3_64_batch
+
+        hs = murmur3_64_batch(toks, seed)
+        bits = ((hs[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        counts = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for b in np.nonzero(counts > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = sig
+    return out
