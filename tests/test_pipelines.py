@@ -1,0 +1,157 @@
+"""End-to-end pipeline tests over the driver testdata (sf0.001) + sketch
+accuracy vs exact answers, dedup/similarity behavior, driver contract."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import sprout_ray.pipelines.analytics as A
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def _pd(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def test_entry_contract():
+    import __ray_entry__ as E
+
+    out = _pd(E.entry())
+    assert len(out) >= 1
+    assert set(["sketch", "kind", "summary", "rows_seen"]) <= set(out.columns)
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    assert set(os_) <= set(qs)
+
+
+def test_hll_vs_exact_sources():
+    import duckdb
+
+    est = _pd(A.hll_cardinalities(SF))
+    exact_src = duckdb.sql(
+        f"SELECT count(DISTINCT source) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    row = est[est["column"] == "source"].iloc[0]
+    assert abs(row["estimate"] - exact_src) / max(exact_src, 1) < 0.05
+
+
+def test_cms_vs_exact_counts():
+    import duckdb
+
+    est = _pd(A.cms_heavy_hitters(SF)).set_index("event_type")["est_n"]
+    exact = duckdb.sql(
+        f"SELECT event_type, count(*) n FROM read_parquet('{SF}/events.parquet') GROUP BY event_type"
+    ).df().set_index("event_type")["n"]
+    n = exact.sum()
+    for t in exact.index:
+        assert est[t] >= exact[t]  # CMS never undercounts
+        assert est[t] - exact[t] <= 0.001 * n + 1
+
+
+def test_quantile_sketches_vs_exact():
+    import duckdb
+
+    out = _pd(A.quantile_sketches(SF)).set_index("q")
+    data = duckdb.sql(
+        f"SELECT n_chars FROM read_parquet('{SF}/documents.parquet')"
+    ).df()["n_chars"].to_numpy()
+    sorted_d = np.sort(data)
+    for q in (0.25, 0.5, 0.75):
+        for col in ("tdigest", "kll"):
+            est = out.loc[q, col]
+            rank = np.searchsorted(sorted_d, est) / len(sorted_d)
+            assert abs(rank - q) < 0.05, (col, q, rank)
+
+
+def test_minhash_finds_duplicates():
+    """documents at sf0.001 contain exact duplicate texts; LSH must find
+    every identical pair (jaccard 1.0 collides in all bands)."""
+    import duckdb
+
+    dup_pairs = duckdb.sql(
+        f"""
+        SELECT a.doc_id l, b.doc_id r FROM read_parquet('{SF}/documents.parquet') a
+        JOIN read_parquet('{SF}/documents.parquet') b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+        """
+    ).df()
+    found = _pd(A.minhash_neardup(SF))
+    got = set(zip(found["left_id"], found["right_id"]))
+    expected = set(zip(dup_pairs["l"], dup_pairs["r"]))
+    assert expected <= got, f"missed exact dups: {expected - got}"
+    perfect = found[found["est_jaccard"] >= 0.999]
+    assert expected <= set(zip(perfect["left_id"], perfect["right_id"]))
+
+
+def test_simhash_finds_identical_docs():
+    import duckdb
+
+    dup_pairs = duckdb.sql(
+        f"""
+        SELECT a.doc_id l, b.doc_id r FROM read_parquet('{SF}/documents.parquet') a
+        JOIN read_parquet('{SF}/documents.parquet') b
+        ON a.text = b.text AND a.doc_id < b.doc_id
+        """
+    ).df()
+    found = _pd(A.simhash_neardup(SF))
+    got = set(zip(found["left_id"], found["right_id"]))
+    assert set(zip(dup_pairs["l"], dup_pairs["r"])) <= got
+
+
+def test_ann_topk_self_hit():
+    """Each query's own vector must be its top cosine hit (score ~1)."""
+    out = _pd(A.ann_brute_topk(SF))
+    for qid, grp in out.groupby("query_id"):
+        best = grp.sort_values("score", ascending=False).iloc[0]
+        assert best["score"] >= 0.999
+
+
+def test_embedding_neardup_symmetric_threshold():
+    out = _pd(A.embedding_neardup(SF))
+    if len(out):
+        assert (out["max(cosine)"] >= 0.99).all() if "max(cosine)" in out else True
+
+
+def test_exact_dedup_first_removes_dups():
+    import duckdb
+
+    out = _pd(A.exact_dedup_first(SF))
+    n_distinct = duckdb.sql(
+        f"SELECT count(DISTINCT text) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(out) == n_distinct
+    assert out["doc_id"].is_unique
+
+
+def test_media_features_deterministic():
+    a = _pd(A.media_features(SF)).sort_values("media_id").reset_index(drop=True)
+    b = _pd(A.media_features(SF)).sort_values("media_id").reset_index(drop=True)
+    fa = np.stack(a["features"].to_numpy())
+    fb = np.stack(b["features"].to_numpy())
+    assert np.array_equal(fa, fb)
+    assert "payload" not in a.columns  # payloads dropped before downstream
+
+
+def test_media_decode_stub_raises_without_fake():
+    from sprout_ray.stages.multimodal import DecodeStage
+
+    with pytest.raises(NotImplementedError):
+        DecodeStage(fake=False)._decode(b"xx", "image/png")
+
+
+def test_langid_returns_counts():
+    out = _pd(A.langid_predictions(SF))
+    assert out["n"].sum() == 500

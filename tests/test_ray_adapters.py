@@ -1,0 +1,214 @@
+"""Ray-layer tests: aggregation adapters, probes, checkpoints, pipelines.
+
+Uses the session-scoped ray fixture (tests/conftest.py) and a small
+deterministic corpus generated in /tmp.
+"""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sprout_ray.kernel import SketchSpec
+from sprout_ray.kernel.sketch import sketch_from_bytes
+
+CORPUS_DIR = "/tmp/sprout_test_corpus"
+N_ROWS = 8_000
+
+
+@pytest.fixture(scope="session")
+def corpus(ray_session):
+    from sprout_ray.sources.synth import ensure_corpus
+
+    return ensure_corpus(CORPUS_DIR, N_ROWS, n_files=4, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_ds(corpus):
+    from sprout_ray.sources.synth import read_corpus
+
+    return read_corpus(corpus)
+
+
+def test_corpus_determinism(corpus):
+    from sprout_ray.sources.synth import generate_repo_table
+
+    a = generate_repo_table(500, seed=42, offset=100, total_rows=1000)
+    b = generate_repo_table(500, seed=42, offset=100, total_rows=1000)
+    assert a.equals(b)
+
+
+def test_build_modes_agree(corpus_ds):
+    """partials-mode and agg-mode produce bitwise-identical filters
+    (order-insensitivity of the merge)."""
+    from sprout_ray.pipelines.flagship import with_invariant
+    from sprout_ray.stages.builder import build_sketch
+
+    ds = with_invariant(corpus_ds)
+    spec = SketchSpec.of("bloom", 0.001, N_ROWS * 2)
+    a = build_sketch(ds, spec, on="sha256", mode="partials")
+    b = build_sketch(ds, spec, on="sha256", mode="agg")
+    assert a.count == b.count == N_ROWS
+    assert (a.bits == b.bits).all()
+
+
+def test_two_parallelism_levels_equal_sketch(corpus):
+    """Same input at different block layouts -> identical final sketch
+    (the in-sandbox stand-in for cluster-size invariance)."""
+    from sprout_ray.sources.synth import read_corpus
+    from sprout_ray.pipelines.flagship import with_invariant
+    from sprout_ray.stages.builder import build_sketch
+
+    spec = SketchSpec.of("hll", 12)
+    outs = []
+    for parallelism in (2, 8):
+        ds = read_corpus(corpus).repartition(parallelism)
+        ds = with_invariant(ds)
+        outs.append(build_sketch(ds, spec, on="sha256", mode="partials"))
+    assert (outs[0].registers == outs[1].registers).all()
+
+
+def test_no_false_negatives_distributed(corpus_ds):
+    from sprout_ray.pipelines.flagship import with_invariant
+    from sprout_ray.stages.builder import build_sketch
+    from sprout_ray.stages.probe import probe_filter
+
+    ds = with_invariant(corpus_ds)
+    bf = build_sketch(ds, SketchSpec.of("bloom", 0.001, N_ROWS * 2), on="sha256")
+    kept = probe_filter(ds, bf, on="sha256", mode="maybe", concurrency=2).count()
+    assert kept == N_ROWS  # every member retained: no false negatives
+
+
+def test_probe_fpr_within_epsilon(corpus_ds):
+    import ray.data as rd
+
+    from sprout_ray.pipelines.flagship import with_invariant
+    from sprout_ray.stages.builder import build_sketch
+    from sprout_ray.stages.probe import probe_filter
+
+    eps = 0.001
+    ds = with_invariant(corpus_ds)
+    bf = build_sketch(ds, SketchSpec.of("bloom", eps, N_ROWS * 2), on="sha256")
+    n_probe = 50_000
+    foreign = rd.from_arrow(
+        pa.table({"sha256": [f"foreign-{i}" for i in range(n_probe)]})
+    )
+    fp = probe_filter(foreign, bf, on="sha256", mode="maybe", concurrency=2).count()
+    assert fp / n_probe <= eps + 3 * (eps / n_probe) ** 0.5
+
+
+def test_sha256_invariant_preserved(corpus_ds):
+    """The multiset of sha256(content) out of a transform equals the multiset
+    in (BASELINE.json:input_hint per-row invariant)."""
+    import hashlib
+
+    from sprout_ray.pipelines.flagship import with_invariant
+
+    ds = with_invariant(corpus_ds)
+    shas_in = sorted(
+        hashlib.sha256(r["content"].encode()).hexdigest()
+        for r in corpus_ds.select_columns(["content"]).take_all()
+    )
+    # a shuffle-heavy transform: repartition + filter-noop
+    out = ds.repartition(7).map_batches(lambda t: t, batch_format="pyarrow")
+    shas_out = sorted(r["sha256"] for r in out.select_columns(["sha256"]).take_all())
+    assert shas_in == shas_out
+
+
+def test_grouped_hll_matches_exact(corpus_ds):
+    import duckdb
+
+    from sprout_ray.stages.builder import build_grouped
+
+    out = build_grouped(
+        corpus_ds,
+        SketchSpec.of("hll", 12),
+        on="repo",
+        key="lang",
+        finalizer=lambda s: float(s.estimate()),
+        alias="est",
+    ).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT lang, count(DISTINCT repo) c FROM read_parquet('{CORPUS_DIR}/part-*.parquet') GROUP BY lang"
+    ).df()
+    m = out.merge(exact, on="lang")
+    rel = (m["est"] - m["c"]).abs() / m["c"]
+    assert (rel <= 3 * 1.04 / np.sqrt(2**12) + 0.01).all()
+
+
+def test_multi_sketch_single_pass(corpus_ds):
+    from sprout_ray.pipelines.flagship import multi_sketch_build, with_invariant
+
+    ds = with_invariant(corpus_ds)
+    built = multi_sketch_build(
+        ds,
+        {
+            "bloom": (SketchSpec.of("bloom", 0.01, N_ROWS * 2), "sha256"),
+            "hll": (SketchSpec.of("hll", 12), "repo"),
+            "cms": (SketchSpec.of("cms", 0.001, 0.01), "lang"),
+        },
+    )
+    assert built["_rows"] == N_ROWS
+    assert built["bloom"].count == N_ROWS
+    assert built["hll"].estimate() > 10
+    assert built["cms"].total == N_ROWS
+
+
+def test_checkpoint_resume(corpus, tmp_path):
+    from sprout_ray.state.checkpoint import build_with_checkpoints, completed_partitions
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    spec = SketchSpec.of("hll", 12)
+    ck = str(tmp_path / "ckpt")
+    full, m1 = build_with_checkpoints(files, spec, on="repo", ckpt_dir=ck)
+    assert m1["built"] == len(files) and m1["resumed"] == 0
+    assert m1["rows"] == N_ROWS
+    # rerun: everything resumes from checkpoints, nothing rebuilt
+    again, m2 = build_with_checkpoints(files, spec, on="repo", ckpt_dir=ck)
+    assert m2["built"] == 0 and m2["resumed"] == len(files)
+    assert (full.registers == again.registers).all()
+    # partial resume: drop one checkpoint, only that partition rebuilds
+    done = completed_partitions(ck, spec)
+    victim = sorted(done)[0]
+    os.remove(os.path.join(ck, f"part-{victim:05d}.parquet"))
+    third, m3 = build_with_checkpoints(files, spec, on="repo", ckpt_dir=ck)
+    assert m3["built"] == 1 and m3["resumed"] == len(files) - 1
+    assert (full.registers == third.registers).all()
+
+
+def test_checkpoint_spec_mismatch_not_resumed(corpus, tmp_path):
+    from sprout_ray.state.checkpoint import build_with_checkpoints
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )[:2]
+    ck = str(tmp_path / "ckpt2")
+    build_with_checkpoints(files, SketchSpec.of("hll", 12), on="repo", ckpt_dir=ck)
+    # different geometry -> stale checkpoints ignored, fresh build
+    _, m = build_with_checkpoints(files, SketchSpec.of("hll", 10), on="repo", ckpt_dir=ck)
+    assert m["resumed"] == 0
+
+
+def test_sbf_distributed_growth(corpus_ds):
+    from sprout_ray.pipelines.flagship import with_invariant
+    from sprout_ray.stages.builder import build_sketch
+
+    ds = with_invariant(corpus_ds)
+    sbf = build_sketch(ds, SketchSpec.of("sbf", 0.001, N_ROWS // 16), on="sha256")
+    assert sbf.count() == N_ROWS
+    assert len(sbf.filters) > 1  # growth actually happened across partials
+    assert sbf.prob() <= 0.001 / (1 - 0.9)
+
+
+def test_serialized_roundtrip_through_object_store(corpus_ds):
+    import ray
+
+    from sprout_ray.stages.builder import build_sketch
+
+    h = build_sketch(corpus_ds, SketchSpec.of("hll", 12), on="repo")
+    ref = ray.put(h.to_bytes())
+    back = sketch_from_bytes(ray.get(ref))
+    assert (back.registers == h.registers).all()
