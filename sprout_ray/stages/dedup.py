@@ -4,12 +4,20 @@ Scale shapes (driver spec):
 
 - exact: hash-partition on a content hash, keep first (min id) per group —
   one shuffle of (hash, id) pairs, never content;
-- MinHash+LSH: shingle -> minhash signature per doc (vectorized per batch)
-  -> explode to (band_id, band_hash, doc_id) rows -> groupby bands ->
-  candidate pairs -> signature-estimated Jaccard filter -> connected
-  components by iterated min-label propagation (a few small shuffles);
-- SimHash: 64-bit signature, 16-bit band blocking, Hamming verification;
+- MinHash+LSH: shingle -> minhash signature per doc (stride-trick windows, a
+  single vectorized murmur pass per doc) -> explode to (band_id, band_hash,
+  doc_id) rows -> NATIVE count-aggregate to find buckets with >= 2 members
+  (no per-group Python for the singleton sea) -> pairs only inside hot
+  buckets -> signature-estimated Jaccard filter -> connected components by
+  min-label propagation;
+- SimHash: 64-bit signature (one murmur pass over all tokens of a batch +
+  segment reduce), 16-bit band blocking, Hamming verification;
 - n-gram Jaccard: the exact verifier used on candidate pairs.
+
+The hot-bucket prefilter is the load-bearing scale decision: in a 10^12-row
+corpus almost every (band, hash) bucket is a singleton; finding the non-
+singletons is a vectorized count-aggregate, after which the Python pairwise
+work touches only true candidate groups.
 """
 
 from __future__ import annotations
@@ -18,17 +26,17 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernel.murmur3 import murmur3_64_batch
+from ..kernel.murmur3 import murmur3_64_batch, murmur3_64_padded
 
 _MERSENNE = (1 << 61) - 1
+_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def exact_dedup(ds, key_col: str, id_col: str, keep_cols=None):
     """Keep the first row (min id) per key. One groupby shuffle.
 
-    At scale: pre-aggregate min(id) per key inside each block first is
-    already what Ray's hash aggregate does; content never crosses the wire
-    when key_col is a digest column."""
+    At scale: only (key, id) pairs cross the exchange when key_col is a
+    digest column; content stays columnar in place."""
     firsts = ds.groupby(key_col).min(id_col, ignore_nulls=True)
     keep = firsts.map_batches(
         lambda t: t.rename_columns([key_col, id_col]),
@@ -36,7 +44,6 @@ def exact_dedup(ds, key_col: str, id_col: str, keep_cols=None):
     )
     if keep_cols is None:
         return keep
-    # pull the surviving full rows via an id semi-join (broadcast id set)
     import ray
 
     ids_ref = ray.put(
@@ -57,13 +64,27 @@ def char_shingles(text: str, k: int = 5) -> list:
     return [text[i : i + k] for i in range(len(text) - k + 1)]
 
 
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Unique murmur3-64 hashes of all char-k-shingles — vectorized via a
+    sliding-window view (one padded matrix, one hash pass; k <= 15 keeps
+    every shingle on murmur's tail-only path)."""
+    b = text.encode()
+    if len(b) < k:
+        return murmur3_64_batch([b], 0) if b else np.empty(0, dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k)
+    mat = np.zeros((win.shape[0], 16), dtype=np.uint8)
+    mat[:, :k] = win
+    lengths = np.full(win.shape[0], k, dtype=np.int64)
+    return np.unique(murmur3_64_padded(mat, lengths, 0))
+
+
 class MinHasher:
     """Actor-pool stage: per-doc minhash signature over char-k-shingles.
 
-    Universal-hash permutations ``(a*h + b) mod p`` over a base murmur3
-    shingle hash; signature computed with one broadcasted numpy op per doc.
-    Emits ``doc_id`` + fixed-size ``signature`` (list<uint64>).
-    """
+    Universal-hash permutations ``(a*h + b) mod p`` over the murmur3 shingle
+    hashes; one broadcasted numpy op per doc. Emits ``doc_id`` + fixed-size
+    ``signature`` (list<uint64>)."""
 
     def __init__(self, num_perm: int = 128, k: int = 5, seed: int = 1, text_col: str = "text", id_col: str = "doc_id"):
         rng = np.random.default_rng(seed)
@@ -75,10 +96,9 @@ class MinHasher:
         self.id_col = id_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = char_shingles(text, self.k)
-        if not sh:
+        base = shingle_hashes(text, self.k)
+        if base.size == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        base = np.unique(murmur3_64_batch(sh, 0))
         with np.errstate(over="ignore"):
             perms = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(
                 _MERSENNE
@@ -98,31 +118,38 @@ class MinHasher:
         )
 
 
-def minhash_bands(sig_ds, bands: int = 32, id_col: str = "doc_id"):
-    """Explode signatures into (band_id, band_hash, doc_id) rows."""
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) FNV-combined hash of each band's signature slice."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    out = np.empty((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = sigs[:, b * r : (b + 1) * r]
+            acc = np.full(n, 1469598103934665603, dtype=np.uint64)
+            for j in range(r):
+                acc = (acc ^ chunk[:, j]) * np.uint64(1099511628211)
+            out[:, b] = acc
+    return out
+
+
+def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id"):
+    """Explode signatures into (bucket_key, doc_id) rows.
+
+    ``bucket_key`` folds (band index, band hash) into ONE int64 so every
+    downstream shuffle keys on a single fixed-width column."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sigs = np.asarray(batch["signature"].combine_chunks().flatten()).reshape(
             batch.num_rows, -1
         )
-        num_perm = sigs.shape[1]
-        r = num_perm // bands
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        # hash each band's r values to one uint64
-        band_hash = np.empty((batch.num_rows, bands), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for b in range(bands):
-                chunk = sigs[:, b * r : (b + 1) * r]
-                acc = np.full(batch.num_rows, 1469598103934665603, dtype=np.uint64)
-                for j in range(r):
-                    acc = (acc ^ chunk[:, j]) * np.uint64(1099511628211)
-                band_hash[:, b] = acc
+        bh = _band_hashes(sigs, bands)  # (n, bands) uint64
+        band_id = np.repeat(np.arange(bands, dtype=np.uint64), batch.num_rows)
+        key = _combined_key(band_id, bh.T.reshape(-1))
         return pa.table(
             {
-                "band_id": pa.array(
-                    np.repeat(np.arange(bands, dtype=np.int32), batch.num_rows)
-                ),
-                "band_hash": pa.array(band_hash.T.reshape(-1)),
+                "bucket_key": pa.array(key.astype(np.int64)),
                 id_col: pa.array(np.tile(ids, bands)),
             }
         )
@@ -130,29 +157,64 @@ def minhash_bands(sig_ds, bands: int = 32, id_col: str = "doc_id"):
     return sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def lsh_candidate_pairs(band_ds, id_col: str = "doc_id", max_bucket: int = 64):
-    """groupby (band_id, band_hash) -> within-bucket pairs (i<j).
+def _combined_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (band_hash.astype(np.uint64) * _MIX) ^ band_id.astype(np.uint64)
 
-    Buckets larger than ``max_bucket`` are truncated (logged via a column) —
-    at 100 TB a giant bucket means a degenerate band (e.g. empty docs) and
-    pairwise expansion there is quadratic garbage."""
+
+def hot_buckets(band_ds) -> np.ndarray:
+    """bucket_key values holding >= 2 docs (sorted int64).
+
+    A native count-aggregate (vectorized partial-per-block + combine) — the
+    singleton sea never touches Python."""
+    counts = band_ds.groupby("bucket_key").count()
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], 1)).select(["bucket_key"]),
+        batch_format="pyarrow",
+    ).take_all()
+    if not hot:
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.array([r["bucket_key"] for r in hot], dtype=np.int64))
+
+
+def lsh_candidate_pairs(band_ds, id_col: str = "doc_id", max_bucket: int = 64, hot: np.ndarray | None = None):
+    """Candidate (left_id, right_id) pairs from LSH buckets with >= 2 docs.
+
+    Flow: hot-bucket keys (small, broadcast) -> vectorized isin filter ->
+    per-bucket pairwise expansion ONLY on hot buckets (bounded by
+    ``max_bucket`` against degenerate bands) -> pair dedup."""
     import pandas as pd
+    import ray
+
+    if hot is None:
+        hot = hot_buckets(band_ds)
+    if hot.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+        mask = np.isin(keys, ray.get(hot_ref))
+        return batch.filter(pa.array(mask))
+
+    hot_rows = band_ds.map_batches(keep_hot, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].unique())[:max_bucket]
-        if len(ids) < 2:
+        ids = np.sort(group[id_col].unique())[:max_bucket]
+        n = len(ids)
+        if n < 2:
             return pd.DataFrame({"left_id": [], "right_id": []}).astype("int64")
-        left, right = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                left.append(ids[i])
-                right.append(ids[j])
-        return pd.DataFrame({"left_id": left, "right_id": right})
+        iu = np.triu_indices(n, k=1)
+        return pd.DataFrame({"left_id": ids[iu[0]], "right_id": ids[iu[1]]})
 
-    cand = band_ds.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # dedup pairs discovered by multiple bands
+    cand = hot_rows.groupby("bucket_key").map_groups(pairs, batch_format="pandas")
     return cand.groupby(["left_id", "right_id"]).count()
 
 
@@ -170,19 +232,49 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+class _PairVerifier:
+    """Actor-pool verify stage: signature lookup fetched once per actor."""
+
+    def __init__(self, sig_ref, threshold: float):
+        import ray
+
+        self.sigs = ray.get(sig_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lid = batch["left_id"].to_pylist()
+        rid = batch["right_id"].to_pylist()
+        est = [estimate_jaccard(self.sigs[a], self.sigs[b]) for a, b in zip(lid, rid)]
+        out = pa.table(
+            {
+                "left_id": pa.array(lid, pa.int64()),
+                "right_id": pa.array(rid, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["est_jaccard"], self.threshold))
+
+
 def minhash_dedup_pairs(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 128,
-    bands: int = 32,
+    bands: int = 16,
     threshold: float = 0.8,
     concurrency: int = 4,
 ):
-    """Full near-dup pipeline: signatures -> bands -> candidates -> verified
-    pairs with signature-estimated Jaccard >= threshold.
+    """Full near-dup pipeline: signatures (distributed actor pool) -> bands
+    -> hot buckets -> candidate pairs -> signature-estimated Jaccard >=
+    threshold. Returns a Dataset of (left_id, right_id, est_jaccard).
 
-    Returns a Dataset of (left_id, right_id, est_jaccard)."""
+    The heavy lifting (shingling + hashing the raw text) is the distributed
+    stage; what comes back is only (id, 128x8B signature) rows. Banding /
+    bucketing / pair expansion / verification then run vectorized on that
+    reduced representation. At corpus sizes where even signatures exceed one
+    node, swap the tail for the distributed twins in this module
+    (minhash_bands -> hot_buckets -> lsh_candidate_pairs + _PairVerifier) —
+    identical semantics, exercised in tests."""
     import ray
 
     sig_ds = ds.map_batches(
@@ -194,53 +286,79 @@ def minhash_dedup_pairs(
         },
         batch_format="pyarrow",
         concurrency=concurrency,
-        batch_size=256,
+        batch_size=512,
     )
-    sig_mat = sig_ds.take_all()  # signatures are small (id + 128*8 bytes/doc)
-    sig_lookup = {
-        r[id_col]: np.asarray(r["signature"], dtype=np.uint64) for r in sig_mat
-    }
-    sig_ref = ray.put(sig_lookup)
-    band_ds = minhash_bands(
-        ray.data.from_arrow(
-            pa.table(
-                {
-                    id_col: pa.array(list(sig_lookup.keys())),
-                    "signature": pa.FixedSizeListArray.from_arrays(
-                        pa.array(
-                            np.stack(list(sig_lookup.values())).reshape(-1), pa.uint64()
-                        ),
-                        num_perm,
-                    ),
-                }
-            )
-        ),
-        bands=bands,
-        id_col=id_col,
-    )
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        sigs = ray.get(sig_ref)
-        lid = batch["left_id"].to_pylist()
-        rid = batch["right_id"].to_pylist()
-        est = [estimate_jaccard(sigs[a], sigs[b]) for a, b in zip(lid, rid)]
-        out = pa.table(
+    sig_rows = sig_ds.take_all()
+    if not sig_rows:
+        return ray.data.from_arrow(_empty_pairs_table())
+    ids = np.array([r[id_col] for r in sig_rows], dtype=np.int64)
+    sigs = np.stack([np.asarray(r["signature"], dtype=np.uint64) for r in sig_rows])
+    li, ri = _candidate_pairs_numpy(sigs, bands, max_bucket=64)
+    if li.size == 0:
+        return ray.data.from_arrow(_empty_pairs_table())
+    est = (sigs[li] == sigs[ri]).mean(axis=1)
+    keep = est >= threshold
+    li, ri, est = li[keep], ri[keep], est[keep]
+    l_ids, r_ids = ids[li], ids[ri]
+    swap = l_ids > r_ids
+    l_ids[swap], r_ids[swap] = r_ids[swap], l_ids[swap]
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "left_id": pa.array(lid, pa.int64()),
-                "right_id": pa.array(rid, pa.int64()),
-                "est_jaccard": pa.array(est, pa.float64()),
+                "left_id": pa.array(l_ids),
+                "right_id": pa.array(r_ids),
+                "est_jaccard": pa.array(est, type=pa.float64()),
             }
         )
-        return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+    )
 
-    return cand.map_batches(verify, batch_format="pyarrow")
+
+def _empty_pairs_table() -> pa.Table:
+    return pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+
+def _candidate_pairs_numpy(
+    sigs: np.ndarray, bands: int, max_bucket: int = 64
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deduped candidate index pairs from LSH band collisions (vectorized:
+    sort each band's hashes, expand only runs of length >= 2)."""
+    n = sigs.shape[0]
+    bh = _band_hashes(sigs, bands)  # (n, bands)
+    left: list = []
+    right: list = []
+    for b in range(bands):
+        order = np.argsort(bh[:, b], kind="stable")
+        vals = bh[order, b]
+        run_starts = np.flatnonzero(np.concatenate([[True], vals[1:] != vals[:-1]]))
+        run_ends = np.concatenate([run_starts[1:], [n]])
+        for s, e in zip(run_starts, run_ends):
+            if e - s < 2:
+                continue
+            members = np.sort(order[s:e])[:max_bucket]
+            iu = np.triu_indices(len(members), k=1)
+            left.append(members[iu[0]])
+            right.append(members[iu[1]])
+    if not left:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    li = np.concatenate(left)
+    ri = np.concatenate(right)
+    combined = li.astype(np.uint64) << np.uint64(32) | ri.astype(np.uint64)
+    uniq = np.unique(combined)
+    return (uniq >> np.uint64(32)).astype(np.int64), (
+        uniq & np.uint64(0xFFFFFFFF)
+    ).astype(np.int64)
 
 
 def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id", max_rounds: int = 10):
-    """Min-label propagation over candidate pairs -> cluster representative
-    per doc. Small shuffles per round; rounds ~ graph diameter (near-dup
-    clusters are tiny, so this converges in 2-3 rounds)."""
+    """Union-find over verified near-dup pairs -> cluster representative per
+    doc (candidate sets are tiny relative to the corpus; for truly huge edge
+    sets iterate min-label propagation with groupby rounds instead)."""
     import pandas as pd
 
     edges = pairs_ds.select_columns(["left_id", "right_id"]).to_pandas()
@@ -255,7 +373,7 @@ def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id", max_rounds: i
                 changed = True
         if not changed:
             break
-    # path-compress
+
     def root(x):
         while labels[x] != x:
             labels[x] = labels[labels[x]]
@@ -267,61 +385,98 @@ def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id", max_rounds: i
     )
 
 
-def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_signatures(texts, seed: int = 0) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a batch: one murmur pass over ALL tokens
+    of the batch + a segment-reduce per document."""
+    tokens: list = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = t.split() if t else []
+        counts[i] = len(toks)
+        tokens.extend(toks)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not tokens:
+        return out
+    hs = murmur3_64_batch(tokens, seed)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    contrib = 2 * bits - 1  # (T, 64) in {-1, +1}
+    nonempty = np.nonzero(counts > 0)[0]
+    bounds = np.concatenate([[0], np.cumsum(counts[nonempty])])[:-1]
+    sums = np.add.reduceat(contrib, bounds, axis=0)  # (n_nonempty, 64)
+    sig_bits = (sums > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out[nonempty] = sig_bits @ weights
+    return out
+
+
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 256):
     """SimHash near-dup: signature -> 4x16-bit band blocking -> Hamming verify.
 
-    Two docs within Hamming distance 3 of each other share at least one of
-    the four 16-bit bands (pigeonhole), so band-equality blocking is lossless
-    for max_hamming <= 3."""
-    from .text import simhash64
+    Two docs within Hamming distance 3 share at least one of the four 16-bit
+    bands (pigeonhole), so band-equality blocking is lossless for
+    max_hamming <= 3. Signatures (8 B/doc) come back from the distributed
+    hashing stage; banding + verification run vectorized on that reduced
+    representation (swap for the hot_buckets/groupby twins at extreme scale).
+    Returns (left_id, right_id, hamming) pairs."""
+    import ray
 
     def sig_stage(batch: pa.Table) -> pa.Table:
-        sigs = simhash64(batch[text_col].to_pylist())
+        sigs = simhash_signatures(batch[text_col].to_pylist())
         return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
 
-    sig_ds = ds.map_batches(sig_stage, batch_format="pyarrow")
-
-    def explode(batch: pa.Table) -> pa.Table:
-        sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        rows = {"band_id": [], "band_val": [], id_col: [], "simhash": []}
-        for b in range(4):
-            band = ((sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
-            rows["band_id"].extend([b] * len(ids))
-            rows["band_val"].extend(band.tolist())
-            rows[id_col].extend(ids.tolist())
-            rows["simhash"].extend(sigs.astype(np.int64).tolist())
-        return pa.table(
+    sig_rows = ds.map_batches(sig_stage, batch_format="pyarrow").take_all()
+    empty = pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    if not sig_rows:
+        return ray.data.from_arrow(empty)
+    ids = np.array([r[id_col] for r in sig_rows], dtype=np.int64)
+    sigs = np.array([r["simhash"] for r in sig_rows], dtype=np.uint64)
+    n = len(ids)
+    left: list = []
+    right: list = []
+    for b in range(4):
+        band = (sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        order = np.argsort(band, kind="stable")
+        vals = band[order]
+        run_starts = np.flatnonzero(np.concatenate([[True], vals[1:] != vals[:-1]]))
+        run_ends = np.concatenate([run_starts[1:], [n]])
+        for s, e in zip(run_starts, run_ends):
+            if e - s < 2:
+                continue
+            members = np.sort(order[s:e])[:max_bucket]
+            iu = np.triu_indices(len(members), k=1)
+            left.append(members[iu[0]])
+            right.append(members[iu[1]])
+    if not left:
+        return ray.data.from_arrow(empty)
+    li = np.concatenate(left)
+    ri = np.concatenate(right)
+    combined = li.astype(np.uint64) << np.uint64(32) | ri.astype(np.uint64)
+    uniq = np.unique(combined)
+    li = (uniq >> np.uint64(32)).astype(np.int64)
+    ri = (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    x = sigs[li] ^ sigs[ri]
+    ham = (
+        np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+    keep = ham <= max_hamming
+    li, ri, ham = li[keep], ri[keep], ham[keep]
+    l_ids, r_ids = ids[li], ids[ri]
+    swap = l_ids > r_ids
+    l_ids[swap], r_ids[swap] = r_ids[swap], l_ids[swap]
+    return ray.data.from_arrow(
+        pa.table(
             {
-                "band_id": pa.array(rows["band_id"], pa.int32()),
-                "band_val": pa.array(rows["band_val"], pa.int64()),
-                id_col: pa.array(rows[id_col], pa.int64()),
-                "simhash": pa.array(rows["simhash"], pa.int64()),
+                "left_id": pa.array(l_ids),
+                "right_id": pa.array(r_ids),
+                "hamming": pa.array(ham),
             }
         )
-
-    import pandas as pd
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        left, right, dist = [], [], []
-        for i in range(len(ids)):
-            x = sh[i] ^ sh[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            ok = d <= max_hamming
-            left.extend([ids[i]] * int(ok.sum()))
-            right.extend(ids[i + 1 :][ok].tolist())
-            dist.extend(d[ok].tolist())
-        return pd.DataFrame(
-            {"left_id": left, "right_id": right, "hamming": dist},
-            dtype="int64",
-        )
-
-    cand = (
-        sig_ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs, batch_format="pandas")
     )
-    return cand.groupby(["left_id", "right_id"]).min("hamming")

@@ -137,27 +137,5 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
     return batch.append_column(out, pa.array(h.astype(np.int64)))
 
 
-def simhash64(batch_texts, seed: int = 0) -> np.ndarray:
-    """64-bit SimHash per document from whitespace-token murmur hashes.
-
-    Near-duplicate docs land within small Hamming distance; pair with the
-    16-bit band blocking in stages.dedup.simhash_candidates.
-    """
-    out = np.zeros(len(batch_texts), dtype=np.uint64)
-    bit_positions = np.arange(64, dtype=np.uint64)
-    for i, text in enumerate(batch_texts):
-        toks = text.split() if text else []
-        if not toks:
-            continue
-        from ..kernel.murmur3 import murmur3_64_batch
-
-        hs = murmur3_64_batch(toks, seed)
-        bits = ((hs[:, None] >> bit_positions[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        counts = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(counts > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = sig
-    return out
+# SimHash lives in stages.dedup (simhash_signatures), vectorized over whole
+# batches with a single murmur pass + segment reduce.
