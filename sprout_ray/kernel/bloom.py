@@ -39,6 +39,7 @@ from .murmur3 import (
     arrow_to_key_matrix,
     keys_to_matrix,
     murmur3_64_padded,
+    murmur3_64_padded_multi,
 )
 
 
@@ -107,21 +108,25 @@ class BloomFilter:
     # ---- probe layout -------------------------------------------------
 
     def _probe_indices(self, mat: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-        """(B, k) uint64 bit indices; slice i owns [i*m, (i+1)*m)."""
-        out = np.empty((mat.shape[0], self.k), dtype=np.uint64)
+        """(k, B) uint64 bit indices; slice i owns [i*m, (i+1)*m).
+
+        All k seeded hashes come from ONE traversal of the key matrix
+        (murmur3_64_padded_multi) — the key-mixing half of murmur is
+        seed-independent."""
+        h = murmur3_64_padded_multi(mat, lengths, self.seeds)  # (k, B)
         m = np.uint64(self.m)
-        for i, seed in enumerate(self.seeds):
-            h = murmur3_64_padded(mat, lengths, seed)
-            out[:, i] = np.uint64(i * self.m) + h % m
-        return out
+        h %= m
+        h += (np.uint64(self.m) * np.arange(self.k, dtype=np.uint64))[:, None]
+        return h
 
     @staticmethod
     def _bit_addr(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """MSB-first byte/mask addressing (bloom.go:283-294)."""
-        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-        masks = (np.uint8(128) >> (idx & np.uint64(7)).astype(np.uint8)).astype(
-            np.uint8
-        )
+        """MSB-first byte/mask addressing (bloom.go:283-294).
+
+        byte index stays uint64 (fancy indexing accepts it; the int64 astype
+        would cost ~1us/element on numpy 1.26's checked-cast path)."""
+        byte_idx = idx >> np.uint64(3)
+        masks = np.uint8(128) >> (idx & np.uint64(7)).astype(np.uint8)
         return byte_idx, masks
 
     # ---- core ops -----------------------------------------------------
@@ -158,7 +163,7 @@ class BloomFilter:
         mat, lengths = _as_matrix(keys)
         idx = self._probe_indices(mat, lengths)
         byte_idx, masks = self._bit_addr(idx)
-        return ((self.bits[byte_idx] & masks) != 0).all(axis=1)
+        return ((self.bits[byte_idx] & masks) != 0).all(axis=0)
 
     def contains(self, key) -> bool:
         return bool(self.contains_batch([key])[0])

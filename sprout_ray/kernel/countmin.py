@@ -19,7 +19,7 @@ import math
 import numpy as np
 
 from .bloom import _as_matrix
-from .murmur3 import murmur3_64_padded
+from .murmur3 import murmur3_64_padded_multi
 
 
 class CountMinSketch:
@@ -37,10 +37,10 @@ class CountMinSketch:
         self.total = 0
 
     def _row_indices(self, mat, lengths) -> np.ndarray:
-        idx = np.empty((self.d, mat.shape[0]), dtype=np.int64)
-        w = np.uint64(self.w)
-        for i, seed in enumerate(self.seeds):
-            idx[i] = (murmur3_64_padded(mat, lengths, seed) % w).astype(np.int64)
+        # one key traversal for all d seeded rows; stays uint64 (fancy
+        # indexing accepts it; int64 astype is slow on numpy 1.26)
+        idx = murmur3_64_padded_multi(mat, lengths, self.seeds)
+        idx %= np.uint64(self.w)
         return idx
 
     def update_batch(self, keys, counts=None) -> None:

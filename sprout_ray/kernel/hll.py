@@ -47,7 +47,7 @@ class HyperLogLog:
         if mat.shape[0] == 0:
             return
         h = murmur3_64_padded(mat, lengths, 0)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        idx = h >> np.uint64(64 - self.p)  # uint64 indexing; int64 cast is slow
         rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
         # rank = leading zeros of `rest` + 1, capped at 64-p+1 (rest == 0)
         # Compute leading zeros via float64 exponent trick is lossy; use a

@@ -175,9 +175,12 @@ def murmur3_64_padded(
             h1 = np.where(active, nh1, h1)
             h2 = np.where(active, nh2, h2)
 
-        tail_start = (nblocks * 16).astype(np.int64)
+        tail_start = nblocks * 16
         rows = np.arange(n)
-        tlen = (lengths & 15).astype(np.uint64)
+        # NOTE: int64<->uint64 astype is pathologically slow in numpy 1.26
+        # (~1us/element, checked-cast path); these values are non-negative so
+        # a zero-copy view is equivalent. Applies to every .view() below.
+        tlen = np.ascontiguousarray(lengths & 15).view(np.uint64)
         k1 = np.zeros(n, dtype=np.uint64)
         k2 = np.zeros(n, dtype=np.uint64)
         # zero padding past each key's end makes unmasked gathers contribute 0
@@ -192,7 +195,7 @@ def murmur3_64_padded(
         k1 = _nrotl(k1 * _NC1, 31) * _NC2
         h1 = np.where(tlen >= 1, h1 ^ k1, h1)
 
-        ln = lengths.astype(np.uint64)
+        ln = np.ascontiguousarray(lengths).view(np.uint64)
         h1 = h1 ^ ln
         h2 = h2 ^ ln
         h1 = h1 + h2
@@ -200,6 +203,77 @@ def murmur3_64_padded(
         h1 = _nfmix(h1)
         h2 = _nfmix(h2)
         h1 = h1 + h2
+    return h1
+
+
+def murmur3_64_padded_multi(
+    mat: np.ndarray, lengths: np.ndarray, seeds
+) -> np.ndarray:
+    """Vectorized murmur3 h1 for MANY seeds in one traversal -> (n_seeds, n).
+
+    The per-block k1/k2 mixing (multiply/rotate/multiply) does not depend on
+    the seed — only the h1/h2 chains do — so hashing a key under k seeds
+    shares one pass over the key bytes. This is the hot path for the k-probe
+    Bloom filter and the d-row count-min sketch (reference seed schedule
+    64 << (i+1), bloom.go:111-114).
+    """
+    n = mat.shape[0]
+    s = len(seeds)
+    if n == 0:
+        return np.empty((s, 0), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        blocks = np.ascontiguousarray(mat).view("<u8")
+        h1 = np.empty((s, n), dtype=np.uint64)
+        for i, seed in enumerate(seeds):
+            h1[i, :] = seed
+        h2 = h1.copy()
+        nblocks = lengths // 16
+        maxb = int(nblocks.max())
+        for i in range(maxb):
+            active = nblocks > i
+            # seed-independent key mixing, once per block
+            k1 = blocks[:, 2 * i] * _NC1
+            k1 = _nrotl(k1, 31)
+            k1 *= _NC2
+            k2 = blocks[:, 2 * i + 1] * _NC2
+            k2 = _nrotl(k2, 33)
+            k2 *= _NC1
+            # seed-dependent chains, broadcast over seeds
+            nh1 = h1 ^ k1[None, :]
+            nh1 = _nrotl(nh1, 27) + h2
+            nh1 = nh1 * _N5 + _NA1
+            nh2 = h2 ^ k2[None, :]
+            nh2 = _nrotl(nh2, 31) + nh1
+            nh2 = nh2 * _N5 + _NA2
+            h1[:, active] = nh1[:, active]
+            h2[:, active] = nh2[:, active]
+
+        tail_start = nblocks * 16
+        rows = np.arange(n)
+        tlen = np.ascontiguousarray(lengths & 15).view(np.uint64)
+        k1 = np.zeros(n, dtype=np.uint64)
+        k2 = np.zeros(n, dtype=np.uint64)
+        for j in range(8):
+            k1 |= mat[rows, tail_start + j].astype(np.uint64) << np.uint64(8 * j)
+        for j in range(7):
+            k2 |= mat[rows, tail_start + 8 + j].astype(np.uint64) << np.uint64(
+                8 * j
+            )
+        k2 = _nrotl(k2 * _NC2, 33) * _NC1
+        use_k2 = tlen >= 9
+        use_k1 = tlen >= 1
+        h2[:, use_k2] ^= k2[None, use_k2]
+        k1 = _nrotl(k1 * _NC1, 31) * _NC2
+        h1[:, use_k1] ^= k1[None, use_k1]
+
+        ln = np.ascontiguousarray(lengths).view(np.uint64)
+        h1 ^= ln[None, :]
+        h2 ^= ln[None, :]
+        h1 += h2
+        h2 += h1
+        h1 = _nfmix(h1)
+        h2 = _nfmix(h2)
+        h1 += h2
     return h1
 
 

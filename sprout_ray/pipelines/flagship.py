@@ -38,6 +38,7 @@ def multi_sketch_build(ds, specs: dict) -> dict:
     this halves-or-better the IO vs building each sketch separately.
     """
     from ..stages.agg import _update_input
+    from ..stages.builder import pack_partial
 
     items = list(specs.items())
 
@@ -50,7 +51,7 @@ def multi_sketch_build(ds, specs: dict) -> dict:
             sk = spec.make()
             if len(col):
                 sk.update_batch(_update_input(spec.kind, col))
-            out[name] = [sk.to_bytes()]
+            out[name] = [pack_partial(sk.to_bytes())]
         out["rows"] = [batch.num_rows]
         return pa.table(
             {

@@ -129,13 +129,33 @@ def ensure_corpus(
                 os.remove(os.path.join(out_dir, p))
         os.remove(manifest_path)
     per = n_rows // n_files
+    todo = []
     for i in range(n_files):
         shard = os.path.join(out_dir, f"part-{i:05d}.parquet")
         if os.path.exists(shard):
             continue
         rows = per if i < n_files - 1 else n_rows - per * (n_files - 1)
-        tbl = generate_repo_table(rows, seed=seed, offset=i * per, total_rows=n_rows)
-        pq.write_table(tbl, shard)
+        todo.append((shard, rows, i * per))
+
+    def _write(shard: str, rows: int, offset: int) -> None:
+        tbl = generate_repo_table(rows, seed=seed, offset=offset, total_rows=n_rows)
+        pq.write_table(tbl, shard + ".tmp")
+        os.replace(shard + ".tmp", shard)
+
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(todo) > 1:
+        import ray
+
+        gen = ray.remote(num_cpus=1)(_write)
+        ray.get([gen.remote(*args) for args in todo])
+    else:
+        for args in todo:
+            _write(*args)
     with open(manifest_path, "w") as f:
         json.dump(want, f)
     return out_dir

@@ -149,7 +149,7 @@ def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id"):
         key = _combined_key(band_id, bh.T.reshape(-1))
         return pa.table(
             {
-                "bucket_key": pa.array(key.astype(np.int64)),
+                "bucket_key": pa.array(key.view(np.int64)),
                 id_col: pa.array(np.tile(ids, bands)),
             }
         )

@@ -134,7 +134,7 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
     """64-bit murmur3 document fingerprint (content-addressed identity)."""
     mat, lengths = arrow_to_key_matrix(batch[col])
     h = murmur3_64_padded(mat, lengths, 0)
-    return batch.append_column(out, pa.array(h.astype(np.int64)))
+    return batch.append_column(out, pa.array(h.view(np.int64)))
 
 
 # SimHash lives in stages.dedup (simhash_signatures), vectorized over whole

@@ -1,0 +1,25 @@
+"""Process/allocator tuning for memory-traffic-heavy numpy stages.
+
+On this class of VM, 32 concurrent workers allocating/freeing multi-MB numpy
+temporaries spend >90% of CPU in the KERNEL (mmap/munmap page churn: glibc's
+default mmap threshold sends every >128 KiB allocation through mmap, and
+each free munmaps it). Raising the threshold to glibc's hard cap (32 MiB —
+values above the cap are silently ignored) makes large temporaries reuse
+heap pages: measured 63s -> 11s wall for a 32-way sketch-battery run.
+
+Must be applied BEFORE ``ray.init`` so raylet (and therefore every worker
+process) inherits the environment.
+"""
+
+import os
+
+GLIBC_MALLOC_ENV = {
+    # glibc caps MALLOC_MMAP_THRESHOLD_ at 32 MiB; larger values are ignored
+    "MALLOC_MMAP_THRESHOLD_": "33554432",
+    "MALLOC_TRIM_THRESHOLD_": "268435456",
+}
+
+
+def apply_malloc_tuning() -> None:
+    """Set glibc malloc env vars (call before ray.init)."""
+    os.environ.update(GLIBC_MALLOC_ENV)

@@ -5,6 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from sprout_ray.tuning import apply_malloc_tuning  # noqa: E402
+
+apply_malloc_tuning()  # before ray.init so workers inherit it
+
 
 @pytest.fixture(scope="session")
 def ray_session():
