@@ -25,8 +25,8 @@ from sprout_ray.tuning import apply_malloc_tuning
 
 apply_malloc_tuning()  # before ray.init so every worker inherits it
 
-BENCH_CORPUS = "/tmp/sprout_bench_corpus_8m"
-BENCH_ROWS = 8_000_000
+BENCH_CORPUS = "/tmp/sprout_bench_corpus_16m"
+BENCH_ROWS = 16_000_000
 
 
 def _ensure_bench_corpus():
@@ -43,20 +43,33 @@ def headline(sf_dir: str) -> dict:
 
     corpus = _ensure_bench_corpus()
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    cols = ["repo", "path", "lang", "content"]
+    cols = ["repo", "path", "commit", "lang", "content"]
     specs = {
         "bloom_sha": (SketchSpec.of("bloom", 0.001, int(BENCH_ROWS * 1.2)), "sha256"),
+        "bloom_commit": (SketchSpec.of("bloom", 0.001, int(BENCH_ROWS * 1.2)), "commit"),
         "hll_repo": (SketchSpec.of("hll", 14), "repo"),
         "hll_sha": (SketchSpec.of("hll", 14), "sha256"),
         "cms_path": (SketchSpec.of("cms", 0.0001, 0.01), "path"),
+        "cms_repo": (SketchSpec.of("cms", 0.0001, 0.01), "repo"),
+        "tdigest_len": (SketchSpec.of("tdigest", 200.0), "content_len"),
+        "kll_len": (SketchSpec.of("kll", 200), "content_len"),
     }
 
     def one_build():
+        import pyarrow.compute as pc
+
         # one block per CPU: each block emits one ~3 MB serialized partial
         # per sketch, so partial count tracks the worker pool, not Ray's
         # default 200-block parallelism heuristic (224 partials = 734 MB)
         ds = read_corpus(corpus, columns=cols, override_num_blocks=num_cpus)
         ds = with_invariant(ds)
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "content_len", pc.utf8_length(t["content"]).cast("int64")
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         return multi_sketch_build(ds, specs)
 
     # untimed warm-up: spawns + imports the full worker pool and warms the
@@ -135,7 +148,7 @@ def run_once() -> dict:
     queries = {} if os.environ.get("SPROUT_BENCH_HEADLINE_ONLY") else query_suite(sf_dir)
     ray.shutdown()
     return {
-        "metric": "corpus sketch-battery build (8M rows: sha256 + bloom/hll/hll/cms)",
+        "metric": f"corpus sketch-battery build ({BENCH_ROWS} rows: sha256 + 2xbloom/2xhll/2xcms/tdigest/kll)",
         "value": round(head["sec"], 3),
         "unit": "sec",
         "rows": head["rows"],

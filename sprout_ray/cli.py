@@ -1,0 +1,190 @@
+"""CLI — the Ray-Data re-expression of the reference CLI (cli/bloom.go:57-102).
+
+The reference dispatches ``new|set|get|reset|stats`` against a single mmap
+file with hardcoded geometry (cli/bloom.go:104-112: capacity 100, err 0.001).
+Here the unit of persistence is a checkpoint DIRECTORY of per-partition
+sketch Parquet rows (sprout_ray.state.checkpoint), geometry comes from flags,
+and jobs are `ray job submit`-able scripts:
+
+    python -m sprout_ray.cli build  --input DIR --on sha256 --sketch bloom \
+        --err-rate 0.001 --capacity 1000000 --ckpt /tmp/ck
+    python -m sprout_ray.cli probe  --ckpt /tmp/ck --keys foo bar
+    python -m sprout_ray.cli stats  --ckpt /tmp/ck
+    python -m sprout_ray.cli merge  --ckpt A --ckpt B --out merged.bin
+    python -m sprout_ray.cli resume --input DIR ...   (same as build: done
+        partitions are skipped via the checkpoint manifest)
+
+Owns its Ray session (guarded init) — library code never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+from .tuning import apply_malloc_tuning
+
+
+def _spec_from_args(args):
+    from .kernel.sketch import SketchSpec
+
+    kind = args.sketch
+    if kind == "bloom":
+        return SketchSpec.of("bloom", args.err_rate, args.capacity)
+    if kind == "sbf":
+        return SketchSpec.of("sbf", args.err_rate, args.capacity, args.growth_rate)
+    if kind == "hll":
+        return SketchSpec.of("hll", args.precision)
+    if kind == "cms":
+        return SketchSpec.of("cms", args.eps, args.delta)
+    if kind == "tdigest":
+        return SketchSpec.of("tdigest", args.compression)
+    if kind == "kll":
+        return SketchSpec.of("kll", args.k)
+    raise SystemExit(f"unknown sketch kind {kind!r}")
+
+
+def _init_ray(num_cpus):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _input_files(path):
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return sorted(glob.glob(path))
+
+
+def cmd_build(args) -> int:
+    _init_ray(args.num_cpus)
+    from .state.checkpoint import build_with_checkpoints
+
+    spec = _spec_from_args(args)
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    sketch, metrics = build_with_checkpoints(
+        files, spec, on=args.on, ckpt_dir=args.ckpt,
+        files_per_partition=args.files_per_partition,
+    )
+    print(json.dumps({"result": sketch.result(), "metrics": metrics}))
+    return 0
+
+
+def _load_ckpt(ckpt, args):
+    from .kernel.sketch import sketch_from_bytes
+    from .state.checkpoint import completed_partitions
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in sorted(glob.glob(os.path.join(ckpt, "*.parquet"))):
+        rows.extend(pq.read_table(p).to_pylist())
+    if not rows:
+        raise SystemExit(f"no checkpoints under {ckpt}")
+    acc = None
+    for r in rows:
+        sk = sketch_from_bytes(r["state"])
+        if acc is None:
+            acc = sk
+        else:
+            acc.merge(sk)
+    return acc
+
+
+def cmd_probe(args) -> int:
+    sk = _load_ckpt(args.ckpt[0], args)
+    res = sk.contains_batch([k.encode() for k in args.keys])
+    print(json.dumps({k: bool(v) for k, v in zip(args.keys, res)}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    sk = _load_ckpt(args.ckpt[0], args)
+    print(json.dumps(sk.result()))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    accs = [_load_ckpt(c, args) for c in args.ckpt]
+    acc = accs[0]
+    for other in accs[1:]:
+        acc.merge(other)
+    with open(args.out, "wb") as f:
+        f.write(acc.to_bytes())
+    print(json.dumps({"out": args.out, "result": acc.result()}))
+    return 0
+
+
+def main(argv=None) -> int:
+    apply_malloc_tuning()
+    p = argparse.ArgumentParser(prog="sprout_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--sketch", default="bloom",
+                        choices=["bloom", "sbf", "hll", "cms", "tdigest", "kll"])
+        sp.add_argument("--err-rate", type=float, default=0.001)
+        sp.add_argument("--capacity", type=int, default=10_000)
+        sp.add_argument("--growth-rate", type=int, default=2)
+        sp.add_argument("--precision", type=int, default=14)
+        sp.add_argument("--eps", type=float, default=0.0001)
+        sp.add_argument("--delta", type=float, default=0.01)
+        sp.add_argument("--compression", type=float, default=200.0)
+        sp.add_argument("--k", type=int, default=200)
+        sp.add_argument("--num-cpus", type=int,
+                        default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    b = sub.add_parser("build", help="build a sketch over parquet input (resumable)")
+    b.add_argument("--input", required=True)
+    b.add_argument("--on", required=True, help="column to sketch")
+    b.add_argument("--ckpt", required=True, help="checkpoint directory")
+    b.add_argument("--files-per-partition", type=int, default=1)
+    common(b)
+    b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("resume", help="alias of build: completed partitions are skipped")
+    r.add_argument("--input", required=True)
+    r.add_argument("--on", required=True)
+    r.add_argument("--ckpt", required=True)
+    r.add_argument("--files-per-partition", type=int, default=1)
+    common(r)
+    r.set_defaults(fn=cmd_build)
+
+    pr = sub.add_parser("probe", help="membership-probe keys against a built filter")
+    pr.add_argument("--ckpt", action="append", required=True)
+    pr.add_argument("--keys", nargs="+", required=True)
+    common(pr)
+    pr.set_defaults(fn=cmd_probe)
+
+    st = sub.add_parser("stats", help="merged stats of a checkpoint directory")
+    st.add_argument("--ckpt", action="append", required=True)
+    common(st)
+    st.set_defaults(fn=cmd_stats)
+
+    mg = sub.add_parser("merge", help="merge checkpoint dirs into one sketch file")
+    mg.add_argument("--ckpt", action="append", required=True)
+    mg.add_argument("--out", required=True)
+    common(mg)
+    mg.set_defaults(fn=cmd_merge)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -37,8 +37,7 @@ def multi_sketch_build(ds, specs: dict) -> dict:
     per block; the driver merges per name. One scan, N sketches — at 100 TB
     this halves-or-better the IO vs building each sketch separately.
     """
-    from ..stages.agg import _update_input
-    from ..stages.builder import pack_partial
+    from ..stages.builder import pack_partial, update_chunked
 
     items = list(specs.items())
 
@@ -50,7 +49,7 @@ def multi_sketch_build(ds, specs: dict) -> dict:
                 col = col.drop_null()
             sk = spec.make()
             if len(col):
-                sk.update_batch(_update_input(spec.kind, col))
+                update_chunked(sk, spec.kind, col)
             out[name] = [pack_partial(sk.to_bytes())]
         out["rows"] = [batch.num_rows]
         return pa.table(
@@ -64,9 +63,20 @@ def multi_sketch_build(ds, specs: dict) -> dict:
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).take_all()
 
+    # merge the kinds concurrently: zlib decompress + numpy merges release
+    # the GIL, so threads parallelize the driver-side reduce
+    from concurrent.futures import ThreadPoolExecutor
+
     built = {}
-    for name, (spec, _col) in items:
-        built[name] = merge_partials([r[name] for r in partial_rows], spec)
+    with ThreadPoolExecutor(max_workers=min(len(items), 8)) as pool:
+        futures = {
+            name: pool.submit(
+                merge_partials, [r[name] for r in partial_rows], spec
+            )
+            for name, (spec, _col) in items
+        }
+        for name, fut in futures.items():
+            built[name] = fut.result()
     built["_rows"] = sum(r["rows"] for r in partial_rows)
     return built
 

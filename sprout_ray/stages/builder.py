@@ -38,6 +38,19 @@ def unpack_partial(buf: bytes) -> bytes:
     return zlib.decompress(buf[2:]) if buf[:2] == b"Z1" else bytes(buf)
 
 
+# Update chunk: temporaries for a 32k-row hash pass stay ~2-3 MB — under the
+# 32 MiB glibc mmap threshold, so heap pages are REUSED across chunks instead
+# of mmap/munmap-churning (this VM class spends >90% CPU in the kernel when
+# 32 workers fault fresh multi-10MB buffers concurrently).
+UPDATE_CHUNK = 32_768
+
+
+def update_chunked(sk, kind: str, col) -> None:
+    """Feed an Arrow column to a sketch in allocator-friendly chunks."""
+    for off in range(0, len(col), UPDATE_CHUNK):
+        sk.update_batch(_update_input(kind, col.slice(off, UPDATE_CHUNK)))
+
+
 def build_partials(ds, spec: SketchSpec, on: str, batch_size: Optional[int] = None):
     """Dataset of ``{partial: binary, rows: int64}`` — one row per input block
     (``batch_size=None`` maps whole blocks zero-copy)."""
@@ -48,7 +61,7 @@ def build_partials(ds, spec: SketchSpec, on: str, batch_size: Optional[int] = No
             col = col.drop_null()
         sk = spec.make()
         if len(col):
-            sk.update_batch(_update_input(spec.kind, col))
+            update_chunked(sk, spec.kind, col)
         return pa.table(
             {
                 "partial": pa.array([pack_partial(sk.to_bytes())], type=pa.large_binary()),
@@ -70,7 +83,7 @@ def merge_partials(partial_blobs, spec: SketchSpec):
     blobs = list(partial_blobs)
     if not blobs:
         return spec.make()
-    if len(blobs) > 8:
+    if len(blobs) > 64:
         return sketch_from_bytes(unpack_partial(_tree_merge_remote(blobs)))
     return reduce(_merged, (sketch_from_bytes(unpack_partial(b)) for b in blobs))
 
@@ -79,7 +92,9 @@ def _merge_pair_blobs(a: bytes, b: bytes) -> bytes:
     sa = sketch_from_bytes(unpack_partial(a))
     sb = sketch_from_bytes(unpack_partial(b))
     sa.merge(sb)
-    return pack_partial(sa.to_bytes())
+    # intermediates stay raw: they never leave the object store, and zlib on
+    # the increasingly dense upper-level bitmaps would dominate the merge
+    return sa.to_bytes()
 
 
 def _tree_merge_remote(blobs: list) -> bytes:

@@ -17,6 +17,9 @@ GLIBC_MALLOC_ENV = {
     # glibc caps MALLOC_MMAP_THRESHOLD_ at 32 MiB; larger values are ignored
     "MALLOC_MMAP_THRESHOLD_": "33554432",
     "MALLOC_TRIM_THRESHOLD_": "268435456",
+    # Arrow buffers through malloc too (jemalloc purges pages aggressively,
+    # re-faulting them; measured ~2x under 32-way load)
+    "ARROW_DEFAULT_MEMORY_POOL": "system",
 }
 
 

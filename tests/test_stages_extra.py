@@ -1,0 +1,220 @@
+"""Extra stage tests: CLI round-trips, distributed LSH twins, text stages,
+exact dedup, similarity kernels."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestCLI:
+    @pytest.fixture(scope="class")
+    def corpus(self, tmp_path_factory):
+        from sprout_ray.sources.synth import ensure_corpus
+
+        d = tmp_path_factory.mktemp("clicorpus")
+        return ensure_corpus(str(d / "c"), 3000, n_files=3, seed=42)
+
+    def _run(self, *args):
+        out = subprocess.run(
+            [sys.executable, "-m", "sprout_ray.cli", *args],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            env=dict(os.environ, RAY_GRAFT_CPUS="2"),
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def test_build_probe_stats_resume(self, corpus, tmp_path):
+        ck = str(tmp_path / "ck")
+        r = self._run(
+            "build", "--input", corpus, "--on", "content", "--sketch", "bloom",
+            "--capacity", "5000", "--ckpt", ck, "--num-cpus", "2",
+        )
+        assert r["metrics"]["rows"] == 3000 and r["metrics"]["built"] == 3
+        # resume: nothing rebuilt
+        r2 = self._run(
+            "resume", "--input", corpus, "--on", "content", "--sketch", "bloom",
+            "--capacity", "5000", "--ckpt", ck, "--num-cpus", "2",
+        )
+        assert r2["metrics"]["built"] == 0 and r2["metrics"]["resumed"] == 3
+        st = self._run("stats", "--ckpt", ck)
+        assert st["count"] == 3000
+        pr = self._run("probe", "--ckpt", ck, "--keys", "definitely-not-there-xyz")
+        assert pr["definitely-not-there-xyz"] is False
+
+
+class TestDistributedLSHTwins:
+    """The distributed banding path (bucket_key explode -> count-aggregate
+    hot buckets -> bounded pairs) must find the same identical-doc pairs as
+    the vectorized driver path used by minhash_dedup_pairs."""
+
+    def test_bands_hot_buckets_pairs(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import (
+            MinHasher,
+            lsh_candidate_pairs,
+            minhash_bands,
+        )
+
+        texts = [f"document number {i} with some shared text body" for i in range(50)]
+        texts += [texts[3], texts[7]]  # ids 50, 51 duplicate 3 and 7
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        sig_ds = ds.map_batches(
+            MinHasher, fn_constructor_kwargs={"num_perm": 64},
+            batch_format="pyarrow", concurrency=1,
+        )
+        band_ds = minhash_bands(sig_ds, bands=8)
+        pairs = lsh_candidate_pairs(band_ds).to_pandas()
+        got = set(zip(pairs["left_id"], pairs["right_id"]))
+        assert (3, 50) in got and (7, 51) in got
+
+    def test_empty_input(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import lsh_candidate_pairs, minhash_bands, MinHasher
+
+        ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["only one doc"]}))
+        sig = ds.map_batches(
+            MinHasher, fn_constructor_kwargs={"num_perm": 64},
+            batch_format="pyarrow", concurrency=1,
+        )
+        pairs = lsh_candidate_pairs(minhash_bands(sig, bands=8))
+        assert pairs.count() == 0
+
+
+class TestTextStages:
+    def test_quality_scorer_direct(self):
+        from sprout_ray.stages.text import QualityScorer
+
+        t = pa.table({"text": ["The quick brown fox, and the dog!", "", "   "]})
+        out = QualityScorer()(t)
+        assert out["token_count"].to_pylist() == [7, 0, 0]
+        assert 0 < out["punct_ratio"][0].as_py() < 0.2
+        assert out["quality"][0].as_py() > 0.3
+
+    def test_langid_direct(self):
+        from sprout_ray.stages.text import LangId
+
+        t = pa.table(
+            {
+                "text": [
+                    "the cat and the dog is in the house that was for",
+                    "el perro y el gato en la casa que un dia",
+                    "zzz qqq xxx",
+                ]
+            }
+        )
+        out = LangId()(t)
+        assert out["lang_pred"].to_pylist() == ["en", "es", "unknown"]
+
+    def test_fingerprint_matches_scalar_murmur(self):
+        from sprout_ray.kernel.murmur3 import murmur3_64
+        from sprout_ray.stages.text import add_fingerprint
+
+        t = pa.table({"text": ["abc", "xyz"]})
+        out = add_fingerprint(t)
+        exp = [murmur3_64(b"abc", 0), murmur3_64(b"xyz", 0)]
+        got = [v % (1 << 64) for v in out["fingerprint"].to_pylist()]
+        assert got == exp
+
+    def test_simhash_similar_docs_close(self):
+        from sprout_ray.stages.dedup import simhash_signatures
+
+        a = "the quick brown fox jumps over the lazy dog " * 5
+        b = a.replace("lazy", "sleepy")
+        c = "completely different words entirely unrelated content here"
+        sa, sb, sc = simhash_signatures([a, b, c])
+        ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+        assert ham(sa, sb) < ham(sa, sc)
+
+    def test_shingle_hashes_match_batch(self):
+        from sprout_ray.kernel.murmur3 import murmur3_64_batch
+        from sprout_ray.stages.dedup import char_shingles, shingle_hashes
+
+        text = "hello world this is a test"
+        exp = np.unique(murmur3_64_batch(char_shingles(text, 5), 0))
+        got = shingle_hashes(text, 5)
+        assert (exp == got).all()
+
+
+class TestExactDedup:
+    def test_first_per_key(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import exact_dedup
+
+        t = pa.table(
+            {
+                "doc_id": [5, 1, 2, 3, 4],
+                "h": ["a", "a", "b", "b", "c"],
+            }
+        )
+        out = exact_dedup(rd.from_arrow(t), key_col="h", id_col="doc_id").to_pandas()
+        m = dict(zip(out["h"], out["doc_id"]))
+        assert m == {"a": 1, "b": 2, "c": 4}
+
+    def test_keep_full_rows(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import exact_dedup
+
+        t = pa.table(
+            {
+                "doc_id": [5, 1, 2],
+                "h": ["a", "a", "b"],
+                "payload": ["x", "y", "z"],
+            }
+        )
+        out = exact_dedup(
+            rd.from_arrow(t), key_col="h", id_col="doc_id", keep_cols=True
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2]
+        assert set(out.columns) == {"doc_id", "h", "payload"}
+
+
+class TestSimilarityKernels:
+    def test_hyperplane_lsh_similar_collide(self):
+        from sprout_ray.stages.similarity import HyperplaneLSH, _normalize
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((1, 16)).astype(np.float32)
+        near = base + rng.standard_normal((1, 16)).astype(np.float32) * 0.01
+        far = -base
+        lsh = HyperplaneLSH(dim=16, n_planes=8)
+        m = _normalize(np.concatenate([base, near, far]))
+        b = lsh.bucket(m)
+        assert b[0] == b[1]
+        assert b[0] != b[2]
+
+    def test_ngram_jaccard(self):
+        from sprout_ray.stages.dedup import ngram_jaccard
+
+        assert ngram_jaccard("hello world", "hello world") == 1.0
+        assert ngram_jaccard("", "") == 1.0
+        assert ngram_jaccard("abcdef", "") == 0.0
+        assert 0 < ngram_jaccard("hello world", "hello there") < 1
+
+    def test_connected_components(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import connected_components
+
+        pairs = rd.from_arrow(
+            pa.table({"left_id": [1, 2, 10], "right_id": [2, 3, 11]})
+        )
+        out = connected_components(pairs, ds_ids=[1, 2, 3, 10, 11, 99])
+        lab = dict(zip(out["doc_id"], out["cluster"]))
+        assert lab[1] == lab[2] == lab[3]
+        assert lab[10] == lab[11] != lab[1]
+        assert lab[99] == 99
