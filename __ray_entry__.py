@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_stats_by_lang": A.nchars_stats_by_lang,
         "q1_pricing_summary": A.q1_pricing_summary,
         "event_type_counts": A.event_type_counts,
+        "top_event_types": A.top_event_types,
         "orders_semi_join": A.orders_semi_join,
         "lang_sources_matrix": A.lang_sources_matrix,
         # sketches / approximate (rows-only driver check; pytest-bound-gated)
@@ -44,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe_prune": A.bloom_probe_prune,
         "hll_cardinalities": A.hll_cardinalities,
         "hll_by_lang": A.hll_by_lang,
+        "hll_by_lang_salted": A.hll_by_lang_salted,
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
@@ -100,6 +102,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_type_counts": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
+        "top_event_types": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type ORDER BY n DESC LIMIT 3"
         ),
         "orders_semi_join": (
             "SELECT l_orderkey, "

@@ -58,10 +58,12 @@ def headline(sf_dir: str) -> dict:
     def one_build():
         import pyarrow.compute as pc
 
-        # one block per CPU: each block emits one ~3 MB serialized partial
-        # per sketch, so partial count tracks the worker pool, not Ray's
-        # default 200-block parallelism heuristic (224 partials = 734 MB)
-        ds = read_corpus(corpus, columns=cols, override_num_blocks=num_cpus)
+        # block count pinned to the DATASET layout (one block per shard),
+        # identical at every parallelism level: per-block fixed costs (dense
+        # bloom zero/serialize) and the merge fan-in must not change with
+        # cluster size, or the scaling measurement compares different jobs.
+        # (Ray's default ~200-block heuristic would triple the partial bytes.)
+        ds = read_corpus(corpus, columns=cols, override_num_blocks=64)
         ds = with_invariant(ds)
         ds = ds.map_batches(
             lambda t: t.append_column(

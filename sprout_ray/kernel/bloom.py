@@ -231,6 +231,20 @@ class BloomFilter:
         bf.count = meta["count"]
         return bf
 
+    def merge_bytes(self, buf: bytes) -> None:
+        """Merge a serialized partial WITHOUT materializing it: OR straight
+        from a read-only buffer view (a 34 MB filter otherwise costs a zero
+        alloc + a copy per partial in the reduce fan-in)."""
+        mlen = int.from_bytes(buf[:4], "little")
+        meta = json.loads(buf[4 : 4 + mlen].decode())
+        if meta["kind"] != "bloom" or (
+            meta["err_rate"] != self.err_rate or meta["capacity"] != self.capacity
+        ):
+            raise BloomMergeError(f"partial spec mismatch: {meta}")
+        view = np.frombuffer(buf, dtype=np.uint8, offset=4 + mlen)
+        np.bitwise_or(self.bits, view, out=self.bits)
+        self.count += meta["count"]
+
 
 def _as_matrix(keys) -> tuple[np.ndarray, np.ndarray]:
     """Normalize keys (Arrow array, padded-matrix tuple, or sequence)."""

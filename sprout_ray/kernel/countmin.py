@@ -85,6 +85,20 @@ class CountMinSketch:
         ).encode()
         return len(meta).to_bytes(4, "little") + meta + self.table.tobytes()
 
+    def merge_bytes(self, buf: bytes) -> None:
+        """Merge a serialized partial via a read-only view (no materialize)."""
+        import json as _json
+
+        mlen = int.from_bytes(buf[:4], "little")
+        meta = _json.loads(buf[4 : 4 + mlen].decode())
+        if meta["kind"] != "cms" or meta["eps"] != self.eps or meta["delta"] != self.delta:
+            raise ValueError(f"partial spec mismatch: {meta}")
+        view = np.frombuffer(buf, dtype=np.uint64, offset=4 + mlen).reshape(
+            self.d, self.w
+        )
+        self.table += view
+        self.total += meta["total"]
+
     @classmethod
     def from_bytes(cls, buf: bytes) -> "CountMinSketch":
         mlen = int.from_bytes(buf[:4], "little")

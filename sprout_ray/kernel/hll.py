@@ -86,6 +86,15 @@ class HyperLogLog:
         meta = json.dumps({"kind": "hll", "p": self.p}).encode()
         return len(meta).to_bytes(4, "little") + meta + self.registers.tobytes()
 
+    def merge_bytes(self, buf: bytes) -> None:
+        """Merge a serialized partial via a read-only view (no materialize)."""
+        mlen = int.from_bytes(buf[:4], "little")
+        meta = json.loads(buf[4 : 4 + mlen].decode())
+        if meta["kind"] != "hll" or meta["p"] != self.p:
+            raise ValueError(f"partial spec mismatch: {meta}")
+        view = np.frombuffer(buf, dtype=np.uint8, offset=4 + mlen)
+        np.maximum(self.registers, view, out=self.registers)
+
     @classmethod
     def from_bytes(cls, buf: bytes) -> "HyperLogLog":
         mlen = int.from_bytes(buf[:4], "little")

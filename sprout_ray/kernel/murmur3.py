@@ -325,3 +325,9 @@ def murmur3_64_batch(keys, seed: int) -> np.ndarray:
     """Vectorized murmur3 h1 over a sequence of bytes/str keys."""
     mat, lengths = keys_to_matrix(keys)
     return murmur3_64_padded(mat, lengths, seed)
+
+
+def murmur_hash_column(col, seed: int = 0) -> np.ndarray:
+    """Murmur3-64 of an Arrow string/binary column (uint64)."""
+    mat, lengths = arrow_to_key_matrix(col)
+    return murmur3_64_padded(mat, lengths, seed)

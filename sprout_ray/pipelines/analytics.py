@@ -151,6 +151,31 @@ def event_type_counts(sf_dir: str):
     )
 
 
+def top_event_types(sf_dir: str):
+    """Top-3 event types by exact count (sort + limit readout)."""
+    out = _read(sf_dir, "events", ["event_type"]).groupby("event_type").count()
+    renamed = out.map_batches(
+        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow"
+    )
+    return renamed.sort("n", descending=True).limit(3)
+
+
+def hll_by_lang_salted(sf_dir: str):
+    """Grouped HLL with salted keys (hot-group skew absorption)."""
+    from ..stages.builder import build_grouped_salted
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return build_grouped_salted(
+        ds,
+        SketchSpec.of("hll", 14),
+        on="source",
+        key="lang",
+        salt=4,
+        finalizer=lambda s: float(s.estimate()),
+        alias="est_sources",
+    )
+
+
 def orders_semi_join(sf_dir: str):
     """Bloom-pruned exact semi-join: lineitems of orders with totalprice>150k.
 

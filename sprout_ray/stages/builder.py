@@ -85,7 +85,15 @@ def merge_partials(partial_blobs, spec: SketchSpec):
         return spec.make()
     if len(blobs) > 64:
         return sketch_from_bytes(unpack_partial(_tree_merge_remote(blobs)))
-    return reduce(_merged, (sketch_from_bytes(unpack_partial(b)) for b in blobs))
+    acc = sketch_from_bytes(unpack_partial(blobs[0]))
+    if hasattr(acc, "merge_bytes"):
+        # stream-OR the raw buffers: no per-partial materialization
+        for b in blobs[1:]:
+            acc.merge_bytes(unpack_partial(b))
+        return acc
+    return reduce(
+        _merged, (sketch_from_bytes(unpack_partial(b)) for b in blobs[1:]), acc
+    )
 
 
 def _merge_pair_blobs(a: bytes, b: bytes) -> bytes:
@@ -128,6 +136,54 @@ def build_sketch(ds, spec: SketchSpec, on: str, mode: str = "partials"):
         blobs = [r["partial"] for r in parts.take_all()]
         return merge_partials(blobs, spec)
     raise ValueError(f"unknown build mode {mode!r}")
+
+
+def build_grouped_salted(
+    ds,
+    spec: SketchSpec,
+    on: str,
+    key: str,
+    salt: int = 8,
+    finalizer=None,
+    alias: str = "sketch",
+):
+    """Per-group sketches with key salting for hot groups (SURVEY.md §4.3.1).
+
+    A heavy group (one lang dominating, a giant repo) funnels all its partials
+    through ONE reducer in a plain groupby. Salting splits each group into
+    ``salt`` shards (deterministic row-hash), aggregates per (key, shard) so
+    reducers parallelize, then bit-OR-merges the shards per key — legal
+    because every sketch merge is associative/commutative.
+    """
+    import numpy as np
+
+    from ..kernel.murmur3 import murmur_hash_column
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        h = murmur_hash_column(batch.column(on), seed=7)
+        return batch.append_column(
+            "_salt", pa.array((h % np.uint64(salt)).view(np.int64))
+        )
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    per_shard = salted.groupby([key, "_salt"]).aggregate(
+        SketchAgg(spec, on=on, alias_name=alias)
+    )
+    rows = per_shard.take_all()  # one small serialized sketch per (key, shard)
+    merged: dict = {}
+    for r in rows:
+        sk = sketch_from_bytes(r[alias])
+        if r[key] in merged:
+            merged[r[key]].merge(sk)
+        else:
+            merged[r[key]] = sk
+    out = {
+        key: list(merged.keys()),
+        alias: [
+            (finalizer(s) if finalizer else s.to_bytes()) for s in merged.values()
+        ],
+    }
+    return pa.table(out)
 
 
 def build_grouped(ds, spec: SketchSpec, on: str, key: str, finalizer=None, alias: str = "sketch"):
