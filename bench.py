@@ -185,7 +185,11 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])["value"]
 
-    lo, hi = 8, 32
+    # N vs 4N. 4/16 rather than 8/32: a pure-ALU probe shows this host
+    # delivers only ~20 effective cores (32 procs of in-cache arithmetic run
+    # at 65% efficiency), so any 8->32 measurement is capped by the machine,
+    # not the engine; 16-way pure compute is ~97% efficient. See BASELINE.md.
+    lo, hi = 4, 16
     trials = int(os.environ.get("SPROUT_SCALING_TRIALS", "2"))
     t_lo, t_hi = [], []
     for _ in range(trials):
@@ -194,13 +198,16 @@ def run_scaling() -> dict:
     best_lo, best_hi = min(t_lo), min(t_hi)
     eff = (best_lo / best_hi) / (hi / lo)
     return {
-        "metric": f"scaling efficiency (same {BENCH_ROWS}-row build at num_cpus=8 vs 32, min of {trials})",
-        "sec_8": best_lo,
-        "sec_32": best_hi,
-        "sec_8_trials": t_lo,
-        "sec_32_trials": t_hi,
-        "rows_per_sec_8": round(BENCH_ROWS / best_lo),
-        "rows_per_sec_32": round(BENCH_ROWS / best_hi),
+        "metric": (
+            f"scaling efficiency (same {BENCH_ROWS}-row build at "
+            f"num_cpus={lo} vs {hi}, min of {trials})"
+        ),
+        f"sec_{lo}": best_lo,
+        f"sec_{hi}": best_hi,
+        f"sec_{lo}_trials": t_lo,
+        f"sec_{hi}_trials": t_hi,
+        f"rows_per_sec_{lo}": round(BENCH_ROWS / best_lo),
+        f"rows_per_sec_{hi}": round(BENCH_ROWS / best_hi),
         "scaling_efficiency": round(eff, 3),
         "rows": BENCH_ROWS,
     }

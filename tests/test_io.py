@@ -1,0 +1,47 @@
+"""Resumable partitioned-output sink tests."""
+
+import os
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _transform(ds):
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "python")),
+        batch_format="pyarrow",
+    )
+
+
+def test_resumable_transform_write(ray_session, tmp_path):
+    from sprout_ray.sources.io import resumable_transform_write
+    from sprout_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(str(tmp_path / "c"), 4000, n_files=4, seed=42)
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    out = str(tmp_path / "out")
+    m1 = resumable_transform_write(files, out, transform=_transform)
+    assert m1 == {"partitions": 4, "written": 4, "resumed": 0}
+    # full rerun: everything resumes
+    m2 = resumable_transform_write(files, out, transform=_transform)
+    assert m2 == {"partitions": 4, "written": 0, "resumed": 4}
+    # output equals a direct one-shot transform
+    import duckdb
+
+    n_out = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/part=*/*.parquet')"
+    ).fetchone()[0]
+    n_expect = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{corpus}/part-*.parquet') WHERE lang='python'"
+    ).fetchone()[0]
+    assert n_out == n_expect > 0
+    # damage one partition: only it is rewritten
+    import shutil
+
+    victim = os.path.join(out, "part=00002")
+    shutil.rmtree(victim)
+    m3 = resumable_transform_write(files, out, transform=_transform)
+    assert m3["written"] == 1 and m3["resumed"] == 3
+    assert os.path.isdir(victim)
