@@ -88,11 +88,22 @@ def headline(sf_dir: str) -> dict:
     elapsed = min(trials)
     assert built["_rows"] == BENCH_ROWS
     assert built["bloom_sha"].count == BENCH_ROWS
+    # north metric: measured FPR of the built filter must be <= configured ε
+    n_probe = 100_000
+    fp = int(
+        built["bloom_sha"]
+        .contains_batch([f"foreign-{i}" for i in range(n_probe)])
+        .sum()
+    )
+    fpr = fp / n_probe
+    assert fpr <= 0.001 + 3 * (0.001 / n_probe) ** 0.5, fpr
     return {
         "sec": elapsed,
         "trials": [round(t, 3) for t in trials],
         "rows": BENCH_ROWS,
         "rows_per_sec": BENCH_ROWS / elapsed,
+        "bloom_fpr": fpr,
+        "bloom_eps": 0.001,
     }
 
 
@@ -156,6 +167,8 @@ def run_once() -> dict:
         "rows": head["rows"],
         "rows_per_sec": round(head["rows_per_sec"]),
         "trials": head.get("trials"),
+        "bloom_fpr": head.get("bloom_fpr"),
+        "bloom_eps": head.get("bloom_eps"),
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
