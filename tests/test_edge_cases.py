@@ -1,0 +1,127 @@
+"""Edge cases: nulls, empty inputs, planted similarity duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestNulls:
+    def test_sketch_agg_drops_nulls(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.kernel import SketchSpec
+        from sprout_ray.stages.agg import SketchAgg
+
+        t = pa.table({"k": ["a", None, "b", None, "a"]})
+        res = rd.from_arrow(t).aggregate(
+            SketchAgg(SketchSpec.of("hll", 12), on="k", alias_name="est",
+                      finalizer=lambda s: float(s.estimate()))
+        )
+        assert res["est"] == pytest.approx(2.0, rel=0.05)
+
+    def test_build_sketch_null_column(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.kernel import SketchSpec
+        from sprout_ray.stages.builder import build_sketch
+
+        t = pa.table({"k": pa.array([None, None], pa.string())})
+        bf = build_sketch(rd.from_arrow(t), SketchSpec.of("bloom", 0.01, 100), on="k")
+        assert bf.count == 0
+
+    def test_sha256_null_passthrough(self):
+        from sprout_ray.functions.hashing import sha256_column
+
+        out = sha256_column(pa.array(["x", None]))
+        assert out[1].as_py() is None
+        assert len(out[0].as_py()) == 64
+
+
+class TestEmpty:
+    def test_empty_dataset_build(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.kernel import SketchSpec
+        from sprout_ray.stages.builder import build_sketch
+
+        t = pa.table({"k": pa.array([], pa.string())})
+        bf = build_sketch(rd.from_arrow(t), SketchSpec.of("bloom", 0.01, 100), on="k")
+        assert bf.count == 0
+        assert not bf.contains(b"anything")
+
+    def test_empty_minhash(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import minhash_dedup_pairs
+
+        t = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        out = minhash_dedup_pairs(rd.from_arrow(t))
+        assert out.count() == 0
+
+    def test_empty_key_hashing(self):
+        from sprout_ray.kernel import BloomFilter
+
+        bf = BloomFilter(0.01, 100)
+        bf.add(b"")
+        assert bf.contains(b"")
+        assert bf.count == 1
+
+
+class TestPlantedSimilarity:
+    def test_embedding_near_dup_finds_planted(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import embedding_near_dup_pairs
+
+        rng = np.random.default_rng(1)
+        vecs = rng.standard_normal((100, 16)).astype(np.float32)
+        vecs[50] = vecs[10] * 2.0  # same direction -> cosine 1.0
+        vecs[51] = vecs[20] + rng.standard_normal(16).astype(np.float32) * 0.01
+        t = pa.table(
+            {
+                "vec_id": list(range(100)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), 16
+                ),
+            }
+        )
+        out = embedding_near_dup_pairs(
+            rd.from_arrow(t), threshold=0.95
+        ).to_pandas()
+        got = set(zip(out["left_id"], out["right_id"]))
+        assert (10, 50) in got and (20, 51) in got
+        assert len(got) < 10  # random vectors don't flood the result
+
+    def test_ann_recall_vs_exact(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import ann_topk, _normalize
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((300, 24)).astype(np.float32)
+        q = vecs[:2]
+        t = pa.table(
+            {
+                "vec_id": list(range(300)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), 24
+                ),
+            }
+        )
+        out = ann_topk(rd.from_arrow(t), q, k=5, concurrency=1)
+        n = _normalize(vecs)
+        for qi in range(2):
+            exact = set(np.argsort(-(n @ n[qi]))[:5].tolist())
+            got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+            assert got == exact
+
+
+class TestLongKeys:
+    def test_bloom_over_long_variable_keys(self):
+        from sprout_ray.kernel import BloomFilter
+
+        rng = np.random.default_rng(9)
+        keys = [bytes(rng.integers(0, 256, int(n))) for n in rng.integers(1, 5000, 200)]
+        bf = BloomFilter(0.01, 1000)
+        bf.add_batch(keys)
+        assert bf.contains_batch(keys).all()
