@@ -37,6 +37,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": A.q1_pricing_summary,
         "event_type_counts": A.event_type_counts,
         "top_event_types": A.top_event_types,
+        "events_tumbling_hourly": A.events_tumbling_hourly,
+        "user_sessions": A.user_sessions,
         "orders_semi_join": A.orders_semi_join,
         "lang_sources_matrix": A.lang_sources_matrix,
         # sketches / approximate (rows-only driver check; pytest-bound-gated)
@@ -72,7 +74,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count, "
+            "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS BIGINT) AS bpe_tokens "
             "FROM documents"
         ),
         "doc_quality": (
@@ -106,6 +109,29 @@ def oracle_sql() -> dict[str, str]:
         "top_event_types": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type ORDER BY n DESC LIMIT 3"
+        ),
+        "events_tumbling_hourly": (
+            "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro "
+            "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
+        ),
+        "user_sessions": (
+            "WITH o AS ("
+            "  SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "    THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts_us,"
+            "    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "      ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM o"
+            ") SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "orders_semi_join": (
             "SELECT l_orderkey, "

@@ -56,13 +56,13 @@ def exact_dedup_first(sf_dir: str):
 
 
 def token_counts(sf_dir: str):
-    """Whitespace token count per doc (vectorized Arrow kernels)."""
-    from ..stages.text import add_token_count
+    """Whitespace + BPE-ish token counts per doc (vectorized Arrow kernels)."""
+    from ..stages.text import add_bpe_token_count, add_token_count
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(add_token_count, batch_format="pyarrow").select_columns(
-        ["doc_id", "token_count"]
-    )
+    return ds.map_batches(
+        lambda t: add_bpe_token_count(add_token_count(t)), batch_format="pyarrow"
+    ).select_columns(["doc_id", "token_count", "bpe_tokens"])
 
 
 def doc_quality(sf_dir: str):
@@ -176,6 +176,22 @@ def hll_by_lang_salted(sf_dir: str):
     )
 
 
+def events_tumbling_hourly(sf_dir: str):
+    """Tumbling 1h event-time windows: per (event_type, window) count + sum."""
+    from ..stages.windows import tumbling_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return tumbling_counts(ds, key="event_type", size_s=3600)
+
+
+def user_sessions(sf_dir: str):
+    """Gap-based session windows (30 min) per user over the events log."""
+    from ..stages.windows import sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return sessionize(ds, key="user_id", gap_s=1800)
+
+
 def orders_semi_join(sf_dir: str):
     """Bloom-pruned exact semi-join: lineitems of orders with totalprice>150k.
 
@@ -197,12 +213,11 @@ def orders_semi_join(sf_dir: str):
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     pruned = probe_filter(li, bf, on="l_orderkey", mode="maybe", concurrency=2)
-    key_ref = ray.put(set(keys))
+    key_ref = ray.put(pa.array(keys))
 
     def verify(t: pa.Table) -> pa.Table:
         ks = ray.get(key_ref)
-        mask = pa.array([v in ks for v in t["l_orderkey"].to_pylist()])
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
 
     exact = pruned.map_batches(verify, batch_format="pyarrow")
     from ray.data.aggregate import Count, Sum

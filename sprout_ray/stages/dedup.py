@@ -47,13 +47,12 @@ def exact_dedup(ds, key_col: str, id_col: str, keep_cols=None):
     import ray
 
     ids_ref = ray.put(
-        set(r[id_col] for r in keep.select_columns([id_col]).take_all())
+        pa.array([r[id_col] for r in keep.select_columns([id_col]).take_all()])
     )
 
     def keep_rows(batch: pa.Table) -> pa.Table:
         ids = ray.get(ids_ref)
-        mask = pa.array([v in ids for v in batch[id_col].to_pylist()])
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch[id_col], value_set=ids))
 
     return ds.map_batches(keep_rows, batch_format="pyarrow")
 

@@ -37,6 +37,16 @@ def add_token_count(batch: pa.Table, col: str = "text", out: str = "token_count"
     return batch.append_column(out, token_count_column(batch[col]))
 
 
+BPE_ISH_PATTERN = r"\w+|[^\w\s]+"
+
+
+def add_bpe_token_count(batch: pa.Table, col: str = "text", out: str = "bpe_tokens") -> pa.Table:
+    """BPE-ish token count: word runs + punctuation runs as separate tokens
+    (a cheap deterministic proxy for subword tokenizer counts)."""
+    n = pc.count_substring_regex(batch[col], BPE_ISH_PATTERN).cast(pa.int64())
+    return batch.append_column(out, n)
+
+
 class QualityScorer:
     """Actor-pool stage: length/punctuation/stopword quality features.
 
