@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
         "ann_brute_topk": A.ann_brute_topk,
+        "ann_ivf_topk": A.ann_ivf_topk,
         "langid_predictions": A.langid_predictions,
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,

@@ -409,6 +409,16 @@ def ann_brute_topk(sf_dir: str):
     return ann_topk(ds, q, k=10, concurrency=2)
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate cosine top-10 (scan only nprobe buckets)."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.take(4)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
+    return ivf_topk(ds, q, k=10, nlist=8, nprobe=4, concurrency=2)
+
+
 def langid_predictions(sf_dir: str):
     """Heuristic language-ID counts over documents."""
     from ..stages.text import LangId

@@ -92,6 +92,35 @@ class TestPlantedSimilarity:
         assert (10, 50) in got and (20, 51) in got
         assert len(got) < 10  # random vectors don't flood the result
 
+    def test_ivf_full_probe_equals_exact(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import ann_topk, ivf_topk
+
+        rng = np.random.default_rng(2)
+        vecs = rng.standard_normal((800, 32)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": list(range(800)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), 32
+                ),
+            }
+        )
+        ds = rd.from_arrow(t)
+        q = vecs[:2]
+        exact = ann_topk(ds, q, k=8, concurrency=1)
+        # nprobe == nlist scans everything -> must equal brute force
+        full = ivf_topk(ds, q, k=8, nlist=8, nprobe=8, concurrency=1)
+        for qi in range(2):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(full[full["query_id"] == qi]["vec_id"])
+            assert e == a
+        # partial probing keeps reasonable recall on the self-query
+        part = ivf_topk(ds, q, k=8, nlist=8, nprobe=3, concurrency=1)
+        for qi in range(2):
+            assert qi in set(part[part["query_id"] == qi]["vec_id"])
+
     def test_ann_recall_vs_exact(self, ray_session):
         import ray.data as rd
 
