@@ -96,6 +96,13 @@ def nchars_stats_by_lang(sf_dir: str):
     )
 
 
+def _oround(arr):
+    """Oracle-parity rounding: DuckDB round() is half-away-from-zero; Arrow's
+    default is half-to-even. Arrow's half_towards_infinity rounds halves away
+    from zero for BOTH signs (0.5->1, -0.5->-1), matching DuckDB exactly."""
+    return pc.round(arr, round_mode="half_towards_infinity")
+
+
 def _std_aggs(col):
     from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -113,9 +120,9 @@ def q1_pricing_summary(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         # integer-cent arithmetic end to end: no float summation, no rounding
         # ambiguity vs the oracle regardless of aggregation order
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
-        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        disc_pct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        qty = pc.cast(_oround(t["l_quantity"]), pa.int64())
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
         # discounted revenue in centi-cents: base_cents * (100 - disc_pct)
         disc_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
         return pa.table(
@@ -226,7 +233,7 @@ def orders_semi_join(sf_dir: str):
         return t.set_column(
             t.schema.get_field_index("l_quantity"),
             "l_quantity",
-            pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            pc.cast(_oround(t["l_quantity"]), pa.int64()),
         )
 
     out = (

@@ -81,8 +81,13 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 class MinHasher:
     """Actor-pool stage: per-doc minhash signature over char-k-shingles.
 
-    Universal-hash permutations ``(a*h + b) mod p`` over the murmur3 shingle
-    hashes; one broadcasted numpy op per doc. Emits ``doc_id`` + fixed-size
+    Permutations are ``((a*h mod 2^64) + b) mod p`` over the murmur3 shingle
+    hashes — the multiply wraps mod 2^64 BEFORE the Mersenne modulo, so this
+    is wrapped-multiply mixing, not the textbook universal-hash family (whose
+    min-wise independence guarantee therefore doesn't formally apply; the
+    murmur3 base hashes are already well-mixed and estimates remain
+    self-consistent across partitions, which is what LSH banding needs).
+    One broadcasted numpy op per doc. Emits ``doc_id`` + fixed-size
     ``signature`` (list<uint64>)."""
 
     def __init__(self, num_perm: int = 128, k: int = 5, seed: int = 1, text_col: str = "text", id_col: str = "doc_id"):

@@ -36,7 +36,15 @@ def tumbling_counts(ds, key: str = "event_type", ts_col: str = "ts", size_s: int
 
     def prep(t: pa.Table) -> pa.Table:
         t = add_tumbling_window(t, ts_col=ts_col, size_s=size_s)
-        vmicro = pc.cast(pc.round(pc.multiply(t["value"], 1_000_000.0)), pa.int64())
+        # DuckDB-oracle parity: Arrow's half_towards_infinity rounds halves
+        # away from zero for both signs, matching DuckDB's round()
+        vmicro = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
         return pa.table(
             {
                 key: t[key],
