@@ -137,26 +137,34 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
-def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id"):
-    """Explode signatures into (bucket_key, doc_id) rows.
+def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id", include_signature: bool = False):
+    """Explode signatures into (bucket_key, doc_id[, signature]) rows.
 
     ``bucket_key`` folds (band index, band hash) into ONE int64 so every
-    downstream shuffle keys on a single fixed-width column."""
+    downstream shuffle keys on a single fixed-width column.
+    ``include_signature=True`` carries the signature through the explode so
+    the in-bucket verify stage can estimate Jaccard without a join or a
+    driver-side signature table (costs bands x sig_size per doc on the one
+    shuffle that only hot rows survive)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        sigs = np.asarray(batch["signature"].combine_chunks().flatten()).reshape(
-            batch.num_rows, -1
-        )
+        sig_arr = batch["signature"].combine_chunks()
+        sigs = np.asarray(sig_arr.flatten()).reshape(batch.num_rows, -1)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         bh = _band_hashes(sigs, bands)  # (n, bands) uint64
         band_id = np.repeat(np.arange(bands, dtype=np.uint64), batch.num_rows)
         key = _combined_key(band_id, bh.T.reshape(-1))
-        return pa.table(
-            {
-                "bucket_key": pa.array(key.view(np.int64)),
-                id_col: pa.array(np.tile(ids, bands)),
-            }
-        )
+        cols = {
+            "bucket_key": pa.array(key.view(np.int64)),
+            id_col: pa.array(np.tile(ids, bands)),
+        }
+        if include_signature:
+            num_perm = sigs.shape[1]
+            tiled = np.tile(sigs, (bands, 1))
+            cols["signature"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(tiled.reshape(-1), pa.uint64()), num_perm
+            )
+        return pa.table(cols)
 
     return sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -259,6 +267,76 @@ class _PairVerifier:
         return out.filter(pc.greater_equal(out["est_jaccard"], self.threshold))
 
 
+def minhash_pairs_distributed(
+    sig_ds,
+    bands: int = 16,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+):
+    """Distributed LSH tail: bands -> hot buckets -> fused in-bucket
+    pair-expansion + signature-Jaccard verify -> per-pair max.
+
+    Scale shape: signatures NEVER land on the driver. The only rows that
+    reach the Python per-group verify are members of buckets holding >= 2
+    docs (the hot-bucket prefilter is a native count-aggregate over a
+    bucket_key-only projection); everything else is vectorized map_batches
+    or native groupby. Per-pair traffic is O(hot rows x bands x sig_size).
+
+    Verification is fused into the bucket group (signatures ride the
+    explode) so no join or broadcast signature table is needed — the
+    estimate for a pair is identical in every bucket that produces it, and
+    the final groupby(left,right).max() dedups across bands."""
+    import ray
+
+    # two consumers (hot-key count + hot-row verify): materialize the small
+    # (id, signature) dataset in the OBJECT STORE (spills fine), not driver
+    sig_m = sig_ds.materialize()
+    key_ds = minhash_bands(sig_m, bands=bands, id_col=id_col)
+    hot = hot_buckets(key_ds.select_columns(["bucket_key"]))
+    if hot.size == 0:
+        return ray.data.from_arrow(_empty_pairs_table())
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
+
+    hot_rows = minhash_bands(sig_m, bands=bands, id_col=id_col, include_signature=True).map_batches(
+        keep_hot, batch_format="pyarrow"
+    )
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sigs = np.asarray(group["signature"].combine_chunks().flatten()).reshape(
+            len(ids), -1
+        )
+        order = np.argsort(ids, kind="stable")[:max_bucket]
+        ids, sigs = ids[order], sigs[order]
+        n = len(ids)
+        if n < 2:
+            return _empty_pairs_table()
+        est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+        li, ri = np.triu_indices(n, k=1)
+        keep = est[li, ri] >= threshold
+        return pa.table(
+            {
+                "left_id": pa.array(ids[li[keep]], pa.int64()),
+                "right_id": pa.array(ids[ri[keep]], pa.int64()),
+                "est_jaccard": pa.array(est[li, ri][keep], pa.float64()),
+            }
+        )
+
+    pairs = hot_rows.groupby("bucket_key").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+    out = pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
+    return out.map_batches(
+        lambda t: t.rename_columns(["left_id", "right_id", "est_jaccard"]),
+        batch_format="pyarrow",
+    )
+
+
 def minhash_dedup_pairs(
     ds,
     text_col: str = "text",
@@ -267,18 +345,18 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     concurrency: int = 4,
+    driver_side: bool = False,
 ):
     """Full near-dup pipeline: signatures (distributed actor pool) -> bands
-    -> hot buckets -> candidate pairs -> signature-estimated Jaccard >=
-    threshold. Returns a Dataset of (left_id, right_id, est_jaccard).
+    -> hot buckets -> in-bucket signature-Jaccard verify >= threshold.
+    Returns a Dataset of (left_id, right_id, est_jaccard).
 
-    The heavy lifting (shingling + hashing the raw text) is the distributed
-    stage; what comes back is only (id, 128x8B signature) rows. Banding /
-    bucketing / pair expansion / verification then run vectorized on that
-    reduced representation. At corpus sizes where even signatures exceed one
-    node, swap the tail for the distributed twins in this module
-    (minhash_bands -> hot_buckets -> lsh_candidate_pairs + _PairVerifier) —
-    identical semantics, exercised in tests."""
+    The DEFAULT tail is fully distributed (:func:`minhash_pairs_distributed`)
+    — signatures never materialize on the driver, so the pipeline keeps its
+    shape at 10^12 docs. ``driver_side=True`` opts into the single-node numpy
+    tail (one vectorized pass; fastest for corpora whose signature set
+    comfortably fits in driver memory). Both tails produce the same pair set
+    for buckets under ``max_bucket`` (asserted in tests)."""
     import ray
 
     sig_ds = ds.map_batches(
@@ -292,6 +370,10 @@ def minhash_dedup_pairs(
         concurrency=concurrency,
         batch_size=512,
     )
+    if not driver_side:
+        return minhash_pairs_distributed(
+            sig_ds, bands=bands, threshold=threshold, id_col=id_col
+        )
     sig_rows = sig_ds.take_all()
     if not sig_rows:
         return ray.data.from_arrow(_empty_pairs_table())
@@ -413,29 +495,123 @@ def simhash_signatures(texts, seed: int = 0) -> np.ndarray:
     return out
 
 
-def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 256):
-    """SimHash near-dup: signature -> 4x16-bit band blocking -> Hamming verify.
-
-    Two docs within Hamming distance 3 share at least one of the four 16-bit
-    bands (pigeonhole), so band-equality blocking is lossless for
-    max_hamming <= 3. Signatures (8 B/doc) come back from the distributed
-    hashing stage; banding + verification run vectorized on that reduced
-    representation (swap for the hot_buckets/groupby twins at extreme scale).
-    Returns (left_id, right_id, hamming) pairs."""
-    import ray
-
-    def sig_stage(batch: pa.Table) -> pa.Table:
-        sigs = simhash_signatures(batch[text_col].to_pylist())
-        return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
-
-    sig_rows = ds.map_batches(sig_stage, batch_format="pyarrow").take_all()
-    empty = pa.table(
+def _empty_hamming_table() -> pa.Table:
+    return pa.table(
         {
             "left_id": pa.array([], pa.int64()),
             "right_id": pa.array([], pa.int64()),
             "hamming": pa.array([], pa.int64()),
         }
     )
+
+
+def simhash_pairs_distributed(
+    sig_ds,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    max_bucket: int = 256,
+):
+    """Distributed SimHash tail on the same bucket_key machinery as MinHash:
+    4x16-bit band keys -> native hot-bucket count -> fused in-bucket Hamming
+    verify -> per-pair dedup. Simhashes (8 B/doc) ride the explode, so the
+    verify needs no join and no driver-side signature table."""
+    import ray
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        band_id = np.repeat(np.arange(4, dtype=np.uint64), n)
+        band_val = np.concatenate(
+            [(sigs >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        )
+        key = _combined_key(band_id, band_val)
+        return pa.table(
+            {
+                "bucket_key": pa.array(key.view(np.int64)),
+                id_col: pa.array(np.tile(ids, 4)),
+                "simhash": pa.array(np.tile(sigs, 4)),
+            }
+        )
+
+    sig_m = sig_ds.materialize()
+    band_ds = sig_m.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    hot = hot_buckets(band_ds.select_columns(["bucket_key"]))
+    if hot.size == 0:
+        return ray.data.from_arrow(_empty_hamming_table())
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        sigs = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(ids, kind="stable")[:max_bucket]
+        ids, sigs = ids[order], sigs[order]
+        n = len(ids)
+        if n < 2:
+            return _empty_hamming_table()
+        li, ri = np.triu_indices(n, k=1)
+        x = sigs[li] ^ sigs[ri]
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "left_id": pa.array(ids[li[keep]], pa.int64()),
+                "right_id": pa.array(ids[ri[keep]], pa.int64()),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    pairs = (
+        band_ds.map_batches(keep_hot, batch_format="pyarrow")
+        .groupby("bucket_key")
+        .map_groups(verify_bucket, batch_format="pyarrow")
+    )
+    # the same pair carries the same hamming in every colliding band; min()
+    # is just the dedup that keeps one row per pair
+    out = pairs.groupby(["left_id", "right_id"]).min("hamming")
+    return out.map_batches(
+        lambda t: t.rename_columns(["left_id", "right_id", "hamming"]),
+        batch_format="pyarrow",
+    )
+
+
+def simhash_signature_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Distributed (doc_id, simhash:uint64) signature dataset."""
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        sigs = simhash_signatures(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs)})
+
+    return ds.map_batches(sig_stage, batch_format="pyarrow")
+
+
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 256, driver_side: bool = False):
+    """SimHash near-dup: signature -> 4x16-bit band blocking -> Hamming verify.
+
+    Two docs within Hamming distance 3 share at least one of the four 16-bit
+    bands (pigeonhole), so band-equality blocking is lossless for
+    max_hamming <= 3. The DEFAULT tail is fully distributed
+    (:func:`simhash_pairs_distributed` — hot-bucket prefilter + in-bucket
+    verify; signatures never land on the driver). ``driver_side=True`` opts
+    into the single-node numpy tail for tiny corpora.
+    Returns (left_id, right_id, hamming) pairs."""
+    import ray
+
+    sig_ds = simhash_signature_ds(ds, text_col=text_col, id_col=id_col)
+    if not driver_side:
+        return simhash_pairs_distributed(
+            sig_ds, max_hamming=max_hamming, id_col=id_col, max_bucket=max_bucket
+        )
+    sig_rows = sig_ds.take_all()
+    empty = _empty_hamming_table()
     if not sig_rows:
         return ray.data.from_arrow(empty)
     ids = np.array([r[id_col] for r in sig_rows], dtype=np.int64)

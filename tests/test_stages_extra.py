@@ -92,6 +92,35 @@ class TestDistributedLSHTwins:
         pairs = lsh_candidate_pairs(minhash_bands(sig, bands=8))
         assert pairs.count() == 0
 
+    def test_distributed_tail_matches_driver_tail(self, ray_session):
+        """The default (distributed) minhash/simhash tails must produce the
+        exact pair sets of the driver_side=True numpy tails."""
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import minhash_dedup_pairs, simhash_candidates
+
+        base = "shared corpus sentence about sketches and streams "
+        texts = [base + f"unique tail {i} {'x' * (i % 7)}" for i in range(40)]
+        texts += [texts[2], texts[2] + " tiny edit", texts[9]]  # ids 40..42
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        for fn in (minhash_dedup_pairs, simhash_candidates):
+            dist = (
+                fn(ds).to_pandas()
+                .sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)
+            )
+            drv = (
+                fn(ds, driver_side=True).to_pandas()
+                .sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)
+            )
+            assert dist.shape == drv.shape, fn.__name__
+            assert (dist.values == drv.values).all(), fn.__name__
+            got = set(zip(dist["left_id"], dist["right_id"]))
+            assert (2, 40) in got and (9, 42) in got, fn.__name__
+
 
 class TestTextStages:
     def test_quality_scorer_direct(self):
