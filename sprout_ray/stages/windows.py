@@ -5,9 +5,14 @@ Ray Data is a batch engine with no native event-time windows/watermarks
 
 - tumbling windows: a vectorized window-id column (epoch // size) + a plain
   groupby — embarrassingly parallel, one shuffle;
-- session windows: ``groupby(key).map_groups`` over ts-sorted per-key groups
-  (gap-based cumsum inside pandas) — the per-key ordering assumption is the
-  partitioning contract, stated here and in the oracle SQL.
+- session windows: one global ``sort([key, ts, id])`` (range shuffle), then
+  a fully vectorized ``map_batches`` that finds gap boundaries with numpy
+  inside each sorted batch; sessions that could straddle a batch edge (only
+  those of each batch's FIRST and LAST key — everything between is provably
+  complete, because a key spanning two sorted blocks must be last of one and
+  first of the next) are stitched in one small driver pass. No per-group
+  Python: the engine's cost is one sort plus O(rows) numpy, and the driver
+  only ever sees O(batches x sessions-per-edge-key) stitch rows.
 
 Both are DuckDB-oracle-checkable (GROUP BY floor(epoch/size); window
 functions with lag + cumulative sum).
@@ -15,6 +20,7 @@ functions with lag + cumulative sum).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -64,39 +70,115 @@ def tumbling_counts(ds, key: str = "event_type", ts_col: str = "ts", size_s: int
 
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts", id_col: str = "event_id", gap_s: int = 1800):
-    """Gap-based session windows per key.
+    """Gap-based session windows per key — sort + vectorized boundaries.
 
-    Events of one key are sorted by (ts, id) — the deterministic tiebreak
-    mirrored in the oracle SQL — and a new session starts when the gap to the
-    previous event exceeds ``gap_s``. Emits one row per session:
-    (key, session_id, n_events, start_us, end_us). ``session_id`` is the
-    0-based session index within the key."""
+    Events are globally sorted by (key, ts, id) — the deterministic tiebreak
+    mirrored in the oracle SQL — and a new session starts when the key
+    changes or the gap to the previous event exceeds ``gap_s``. Emits one
+    row per session: (key, session_id, n_events, start_us, end_us);
+    ``session_id`` is the 0-based session index within the key.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        ts_us = g[ts_col].astype("int64")
-        gap = ts_us.diff().fillna(0)
-        new_sess = (gap > gap_s * _US).astype("int64")
-        sess = new_sess.cumsum()
-        out = (
-            pd.DataFrame(
-                {
-                    key: g[key].to_numpy(),
-                    "session_id": sess.to_numpy(),
-                    "ts_us": ts_us.to_numpy(),
-                }
-            )
-            .groupby("session_id")
-            .agg(
-                **{
-                    key: (key, "first"),
-                    "n_events": ("ts_us", "size"),
-                    "start_us": ("ts_us", "min"),
-                    "end_us": ("ts_us", "max"),
-                }
-            )
-            .reset_index()
+    Scale shape: ONE range shuffle (the sort), then numpy-only batch work.
+    Each sorted batch computes its sessions vectorized; only sessions
+    belonging to a batch's first or last key can be split across batches —
+    a key with events in two sorted blocks is necessarily the last key of
+    one and the first key of the next — so interior keys finalize (with
+    their session ids) inside the batch, and the tiny edge set
+    (O(batches) keys) is stitched + ranked on the driver."""
+    import ray.data as rd
+
+    gap_us = gap_s * _US
+
+    def block_sessions(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key_type = t.schema.field(key).type
+        if n == 0:
+            return _empty_sessions(key, key_type)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        gap_break = np.concatenate([[True], (ts_us[1:] - ts_us[:-1]) > gap_us])
+        starts = np.flatnonzero(key_change | gap_break)
+        ends = np.append(starts[1:], n)
+        s_key = keys[starts]
+        # 0-based session index within key (sessions of a key are contiguous)
+        sess_idx = np.arange(len(starts), dtype=np.int64)
+        key_first = np.concatenate([[True], s_key[1:] != s_key[:-1]])
+        session_id = sess_idx - np.maximum.accumulate(
+            np.where(key_first, sess_idx, 0)
         )
-        return out[[key, "session_id", "n_events", "start_us", "end_us"]]
+        edge = (s_key == keys[0]) | (s_key == keys[-1])
+        return pa.table(
+            {
+                key: pa.array(s_key, key_type),
+                "session_id": pa.array(session_id),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "start_us": pa.array(ts_us[starts]),
+                "end_us": pa.array(ts_us[ends - 1]),
+                "_edge": pa.array(edge),
+            }
+        )
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    sessions = (
+        ds.sort([key, ts_col, id_col])
+        .map_batches(
+            block_sessions,
+            batch_format="pyarrow",
+            batch_size=None,  # whole sorted blocks -> fewest edge rows
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice (interior filter + edge collect)
+    )
+    interior = sessions.filter(
+        expr="_edge == False"
+    ).drop_columns(["_edge"])
+    edge_rows = sessions.filter(expr="_edge == True").drop_columns(["_edge"]).take_all()
+    if not edge_rows:
+        return interior
+    e = pd.DataFrame(edge_rows).sort_values([key, "start_us"], kind="stable")
+    k = e[key].to_numpy()
+    st = e["start_us"].to_numpy()
+    en = e["end_us"].to_numpy()
+    # chain-merge adjacent same-key partials whose gap closed across a block
+    # edge (intervals per key are disjoint + ordered, so row-to-row suffices)
+    joined = np.concatenate(
+        [[False], (k[1:] == k[:-1]) & (st[1:] - en[:-1] <= gap_us)]
+    )
+    grp = np.cumsum(~joined) - 1
+    e = e.assign(_grp=grp)
+    stitched = (
+        e.groupby("_grp", sort=True)
+        .agg(
+            **{
+                key: (key, "first"),
+                "n_events": ("n_events", "sum"),
+                "start_us": ("start_us", "min"),
+                "end_us": ("end_us", "max"),
+            }
+        )
+        .reset_index(drop=True)
+    )
+    stitched["session_id"] = stitched.groupby(key, sort=False).cumcount()
+    out_tbl = pa.table(
+        {
+            key: pa.array(stitched[key].to_numpy()),
+            "session_id": pa.array(stitched["session_id"].to_numpy(), pa.int64()),
+            "n_events": pa.array(stitched["n_events"].to_numpy(), pa.int64()),
+            "start_us": pa.array(stitched["start_us"].to_numpy(), pa.int64()),
+            "end_us": pa.array(stitched["end_us"].to_numpy(), pa.int64()),
+        }
+    )
+    return interior.union(rd.from_arrow(out_tbl))
+
+
+def _empty_sessions(key: str, key_type) -> pa.Table:
+    return pa.table(
+        {
+            key: pa.array([], key_type),
+            "session_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "start_us": pa.array([], pa.int64()),
+            "end_us": pa.array([], pa.int64()),
+            "_edge": pa.array([], pa.bool_()),
+        }
+    )
