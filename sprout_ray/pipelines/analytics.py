@@ -399,11 +399,18 @@ def simhash_neardup(sf_dir: str):
 
 
 def embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane-LSH blocking."""
+    """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking.
+
+    Threshold 0.5 matches this corpus's similarity regime: the synthetic
+    embeddings have no high-cosine pairs at all (max pairwise cosine ~0.6 at
+    sf0.1), so a 0.95+ threshold would truthfully-but-uselessly return zero
+    rows. At 0.5 the band width auto-derived by band_bits_for keeps recall
+    >= 0.9 while still blocking (the planted-dup recall test in
+    tests/test_edge_cases.py exercises the 0.95 regime)."""
     from ..stages.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, threshold=0.99)
+    return embedding_near_dup_pairs(ds, threshold=0.5)
 
 
 def ann_brute_topk(sf_dir: str):

@@ -268,31 +268,142 @@ class _IVFTopK:
         )
 
 
-def embedding_near_dup_pairs(ds, threshold: float = 0.95, emb_col: str = "embedding", id_col: str = "vec_id", n_planes: int = 8, dim: int | None = None):
-    """Cosine >= threshold pairs via LSH-bucket blocking + in-bucket verify."""
+def band_bits_for(threshold: float, n_bands: int, target_recall: float = 0.9, max_bits: int = 24) -> int:
+    """Widest band (in hyperplane sign bits) that still meets the recall goal.
+
+    Random-hyperplane LSH: P(one bit agrees) = 1 - acos(cos_sim)/pi
+    (Charikar 2002). A pair at ``threshold`` survives blocking if ANY of the
+    ``n_bands`` bands matches: miss = (1 - p_bit^b)^n_bands. The largest b
+    keeping miss <= 1-target_recall maximizes selectivity (buckets per band
+    = 2^b) at the required recall — so bucket granularity scales with the
+    threshold instead of being frozen at one plane count."""
+    p_bit = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    if p_bit >= 1.0:
+        return max_bits
+    need = 1.0 - (1.0 - target_recall) ** (1.0 / n_bands)
+    b = int(np.floor(np.log(need) / np.log(p_bit)))
+    return int(np.clip(b, 2, max_bits))
+
+
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 16,
+    band_bits: int | None = None,
+    target_recall: float = 0.9,
+    max_bucket: int = 256,
+    seed: int = 7,
+    dim: int | None = None,
+):
+    """Cosine >= threshold pairs via banded hyperplane-LSH blocking + a fused
+    vectorized in-bucket verify (same distributed shape as the MinHash tail:
+    explode to single-int64 bucket keys -> native hot-bucket count over a
+    key-only projection -> verify only inside buckets holding >= 2 vectors).
+
+    ``band_bits`` defaults to the recall-optimal width for (threshold,
+    n_bands) via :func:`band_bits_for`; every vector probes ``n_bands``
+    buckets, so a true pair is missed only if all bands disagree. The verify
+    is one matmul + an upper-triangle threshold mask per hot bucket — no
+    per-row Python — and ``max_bucket`` caps degenerate buckets."""
+    from .dedup import _combined_key, hot_buckets
+
     if dim is None:
-        first = ds.take(1)[0][emb_col]
-        dim = len(first)
-    bucketed = add_lsh_bucket(ds, dim, n_planes=n_planes, emb_col=emb_col)
-    import pandas as pd
+        first = ds.take(1)
+        if not first:
+            return ray.data.from_arrow(_empty_cosine_table())
+        dim = len(first[0][emb_col])
+    if band_bits is None:
+        band_bits = band_bits_for(threshold, n_bands, target_recall)
+    rng = np.random.default_rng(seed)
+    planes_ref = ray.put(
+        rng.standard_normal((n_bands * band_bits, dim)).astype(np.float32)
+    )
+    weights = (np.uint64(1) << np.arange(band_bits, dtype=np.uint64)).astype(
+        np.float64
+    )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].to_numpy()
-        emb = _normalize(np.stack(group[emb_col].to_numpy()).astype(np.float32))
+    def explode(batch: pa.Table, with_emb: bool) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch[emb_col]))
+        n = emb.shape[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        bits = (emb @ ray.get(planes_ref).T) > 0  # (n, n_bands*band_bits)
+        vals = (
+            bits.reshape(n, n_bands, band_bits).astype(np.float64) @ weights
+        ).astype(np.uint64)  # (n, n_bands)
+        band_id = np.repeat(np.arange(n_bands, dtype=np.uint64), n)
+        key = _combined_key(band_id, vals.T.reshape(-1))
+        cols = {
+            "bucket_key": pa.array(key.view(np.int64)),
+            id_col: pa.array(np.tile(ids, n_bands)),
+        }
+        if with_emb:
+            cols["emb"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile(emb, (n_bands, 1)).reshape(-1), pa.float32()),
+                dim,
+            )
+        return pa.table(cols)
+
+    ds_m = ds.materialize()  # two consumers: key-only count + hot verify
+    keys_only = ds_m.map_batches(
+        lambda t: explode(t, with_emb=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hot = hot_buckets(keys_only)
+    if hot.size == 0:
+        return ray.data.from_arrow(_empty_cosine_table())
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
+
+    hot_rows = ds_m.map_batches(
+        lambda t: explode(t, with_emb=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(keep_hot, batch_format="pyarrow")
+
+    def verify_bucket(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        emb = np.asarray(group["emb"].combine_chunks().flatten()).reshape(
+            len(ids), dim
+        )
+        order = np.argsort(ids, kind="stable")[:max_bucket]
+        ids, emb = ids[order], emb[order]
+        n = len(ids)
+        if n < 2:
+            return _empty_cosine_table()
         s = emb @ emb.T
-        left, right, score = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if s[i, j] >= threshold:
-                    a, b = int(ids[i]), int(ids[j])
-                    left.append(min(a, b))
-                    right.append(max(a, b))
-                    score.append(round(float(s[i, j]), 6))
-        return pd.DataFrame({"left_id": left, "right_id": right, "cosine": score})
+        li, ri = np.triu_indices(n, k=1)
+        keep = s[li, ri] >= threshold
+        return pa.table(
+            {
+                "left_id": pa.array(ids[li[keep]], pa.int64()),
+                "right_id": pa.array(ids[ri[keep]], pa.int64()),
+                "cosine": pa.array(
+                    np.round(s[li, ri][keep].astype(np.float64), 6)
+                ),
+            }
+        )
 
-    return (
-        bucketed.groupby("bucket")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["left_id", "right_id"])
-        .max("cosine")
+    pairs = hot_rows.groupby("bucket_key").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+    out = pairs.groupby(["left_id", "right_id"]).max("cosine")
+    return out.map_batches(
+        lambda t: t.rename_columns(["left_id", "right_id", "cosine"]),
+        batch_format="pyarrow",
+    )
+
+
+def _empty_cosine_table() -> pa.Table:
+    return pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
     )
