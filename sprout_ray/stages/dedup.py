@@ -441,34 +441,164 @@ def _candidate_pairs_numpy(
     ).astype(np.int64)
 
 
-def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id", max_rounds: int = 10):
-    """Union-find over verified near-dup pairs -> cluster representative per
-    doc (candidate sets are tiny relative to the corpus; for truly huge edge
-    sets iterate min-label propagation with groupby rounds instead)."""
+def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id"):
+    """Union-find over verified near-dup pairs -> cluster representative
+    (min node id) per doc. Proper union-find — union at the ROOTS with path
+    compression, keeping the smaller root as parent — so convergence is
+    exact regardless of edge order and needs no round cap. Driver-side:
+    right when the verified edge set fits one node (near-dup edges are tiny
+    relative to the corpus); use :func:`connected_components_distributed`
+    when it doesn't."""
     import pandas as pd
 
     edges = pairs_ds.select_columns(["left_id", "right_id"]).to_pandas()
-    labels = {i: i for i in ds_ids}
-    for _ in range(max_rounds):
-        changed = False
-        for a, b in edges.itertuples(index=False):
-            la, lb = labels[a], labels[b]
-            if la != lb:
-                m = min(la, lb)
-                labels[a] = labels[b] = m
-                changed = True
-        if not changed:
-            break
+    parent = {i: i for i in ds_ids}
 
-    def root(x):
-        while labels[x] != x:
-            labels[x] = labels[labels[x]]
-            x = labels[x]
-        return x
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges.itertuples(index=False):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller root wins -> representative = min id
 
     return pd.DataFrame(
-        {id_col: list(labels), "cluster": [root(i) for i in labels]}
+        {id_col: list(parent), "cluster": [find(i) for i in parent]}
     )
+
+
+def connected_components_distributed(
+    pairs_ds,
+    nodes_ds=None,
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+    max_rounds: int = 50,
+):
+    """Distributed min-label propagation over the verified pair set.
+
+    Each round: every edge forwards its endpoints' current labels both ways
+    (hash join edges x labels), each node takes the min over incoming labels
+    and its own (union + native groupby-min), then one pointer-jumping step
+    (label := label-of-label, a labels self-join) halves remaining chain
+    depth — so convergence needs O(log diameter) rounds, not O(diameter).
+
+    Per-node labels are monotone non-increasing (min with own label; pointer
+    jump follows labels that are themselves <= the node id), so the global
+    label SUM strictly decreases until the fixpoint — convergence is detected
+    by one cheap distributed sum per round instead of a third hash join.
+    No labels ever materialize on the driver. Returns a Dataset
+    (id_col, cluster).
+
+    ``nodes_ds`` optionally supplies isolated nodes (single-column id_col
+    dataset); otherwise only nodes appearing in edges are labeled.
+    ``num_partitions`` is an upper bound: Ray's hash-join operator pays
+    ~0.5-1 s fixed cost per partition actor, so small edge sets are
+    auto-clamped to a couple of partitions.
+    """
+    import ray
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        left = t["left_id"].to_numpy(zero_copy_only=False)
+        right = t["right_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([left, right]), pa.int64()),
+                "dst": pa.array(np.concatenate([right, left]), pa.int64()),
+            }
+        )
+
+    edges = (
+        pairs_ds.select_columns(["left_id", "right_id"])
+        .map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def own_cluster(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t.column(0), "cluster": t.column(0)})
+
+    if edges.count() == 0:
+        # no edges: every supplied node is its own cluster (an empty edge
+        # dataset has no schema, which would break the hash joins below)
+        if nodes_ds is None:
+            return ray.data.from_arrow(
+                pa.table(
+                    {id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+                )
+            )
+        return (
+            nodes_ds.select_columns([id_col])
+            .groupby(id_col)
+            .min(id_col, ignore_nulls=True)
+            .map_batches(own_cluster, batch_format="pyarrow")
+        )
+    # join fixed overhead scales with partition count -> clamp to edge volume
+    # (~1M edge-endpoints per partition) while honoring the caller's ceiling.
+    n_edges = edges.count()
+    num_partitions = max(2, min(num_partitions, n_edges // 1_000_000 + 2))
+
+    node_sets = [edges.map_batches(
+        lambda t: pa.table({id_col: t["src"]}), batch_format="pyarrow"
+    )]
+    if nodes_ds is not None:
+        node_sets.append(nodes_ds.select_columns([id_col]))
+    nodes = node_sets[0] if len(node_sets) == 1 else node_sets[0].union(node_sets[1])
+    labels = (
+        nodes.groupby(id_col)
+        .min(id_col, ignore_nulls=True)
+        .map_batches(own_cluster, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = labels.sum("cluster")
+    for _ in range(max_rounds):
+        msgs = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=(id_col,),
+        ).map_batches(
+            lambda t: pa.table({id_col: t["dst"], "cluster": t["cluster"]}),
+            batch_format="pyarrow",
+        )
+        propagated = (
+            labels.union(msgs)
+            .groupby(id_col)
+            .min("cluster", ignore_nulls=True)
+            .map_batches(
+                lambda t: t.rename_columns([id_col, "cluster"]),
+                batch_format="pyarrow",
+            )
+            .materialize()  # consumed twice by the self-join below
+        )
+        # pointer jump: cluster := cluster-of-cluster (labels are node ids
+        # inside the same component, so the lookup always hits)
+        labels = (
+            propagated.join(
+                propagated,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("cluster",),
+                right_on=(id_col,),
+                right_suffix="_r",
+            )
+            .map_batches(
+                lambda t: pa.table({id_col: t[id_col], "cluster": t["cluster_r"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.sum("cluster")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
 
 
 def simhash_signatures(texts, seed: int = 0) -> np.ndarray:

@@ -247,3 +247,76 @@ class TestSimilarityKernels:
         assert lab[1] == lab[2] == lab[3]
         assert lab[10] == lab[11] != lab[1]
         assert lab[99] == 99
+
+    def test_connected_components_adverse_edge_order(self, ray_session):
+        # long chain fed in reverse order: the old capped label-propagation
+        # loop failed this; real union-find converges regardless of order
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import connected_components
+
+        n = 200
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": list(range(n - 1, 0, -1)),
+                    "right_id": list(range(n, 1, -1)),
+                }
+            )
+        )
+        out = connected_components(pairs, ds_ids=list(range(1, n + 1)))
+        assert set(out["cluster"]) == {1}
+
+    def test_connected_components_distributed(self, ray_session):
+        # one call covering a 20-deep chain (exercises pointer jumping),
+        # a star, and isolated nodes; matches the driver union-find exactly
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        edges = [(i, i + 1) for i in range(100, 120)]  # chain 100..120
+        edges += [(200, x) for x in (201, 202, 203)]  # star at 200
+        ids = list(range(100, 121)) + [200, 201, 202, 203, 999]
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([a for a, _ in edges], pa.int64()),
+                    "right_id": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        got = (
+            connected_components_distributed(pairs, nodes_ds=nodes)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            connected_components(pairs, ids)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+            .astype({"doc_id": "int64", "cluster": "int64"})
+        )
+        assert got.equals(exp)
+
+    def test_connected_components_distributed_no_edges(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import connected_components_distributed
+
+        empty = rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([], pa.int64()),
+                    "right_id": pa.array([], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array([5, 7, 9], pa.int64())}))
+        got = connected_components_distributed(empty, nodes_ds=nodes).to_pandas()
+        assert sorted(got["doc_id"]) == [5, 7, 9]
+        assert list(got["doc_id"]) == list(got["cluster"])
