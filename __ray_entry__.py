@@ -17,6 +17,9 @@ from typing import Any
 
 from sprout_ray.pipelines import analytics as A
 from sprout_ray.pipelines.flagship import flagship_over_documents
+from sprout_ray.tuning import quiet_cosmetic_ray_warnings
+
+quiet_cosmetic_ray_warnings()  # logging filter only — no Ray session touched
 
 
 def entry() -> Any:
@@ -41,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": A.user_sessions,
         "orders_semi_join": A.orders_semi_join,
         "lang_sources_matrix": A.lang_sources_matrix,
+        "exact_dup_pairs": A.exact_dup_pairs,
+        "exact_dup_clusters": A.exact_dup_clusters,
         # sketches / approximate (rows-only driver check; pytest-bound-gated)
         "bloom_build_stats": A.bloom_build_stats,
         "sbf_build_stats": A.sbf_build_stats,
@@ -145,5 +150,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_sources_matrix": (
             "SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
             "FROM documents GROUP BY lang"
+        ),
+        "exact_dup_pairs": (
+            "SELECT CAST(a.doc_id AS BIGINT) AS left_id, "
+            "CAST(b.doc_id AS BIGINT) AS right_id "
+            "FROM documents a JOIN documents b "
+            "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        "exact_dup_clusters": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS cluster "
+            "FROM documents"
         ),
     }

@@ -24,6 +24,9 @@ import time
 from sprout_ray.tuning import apply_malloc_tuning
 
 apply_malloc_tuning()  # before ray.init so every worker inherits it
+from sprout_ray.tuning import quiet_cosmetic_ray_warnings
+
+quiet_cosmetic_ray_warnings()
 
 BENCH_CORPUS = "/tmp/sprout_bench_corpus_16m"
 BENCH_ROWS = 16_000_000

@@ -23,7 +23,14 @@ Nothing in the library calls ``ray.init``; sessions are owned by bench.py,
 the CLI, and the test fixture.
 """
 
-from .kernel import (
+from .tuning import quiet_cosmetic_ray_warnings
+
+# Installed at import so WORKER processes (which import this package when
+# deserializing actor-pool stages) also drop the two known-cosmetic Ray Data
+# warnings; a pure logging filter — no Ray session or global state touched.
+quiet_cosmetic_ray_warnings()
+
+from .kernel import (  # noqa: E402
     BloomCapacityError,
     BloomFilter,
     BloomMergeError,

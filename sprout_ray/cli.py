@@ -132,6 +132,9 @@ def cmd_merge(args) -> int:
 
 def main(argv=None) -> int:
     apply_malloc_tuning()
+    from .tuning import quiet_cosmetic_ray_warnings
+
+    quiet_cosmetic_ray_warnings()
     p = argparse.ArgumentParser(prog="sprout_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 

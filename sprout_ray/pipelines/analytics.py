@@ -257,6 +257,94 @@ def lang_sources_matrix(sf_dir: str):
     return ds.groupby("lang").map_groups(distinct, batch_format="pandas")
 
 
+def _dup_pair_ds(sf_dir: str):
+    """Exact-duplicate (left_id, right_id) pairs as a Dataset.
+
+    Scale shape mirrors the LSH tail: docs shuffle as (int64 fingerprint,
+    doc_id) only — content never moves. A native count-aggregate finds
+    fingerprint buckets with >= 2 docs; pair expansion touches only those.
+    Hash collisions (distinct texts, equal murmur3-64) are removed by
+    requiring a SECOND independent fingerprint (seed 1) to also agree —
+    128 bits of agreement total, fetched only for the tiny candidate set."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import murmur_column
+    from ..stages.dedup import hot_buckets, lsh_candidate_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket_key": pa.array(murmur_column(t["text"], 0).view(np.int64)),
+                "h1": pa.array(murmur_column(t["text"], 1).view(np.int64)),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    keyed = ds.map_batches(
+        key_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # 24 B/row; consumed by hot-count, expansion and verify
+    hot = hot_buckets(keyed.select_columns(["bucket_key"]))
+    if hot.size == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
+            )
+        )
+    cand = lsh_candidate_pairs(keyed, max_bucket=4096, hot=hot)
+    # collision verify: candidate ids are few -> broadcast their h1 values
+    cand_ids = pa.array(
+        sorted(
+            {r["left_id"] for r in cand.select_columns(["left_id"]).take_all()}
+            | {r["right_id"] for r in cand.select_columns(["right_id"]).take_all()}
+        ),
+        pa.int64(),
+    )
+    h1_rows = keyed.map_batches(
+        lambda t: t.filter(pc.is_in(t["doc_id"], value_set=cand_ids)).select(
+            ["doc_id", "h1"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    h1_ref = ray.put({r["doc_id"]: r["h1"] for r in h1_rows})
+
+    def verify(t: pa.Table) -> pa.Table:
+        h1 = ray.get(h1_ref)
+        left = t["left_id"].to_pylist()
+        right = t["right_id"].to_pylist()
+        keep = pa.array([h1[a] == h1[b] for a, b in zip(left, right)])
+        return t.select(["left_id", "right_id"]).filter(keep)
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def exact_dup_pairs(sf_dir: str):
+    """All exact-duplicate doc pairs (SQL twin: text self-join, id<id).
+
+    A 0-row Ray Dataset drops its schema on to_pandas, so the empty case
+    returns a schema-bearing Arrow table for the driver's column check."""
+    ds = _dup_pair_ds(sf_dir)
+    if ds.count() == 0:
+        return pa.table(
+            {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
+        )
+    return ds
+
+
+def exact_dup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment per doc: connected components over the
+    exact-dup pair set (min doc_id as representative). Oracle twin:
+    min(doc_id) OVER (PARTITION BY text) — identical because exact-dup
+    pairs form a clique per distinct text."""
+    from ..stages.dedup import connected_components_distributed
+
+    pairs = _dup_pair_ds(sf_dir)
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    return connected_components_distributed(pairs, nodes_ds=nodes)
+
+
 # --------------------------------------------------------------------------
 # Sketch queries (approximate -> rows-only driver check; bounds in pytest)
 # --------------------------------------------------------------------------
@@ -306,24 +394,50 @@ def sbf_build_stats(sf_dir: str):
 
 def bloom_probe_prune(sf_dir: str):
     """Membership pruning: build on documents' digests, probe digests +
-    disjoint keys; report kept counts (no false negatives by construction)."""
-    ds = _read(sf_dir, "documents", ["text"])
-    n = ds.count()
-    ds = ds.map_batches(lambda t: add_sha256(t, column="text"), batch_format="pyarrow")
-    bf = build_sketch(ds, SketchSpec.of("bloom", 0.001, max(n * 2, 11)), on="sha256")
-    members_kept = probe_filter(ds, bf, on="sha256", mode="maybe", concurrency=2).count()
+    disjoint keys; report kept counts (no false negatives by construction).
+
+    Single-pass shape: sha256 runs ONCE (the digest-only projection is
+    materialized, so the build scan and the probe scan don't each recompute
+    it), and members + foreign keys are probed in ONE flagged pass instead
+    of two separate probe executions."""
     import ray.data as rd
+
+    ds = _read(sf_dir, "documents", ["text"])
+    hashed = (
+        ds.map_batches(lambda t: add_sha256(t, column="text"), batch_format="pyarrow")
+        .select_columns(["sha256"])
+        .materialize()  # digests only (~100 B/row); consumed by build + probe
+    )
+    n = hashed.count()
+    bf = build_sketch(hashed, SketchSpec.of("bloom", 0.001, max(n * 2, 11)), on="sha256")
+
+    def flag(v):
+        def inner(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_member", pa.array(np.full(t.num_rows, v, dtype=np.int64))
+            )
+
+        return inner
 
     foreign = rd.from_arrow(
         pa.table({"sha256": pa.array([f"not-a-digest-{i}" for i in range(10_000)])})
     )
-    foreign_kept = probe_filter(foreign, bf, on="sha256", mode="maybe", concurrency=2).count()
+    both = hashed.map_batches(flag(1), batch_format="pyarrow").union(
+        foreign.map_batches(flag(0), batch_format="pyarrow")
+    )
+    kept = (
+        probe_filter(both, bf, on="sha256", mode="maybe", concurrency=2)
+        .groupby("is_member")
+        .count()
+        .take_all()
+    )
+    by_flag = {r["is_member"]: r["count()"] for r in kept}
     return pa.table(
         {
             "members": pa.array([n], pa.int64()),
-            "members_kept": pa.array([members_kept], pa.int64()),
+            "members_kept": pa.array([by_flag.get(1, 0)], pa.int64()),
             "foreign_probes": pa.array([10_000], pa.int64()),
-            "foreign_kept": pa.array([foreign_kept], pa.int64()),
+            "foreign_kept": pa.array([by_flag.get(0, 0)], pa.int64()),
         }
     )
 
@@ -366,10 +480,19 @@ def cms_heavy_hitters(sf_dir: str):
 
 
 def quantile_sketches(sf_dir: str):
-    """t-digest + KLL quantiles of documents.n_chars."""
+    """t-digest + KLL quantiles of documents.n_chars — both built in ONE
+    scan via multi_sketch_build (per-block partials updating every sketch)."""
+    from .flagship import multi_sketch_build
+
     ds = _read(sf_dir, "documents", ["n_chars"])
-    td = build_sketch(ds, SketchSpec.of("tdigest", 200.0), on="n_chars")
-    kll = build_sketch(ds, SketchSpec.of("kll", 200), on="n_chars")
+    built = multi_sketch_build(
+        ds,
+        {
+            "td": (SketchSpec.of("tdigest", 200.0), "n_chars"),
+            "kll": (SketchSpec.of("kll", 200), "n_chars"),
+        },
+    )
+    td, kll = built["td"], built["kll"]
     qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     return pa.table(
         {

@@ -26,3 +26,34 @@ GLIBC_MALLOC_ENV = {
 def apply_malloc_tuning() -> None:
     """Set glibc malloc env vars (call before ray.init)."""
     os.environ.update(GLIBC_MALLOC_ENV)
+
+
+class _CosmeticWarningFilter:
+    """Drops two known-cosmetic Ray Data warnings that read as errors in
+    driver logs: the schema-hash-for-deduplication failure on FixedSizeList
+    metadata (transform_pyarrow.py) and the RefBundle schema-change notice
+    that rename-after-aggregate stages legitimately trigger
+    (streaming_executor_state.py). Both are informational in Ray 2.49."""
+
+    _NEEDLES = (
+        "Failed to hash the schemas (for deduplication)",
+        "with a different schema",
+    )
+
+    def filter(self, record) -> bool:
+        msg = record.getMessage()
+        return not any(n in msg for n in self._NEEDLES)
+
+
+def quiet_cosmetic_ray_warnings() -> None:
+    """Attach the cosmetic-warning filter to the Ray Data loggers that emit
+    them (idempotent; call any time, incl. before ray.init)."""
+    import logging
+
+    for name in (
+        "ray.data._internal.arrow_ops.transform_pyarrow",
+        "ray.data._internal.execution.streaming_executor_state",
+    ):
+        lg = logging.getLogger(name)
+        if not any(isinstance(f, _CosmeticWarningFilter) for f in lg.filters):
+            lg.addFilter(_CosmeticWarningFilter())

@@ -8,6 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sprout_ray.tuning import apply_malloc_tuning  # noqa: E402
 
 apply_malloc_tuning()  # before ray.init so workers inherit it
+from sprout_ray.tuning import quiet_cosmetic_ray_warnings  # noqa: E402
+
+quiet_cosmetic_ray_warnings()
 
 
 @pytest.fixture(scope="session")
