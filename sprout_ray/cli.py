@@ -130,6 +130,44 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_export_ref(args) -> int:
+    """Merge checkpoint dir(s) -> ONE filter in the reference's packed mmap
+    file layout (bloom.go:120-129/398-425), readable by the reference."""
+    from .state.refformat import export_filter_file
+
+    from .kernel.bloom import BloomFilter
+    from .kernel.scalable_bloom import ScalableBloomFilter
+
+    accs = [_load_ckpt(c, args) for c in args.ckpt]
+    acc = accs[0]
+    for other in accs[1:]:
+        acc.merge(other)
+    if not isinstance(acc, (BloomFilter, ScalableBloomFilter)):
+        raise SystemExit(
+            "export-ref only applies to bloom/sbf (the reference file format "
+            f"holds packed filter bits); checkpoint holds {type(acc).__name__}"
+        )
+    written = export_filter_file(acc, args.out)
+    print(json.dumps({"out": args.out, "bytes": written, "result": acc.result()}))
+    return 0
+
+
+def cmd_probe_ref(args) -> int:
+    """Probe keys against a reference-layout filter file (no checkpoint)."""
+    from .state.refformat import import_bloom_file, import_sbf_file
+
+    if args.sketch == "sbf":
+        sk = import_sbf_file(
+            args.file, err_rate=args.err_rate,
+            initial_capacity=args.capacity, growth_rate=args.growth_rate,
+        )
+    else:
+        sk = import_bloom_file(args.file, err_rate=args.err_rate, capacity=args.capacity)
+    res = sk.contains_batch([k.encode() for k in args.keys])
+    print(json.dumps({k: bool(v) for k, v in zip(args.keys, res)}))
+    return 0
+
+
 def main(argv=None) -> int:
     apply_malloc_tuning()
     from .tuning import quiet_cosmetic_ray_warnings
@@ -184,6 +222,22 @@ def main(argv=None) -> int:
     mg.add_argument("--out", required=True)
     common(mg)
     mg.set_defaults(fn=cmd_merge)
+
+    xr = sub.add_parser(
+        "export-ref", help="write merged filter in the reference's mmap file layout"
+    )
+    xr.add_argument("--ckpt", action="append", required=True)
+    xr.add_argument("--out", required=True)
+    common(xr)
+    xr.set_defaults(fn=cmd_export_ref)
+
+    prf = sub.add_parser(
+        "probe-ref", help="probe keys against a reference-layout filter file"
+    )
+    prf.add_argument("--file", required=True)
+    prf.add_argument("--keys", nargs="+", required=True)
+    common(prf)
+    prf.set_defaults(fn=cmd_probe_ref)
 
     args = p.parse_args(argv)
     return args.fn(args)
