@@ -103,45 +103,99 @@ def completed_partitions(ckpt_dir: str, spec: SketchSpec) -> dict:
     return done
 
 
+def _build_partition_task(files: list, spec: SketchSpec, on: str) -> tuple:
+    """Build one partition's sketch by streaming parquet row groups —
+    runs inside a Ray task; memory footprint is one row group + one sketch."""
+    from ..stages.builder import update_chunked
+
+    sk = spec.make()
+    rows = 0
+    for path in files:
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(columns=[on]):
+            col = batch.column(0)
+            if col.null_count:
+                col = col.drop_null()
+            if len(col):
+                update_chunked(sk, spec.kind, pa.chunked_array([col]))
+            rows += batch.num_rows
+    return sk.to_bytes(), rows
+
+
 def build_with_checkpoints(
     input_files: list,
     spec: SketchSpec,
     on: str,
     ckpt_dir: str,
     files_per_partition: int = 1,
+    max_concurrency: int = 16,
 ):
     """Resumable sketch build: one partition per ``files_per_partition`` input
     files; completed partitions are skipped on rerun; returns (sketch, metrics).
 
-    The per-partition build itself streams through Ray Data
-    (read_parquet(shard) -> partials -> merge) so each partition's memory
-    footprint is one block + one sketch.
-    """
-    from ..stages.builder import build_partials, merge_partials
+    Pending partitions build CONCURRENTLY as Ray tasks (each streams its
+    shard's row groups, so per-task memory is one row group + one sketch);
+    checkpoints are written the moment each task finishes, so a crash
+    mid-run loses at most the in-flight partitions.
 
-    import ray.data as rd
+    Resume safety: a completed partition is only reused when its recorded
+    lineage ``input_files`` equals the partition's CURRENT file list — if
+    the input grew or reordered between runs, the stale checkpoint is
+    rebuilt instead of silently merging a sketch over the wrong data
+    (counted in ``metrics['invalidated']``).
+    """
+    import ray
 
     parts = [
         (i, input_files[i * files_per_partition : (i + 1) * files_per_partition])
         for i in range((len(input_files) + files_per_partition - 1) // files_per_partition)
     ]
     done = completed_partitions(ckpt_dir, spec)
-    metrics = {"partitions": len(parts), "resumed": len(done), "built": 0, "rows": 0}
+    metrics = {
+        "partitions": len(parts),
+        "resumed": 0,
+        "built": 0,
+        "invalidated": 0,
+        "rows": 0,
+    }
+    task = ray.remote(_build_partition_task)
+
     sketches = []
+    pending = {}  # ObjectRef -> (pid, files)
     for pid, files in parts:
         if pid in done:
-            sketches.append(sketch_from_bytes(done[pid]["state"]))
-            metrics["rows"] += done[pid]["rows"]
-            continue
-        ds = rd.read_parquet(files, columns=[on])
-        rows_blobs = build_partials(ds, spec, on).take_all()
-        sk = merge_partials([r["partial"] for r in rows_blobs], spec)
-        nrows = sum(r["rows"] for r in rows_blobs)
-        write_partition_checkpoint(ckpt_dir, pid, spec, sk, nrows, files)
-        sketches.append(sk)
-        metrics["built"] += 1
-        metrics["rows"] += nrows
+            lin = json.loads(done[pid]["lineage"])
+            if lin.get("input_files") == list(files):
+                sketches.append(sketch_from_bytes(done[pid]["state"]))
+                metrics["resumed"] += 1
+                metrics["rows"] += done[pid]["rows"]
+                continue
+            metrics["invalidated"] += 1  # input shard changed -> rebuild
+        ref = task.options(num_cpus=1).remote(files, spec, on)
+        pending[ref] = (pid, files)
+        # bound in-flight tasks so a long file list doesn't flood the cluster
+        while len(pending) >= max_concurrency:
+            sketches, metrics = _drain_one(pending, sketches, metrics, ckpt_dir, spec)
+    while pending:
+        sketches, metrics = _drain_one(pending, sketches, metrics, ckpt_dir, spec)
+
     acc = sketches[0] if sketches else spec.make()
     for s in sketches[1:]:
         acc.merge(s)
     return acc, metrics
+
+
+def _drain_one(pending: dict, sketches: list, metrics: dict, ckpt_dir: str, spec):
+    """Wait for one partition task; checkpoint + account its result."""
+    import ray
+
+    ready, _ = ray.wait(list(pending), num_returns=1)
+    ref = ready[0]
+    pid, files = pending.pop(ref)
+    blob, nrows = ray.get(ref)
+    sk = sketch_from_bytes(blob)
+    write_partition_checkpoint(ckpt_dir, pid, spec, sk, nrows, files)
+    sketches.append(sk)
+    metrics["built"] += 1
+    metrics["rows"] += nrows
+    return sketches, metrics

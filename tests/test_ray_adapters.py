@@ -179,6 +179,30 @@ def test_checkpoint_resume(corpus, tmp_path):
     assert (full.registers == third.registers).all()
 
 
+def test_checkpoint_lineage_mismatch_rebuilds(corpus, tmp_path):
+    # same partition ids, but partitioning changed (2 files/partition vs 1):
+    # recorded lineage no longer matches -> stale checkpoints must NOT merge
+    from sprout_ray.state.checkpoint import build_with_checkpoints
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    assert len(files) >= 2
+    spec = SketchSpec.of("hll", 12)
+    ck = str(tmp_path / "ckpt_lin")
+    build_with_checkpoints(files[:2], spec, on="repo", ckpt_dir=ck)
+    full, m = build_with_checkpoints(
+        files, spec, on="repo", ckpt_dir=ck, files_per_partition=2
+    )
+    assert m["invalidated"] >= 1 and m["resumed"] == 0
+    # result equals a clean build over all files
+    clean, _ = build_with_checkpoints(
+        files, spec, on="repo", ckpt_dir=str(tmp_path / "ckpt_clean"),
+        files_per_partition=2,
+    )
+    assert (full.registers == clean.registers).all()
+
+
 def test_checkpoint_spec_mismatch_not_resumed(corpus, tmp_path):
     from sprout_ray.state.checkpoint import build_with_checkpoints
 
