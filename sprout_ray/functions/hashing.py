@@ -36,9 +36,24 @@ def add_sha256(batch: pa.Table, column: str = "content", out: str = "sha256") ->
 
 
 def murmur_column(arr, seed: int = 0) -> np.ndarray:
-    """Vectorized murmur3-64 of an Arrow string/binary column."""
-    mat, lengths = arrow_to_key_matrix(arr)
-    return murmur3_64_padded(mat, lengths, seed)
+    """Vectorized murmur3-64 of an Arrow string/binary column.
+
+    Hashed in length-bucketed spans: the padded key matrix densifies to the
+    longest key in a span, so one multi-MB document must not share a span
+    with thousands of small ones (see murmur3.length_bucketed_spans)."""
+    import pyarrow as pa
+
+    from ..kernel.murmur3 import byte_lengths, length_bucketed_spans
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lengths = byte_lengths(arr)
+    out = np.empty(len(arr), dtype=np.uint64)
+    for start, end in length_bucketed_spans(lengths):
+        sl = arr.slice(start, end - start)
+        mat, ls = arrow_to_key_matrix(sl)
+        out[start:end] = murmur3_64_padded(mat, ls, seed)
+    return out
 
 
 def add_murmur(batch: pa.Table, column: str, out: str = "h64", seed: int = 0) -> pa.Table:

@@ -327,6 +327,63 @@ def murmur3_64_batch(keys, seed: int) -> np.ndarray:
     return murmur3_64_padded(mat, lengths, seed)
 
 
+# Cap on any one padded key matrix (rows x padded max key length). pad_keys
+# densifies to the LONGEST key in the span, so one multi-MB document inside a
+# 32k-row chunk would otherwise allocate tens of GB. 64 MiB keeps temporaries
+# well under worker heaps while leaving full-width chunks for uniform keys.
+MAX_MATRIX_BYTES = 64 * 1024 * 1024
+
+
+def byte_lengths(arr) -> np.ndarray:
+    """Per-row byte lengths of an Arrow string/binary array (offset diffs)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    return np.diff(offsets)
+
+
+def length_bucketed_spans(
+    lengths: np.ndarray,
+    budget: int | None = None,
+    max_rows: int | None = None,
+) -> list:
+    """Order-preserving [start, end) spans whose padded matrices each stay
+    under ``budget`` bytes (rows x running padded max width). A single key
+    longer than the budget gets a span of its own — the matrix is then just
+    that key's padded width. ``budget`` defaults to the module's
+    MAX_MATRIX_BYTES (read at call time so tests can shrink it)."""
+    if budget is None:
+        budget = MAX_MATRIX_BYTES
+    n = len(lengths)
+    if n == 0:
+        return []
+    widths = (np.asarray(lengths, dtype=np.int64) // 16 + 1) * 16
+    spans = []
+    i = 0
+    while i < n:
+        cur_w = int(widths[i])
+        j = i + 1
+        while j < n:
+            w = max(cur_w, int(widths[j]))
+            if (j - i + 1) * w > budget:
+                break
+            if max_rows is not None and (j - i) >= max_rows:
+                break
+            cur_w = w
+            j += 1
+        spans.append((i, j))
+        i = j
+    return spans
+
+
 def murmur_hash_column(col, seed: int = 0) -> np.ndarray:
     """Murmur3-64 of an Arrow string/binary column (uint64)."""
     mat, lengths = arrow_to_key_matrix(col)

@@ -46,9 +46,23 @@ UPDATE_CHUNK = 32_768
 
 
 def update_chunked(sk, kind: str, col) -> None:
-    """Feed an Arrow column to a sketch in allocator-friendly chunks."""
-    for off in range(0, len(col), UPDATE_CHUNK):
-        sk.update_batch(_update_input(kind, col.slice(off, UPDATE_CHUNK)))
+    """Feed an Arrow column to a sketch in allocator-friendly chunks.
+
+    Key (string/binary) columns additionally split on the padded-matrix
+    byte budget: one multi-MB outlier key in a 32k-row chunk would densify
+    the whole chunk to its width (tens of GB); length-bucketed spans keep
+    every matrix under MAX_MATRIX_BYTES while preserving row order."""
+    from ..kernel.murmur3 import byte_lengths, length_bucketed_spans
+    from .agg import _NUMERIC_KINDS
+
+    if kind in _NUMERIC_KINDS:
+        for off in range(0, len(col), UPDATE_CHUNK):
+            sk.update_batch(_update_input(kind, col.slice(off, UPDATE_CHUNK)))
+        return
+    prepped = _update_input(kind, col)  # casts non-string types to string
+    lengths = byte_lengths(prepped)
+    for start, end in length_bucketed_spans(lengths, max_rows=UPDATE_CHUNK):
+        sk.update_batch(prepped.slice(start, end - start))
 
 
 def build_partials(ds, spec: SketchSpec, on: str, batch_size: Optional[int] = None):

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -56,7 +57,15 @@ class BloomProbe:
             or pa.types.is_large_binary(col.type)
         ):
             col = col.cast(pa.string())
-        maybe = self.filter.contains_batch(col.combine_chunks())
+        # probe in length-bucketed spans so one huge key can't densify the
+        # whole batch's padded key matrix (see murmur3.length_bucketed_spans)
+        from ..kernel.murmur3 import byte_lengths, length_bucketed_spans
+
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        lengths = byte_lengths(col)
+        maybe = np.empty(len(col), dtype=bool)
+        for start, end in length_bucketed_spans(lengths):
+            maybe[start:end] = self.filter.contains_batch(col.slice(start, end - start))
         if self.flag_column is not None:
             return batch.append_column(self.flag_column, pa.array(maybe))
         mask = maybe if self.mode == "maybe" else ~maybe

@@ -15,7 +15,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.hashing import token_count_column
-from ..kernel.murmur3 import arrow_to_key_matrix, murmur3_64_padded
 
 
 def _round6(x):
@@ -141,9 +140,11 @@ class LangId:
 
 
 def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint") -> pa.Table:
-    """64-bit murmur3 document fingerprint (content-addressed identity)."""
-    mat, lengths = arrow_to_key_matrix(batch[col])
-    h = murmur3_64_padded(mat, lengths, 0)
+    """64-bit murmur3 document fingerprint (content-addressed identity).
+    Length-bucketed hashing via murmur_column (outlier-doc memory guard)."""
+    from ..functions.hashing import murmur_column
+
+    h = murmur_column(batch[col], 0)
     return batch.append_column(out, pa.array(h.view(np.int64)))
 
 

@@ -109,3 +109,53 @@ def test_arrow_sliced_and_chunked():
     out = murmur3_64_padded(mat, lengths, 512)
     expect = np.array([murmur3_64(s, 512) for s in [b"yy", b"zz"]], dtype=np.uint64)
     assert (out == expect).all()
+
+
+def test_length_bucketed_spans_budget_and_order():
+    import numpy as np
+
+    from sprout_ray.kernel.murmur3 import length_bucketed_spans
+
+    # one 8 MB outlier among 10k small keys: it must get (nearly) its own span
+    lengths = np.full(10_001, 20, dtype=np.int64)
+    lengths[5_000] = 8 * 1024 * 1024
+    spans = length_bucketed_spans(lengths, budget=64 * 1024 * 1024)
+    # spans are order-preserving and partition the index range
+    assert spans[0][0] == 0 and spans[-1][1] == 10_001
+    for (a, b), (c, d) in zip(spans, spans[1:]):
+        assert b == c
+    # every span's padded matrix respects the budget (single-key spans may
+    # equal the key's own padded width)
+    for a, b in spans:
+        w = int((lengths[a:b].max() // 16 + 1) * 16)
+        assert (b - a) * w <= 64 * 1024 * 1024 or b - a == 1
+    # the outlier does NOT share a span with thousands of small keys
+    for a, b in spans:
+        if a <= 5_000 < b:
+            assert b - a <= 8
+
+
+def test_length_bucketed_hashing_matches_direct():
+    import numpy as np
+    import pyarrow as pa
+
+    from sprout_ray.functions.hashing import murmur_column
+    from sprout_ray.kernel.murmur3 import (
+        arrow_to_key_matrix,
+        murmur3_64_padded,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = ["x" * int(n) for n in rng.integers(0, 3000, 500)]
+    keys[123] = "y" * 500_000  # forces a span split under a tiny budget
+    arr = pa.array(keys)
+    direct = murmur3_64_padded(*arrow_to_key_matrix(arr), 0)
+    import sprout_ray.kernel.murmur3 as m3
+
+    old = m3.MAX_MATRIX_BYTES
+    try:
+        m3.MAX_MATRIX_BYTES = 1 << 20
+        spanned = murmur_column(arr, 0)
+    finally:
+        m3.MAX_MATRIX_BYTES = old
+    assert np.array_equal(direct, spanned)
