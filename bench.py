@@ -201,12 +201,15 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])["value"]
 
-    # N vs 4N. 4/16 rather than 8/32: a pure-ALU probe shows this host
-    # delivers only ~20 effective cores (32 procs of in-cache arithmetic run
-    # at 65% efficiency), so any 8->32 measurement is capped by the machine,
-    # not the engine; 16-way pure compute is ~97% efficient. See BASELINE.md.
-    lo, hi = 4, 16
-    trials = int(os.environ.get("SPROUT_SCALING_TRIALS", "2"))
+    # N vs 4N. Default 4/16 rather than 8/32: a pure-ALU probe shows this
+    # host delivers only ~20 effective cores (32 procs of in-cache arithmetic
+    # run at 65% efficiency), so any 8->32 measurement is capped by the
+    # machine, not the engine; 16-way pure compute is ~97% efficient.
+    # Override levels with SPROUT_SCALING_LEVELS="2,8". See BASELINE.md.
+    lo, hi = (
+        int(x) for x in os.environ.get("SPROUT_SCALING_LEVELS", "4,16").split(",")
+    )
+    trials = int(os.environ.get("SPROUT_SCALING_TRIALS", "4"))
     t_lo, t_hi = [], []
     for _ in range(trials):
         t_lo.append(sub(lo))
