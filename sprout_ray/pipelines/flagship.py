@@ -29,13 +29,21 @@ def with_invariant(ds, content_col: str = "content"):
     )
 
 
-def multi_sketch_build(ds, specs: dict) -> dict:
+def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 16) -> dict:
     """Build several sketches in ONE pass over the data.
 
     ``specs``: name -> (SketchSpec, column). A single map_batches stage
     updates every sketch per block and emits one row of serialized partials
-    per block; the driver merges per name. One scan, N sketches — at 100 TB
-    this halves-or-better the IO vs building each sketch separately.
+    per block. One scan, N sketches — at 100 TB this halves-or-better the IO
+    vs building each sketch separately.
+
+    The reduce is a DATASET-NATIVE tree: while more than ``driver_max``
+    partial rows remain, a map_batches(batch_size=fan_in) stage merges
+    fan_in rows into one IN PARALLEL on the workers; only the last
+    <= driver_max partials land on the driver. A 64-block build used to
+    decompress+OR ~4 GB of bloom partials serially on the driver (~10 s of
+    fixed, cluster-size-independent wall that capped scaling efficiency);
+    now that work rides the worker pool.
     """
     from ..stages.builder import pack_partial, update_chunked
 
@@ -59,12 +67,31 @@ def multi_sketch_build(ds, specs: dict) -> dict:
             }
         )
 
-    partial_rows = ds.map_batches(
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name, (spec, _col) in items:
+            sk = merge_partials(batch[name].to_pylist(), spec)
+            cols[name] = pa.array([pack_partial(sk.to_bytes())], pa.large_binary())
+        total = sum(batch["rows"].to_pylist())
+        cols["rows"] = pa.array([total], pa.int64())
+        return pa.table(cols)
+
+    merged = ds.map_batches(
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()
+    ).materialize()
+    n = merged.count()
+    while n > driver_max:
+        merged = merged.map_batches(
+            merge_rows, batch_format="pyarrow", batch_size=fan_in
+        ).materialize()
+        new_n = merged.count()
+        if new_n >= n:  # batching didn't coalesce; fall back to driver merge
+            break
+        n = new_n
+    partial_rows = merged.take_all()
 
     # merge the kinds concurrently: zlib decompress + numpy merges release
-    # the GIL, so threads parallelize the driver-side reduce
+    # the GIL, so threads parallelize the (small) driver-side reduce
     from concurrent.futures import ThreadPoolExecutor
 
     built = {}
