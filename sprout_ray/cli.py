@@ -168,6 +168,38 @@ def cmd_probe_ref(args) -> int:
     return 0
 
 
+def cmd_kv_build(args) -> int:
+    """Build a bloom-guarded hash-bucketed KV (the reference's Put path)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .state.kv import KVStore
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=[args.key, args.value])
+    store = KVStore.build(
+        ds, key_col=args.key, value_col=args.value, path=args.store,
+        n_buckets=args.buckets, err_rate=args.err_rate,
+    )
+    total = sum(b["rows"] for b in store.manifest["buckets"].values())
+    print(json.dumps({"store": args.store, "buckets": store.n_buckets, "rows": total}))
+    return 0
+
+
+def cmd_kv_get(args) -> int:
+    """Filter-guarded point lookups (the reference's Get path): definite
+    misses cost zero IO; values come back for present keys only."""
+    from .state.kv import KVStore
+
+    store = KVStore.open(args.store)
+    res = store.get(args.keys)
+    io = store.io_stats(args.keys)
+    print(json.dumps({"values": {k: res.get(k) for k in args.keys}, "io": io}))
+    return 0
+
+
 def main(argv=None) -> int:
     apply_malloc_tuning()
     from .tuning import quiet_cosmetic_ray_warnings
@@ -238,6 +270,23 @@ def main(argv=None) -> int:
     prf.add_argument("--keys", nargs="+", required=True)
     common(prf)
     prf.set_defaults(fn=cmd_probe_ref)
+
+    kb = sub.add_parser(
+        "kv-build", help="build a bloom-guarded hash-bucketed parquet KV"
+    )
+    kb.add_argument("--input", required=True)
+    kb.add_argument("--key", required=True)
+    kb.add_argument("--value", required=True)
+    kb.add_argument("--store", required=True, help="KV store directory")
+    kb.add_argument("--buckets", type=int, default=16)
+    common(kb)
+    kb.set_defaults(fn=cmd_kv_build)
+
+    kg = sub.add_parser("kv-get", help="filter-guarded point lookups")
+    kg.add_argument("--store", required=True)
+    kg.add_argument("--keys", nargs="+", required=True)
+    common(kg)
+    kg.set_defaults(fn=cmd_kv_get)
 
     args = p.parse_args(argv)
     return args.fn(args)
