@@ -206,7 +206,14 @@ def orders_semi_join(sf_dir: str):
     broadcast-set verification removes false positives, so the result is
     exactly the SQL semi-join while only the pruned survivor stream pays the
     exact check (the reference's Get/cache-guard pattern at dataset scale,
-    bloom.go:220-236)."""
+    bloom.go:220-236).
+
+    SIZE GUARD: the exact verify broadcasts the build-side key list, which
+    is only sane while the selective predicate keeps it small (here ~a few
+    percent of orders). When the build side outgrows a broadcast, drop the
+    exact list and keep only the bloom prune feeding a distributed hash
+    semi-join (stages.probe.bloom_semi_join / stages.dedup.exact_dedup's
+    join path show the shape)."""
     import ray
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])

@@ -32,11 +32,24 @@ _MERSENNE = (1 << 61) - 1
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def exact_dedup(ds, key_col: str, id_col: str, keep_cols=None):
+def exact_dedup(
+    ds,
+    key_col: str,
+    id_col: str,
+    keep_cols=None,
+    broadcast_max: int = 4_000_000,
+):
     """Keep the first row (min id) per key. One groupby shuffle.
 
     At scale: only (key, id) pairs cross the exchange when key_col is a
-    digest column; content stays columnar in place."""
+    digest column; content stays columnar in place.
+
+    With ``keep_cols``, surviving rows are materialized two ways depending
+    on survivor count: up to ``broadcast_max`` survivors their ids are
+    broadcast once (``ray.put``) and every block filters locally — no second
+    shuffle of content. Beyond that, a distributed hash SEMI-JOIN of ``ds``
+    against the survivor ids runs instead (ids alone at 10^12 rows dwarf any
+    single node's memory, so the broadcast path cannot be the default)."""
     firsts = ds.groupby(key_col).min(id_col, ignore_nulls=True)
     keep = firsts.map_batches(
         lambda t: t.rename_columns([key_col, id_col]),
@@ -46,15 +59,29 @@ def exact_dedup(ds, key_col: str, id_col: str, keep_cols=None):
         return keep
     import ray
 
-    ids_ref = ray.put(
-        pa.array([r[id_col] for r in keep.select_columns([id_col]).take_all()])
+    survivors = keep.select_columns([id_col]).materialize()
+    n = survivors.count()
+    if n <= broadcast_max:
+        ids_ref = ray.put(
+            pa.array([r[id_col] for r in survivors.take_all()])
+        )
+
+        def keep_rows(batch: pa.Table) -> pa.Table:
+            ids = ray.get(ids_ref)
+            return batch.filter(pc.is_in(batch[id_col], value_set=ids))
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+    # distributed semi-join: survivor ids are unique, so inner join neither
+    # duplicates nor drops surviving rows; only (id) + kept columns shuffle
+    num_partitions = max(2, n // 4_000_000)
+    return ds.join(
+        survivors,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(id_col,),
+        right_suffix="_kept",
     )
-
-    def keep_rows(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        return batch.filter(pc.is_in(batch[id_col], value_set=ids))
-
-    return ds.map_batches(keep_rows, batch_format="pyarrow")
 
 
 def char_shingles(text: str, k: int = 5) -> list:

@@ -320,3 +320,36 @@ class TestSimilarityKernels:
         got = connected_components_distributed(empty, nodes_ds=nodes).to_pandas()
         assert sorted(got["doc_id"]) == [5, 7, 9]
         assert list(got["doc_id"]) == list(got["cluster"])
+
+
+class TestExactDedupKeepCols:
+    def _mk(self):
+        import ray.data as rd
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(range(10)), pa.int64()),
+                "text": pa.array(["a", "b", "a", "c", "b", "d", "a", "e", "c", "f"]),
+                "extra": pa.array([f"x{i}" for i in range(10)]),
+            }
+        )
+        return rd.from_arrow(t).repartition(3)
+
+    def test_broadcast_and_join_paths_agree(self, ray_session):
+        from sprout_ray.stages.dedup import exact_dedup
+
+        ds = self._mk()
+        expect = {0, 1, 3, 5, 7, 9}  # min doc_id per text
+        bc = exact_dedup(ds, "text", "doc_id", keep_cols=["extra"]).to_pandas()
+        jn = exact_dedup(
+            ds, "text", "doc_id", keep_cols=["extra"], broadcast_max=0
+        ).to_pandas()
+        assert set(bc["doc_id"]) == expect
+        assert set(jn["doc_id"]) == expect
+        # full surviving rows (not just ids) come back on both paths
+        assert set(bc.columns) >= {"doc_id", "text", "extra"}
+        assert set(jn.columns) >= {"doc_id", "text", "extra"}
+        assert (
+            bc.sort_values("doc_id")["extra"].tolist()
+            == jn.sort_values("doc_id")["extra"].tolist()
+        )
