@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_predictions": A.langid_predictions,
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,
+        "media_dedup": A.media_dedup,
     }
 
 

@@ -593,3 +593,14 @@ def media_features(sf_dir: str):
 
     ds = rd.from_arrow(synth_media_table(200, seed=42))
     return decode_features(ds, fake=True, concurrency=2)
+
+
+def media_dedup(sf_dir: str):
+    """Exact dedup over binary media payloads (deterministic planted dups:
+    rows 10,20,...,190 repeat earlier payloads, so 200 rows -> 181 kept)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import media_exact_dedup, synth_media_with_dups
+
+    ds = rd.from_arrow(synth_media_with_dups(200, dup_every=10, seed=42))
+    return media_exact_dedup(ds)

@@ -98,3 +98,35 @@ def decode_features(ds, fake: bool = True, concurrency: int = 2, batch_size: int
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def synth_media_with_dups(n: int, dup_every: int = 10, seed: int = 42) -> pa.Table:
+    """Media table where every ``dup_every``-th row repeats an earlier
+    payload byte-for-byte (planted exact duplicates for dedup tests)."""
+    t = synth_media_table(n, seed=seed)
+    payloads = t["payload"].to_pylist()
+    for i in range(dup_every, n, dup_every):
+        payloads[i] = payloads[i - dup_every]
+    return t.set_column(
+        t.schema.get_field_index("payload"),
+        "payload",
+        pa.array(payloads, pa.large_binary()),
+    )
+
+
+def media_exact_dedup(ds, id_col: str = "media_id"):
+    """Exact dedup over opaque binary payloads: sha256 each payload (digests
+    shuffle, payloads don't), keep the first (min id) per digest. The binary
+    column never crosses the exchange — the same shape the text dedup uses,
+    proving the multimodal plumbing composes with the dedup stages."""
+    from ..functions.hashing import add_sha256
+    from .dedup import exact_dedup
+
+    hashed = ds.map_batches(
+        lambda t: add_sha256(t, column="payload", out="payload_sha").select(
+            [id_col, "payload_sha"]
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+    )
+    return exact_dedup(hashed, key_col="payload_sha", id_col=id_col)

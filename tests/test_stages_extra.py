@@ -353,3 +353,21 @@ class TestExactDedupKeepCols:
             bc.sort_values("doc_id")["extra"].tolist()
             == jn.sort_values("doc_id")["extra"].tolist()
         )
+
+
+class TestMediaDedup:
+    def test_planted_dups_removed(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.multimodal import (
+            media_exact_dedup,
+            synth_media_with_dups,
+        )
+
+        ds = rd.from_arrow(synth_media_with_dups(200, dup_every=10, seed=42))
+        kept = media_exact_dedup(ds).to_pandas()
+        # rows 10,20,...,190 repeat rows 0,10,...,180 -> 19 dropped
+        assert len(kept) == 181
+        assert set(kept.columns) == {"payload_sha", "media_id"}
+        # survivors are the FIRST occurrence of each payload
+        assert 0 in set(kept["media_id"]) and 10 not in set(kept["media_id"])
