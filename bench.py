@@ -28,14 +28,27 @@ from sprout_ray.tuning import quiet_cosmetic_ray_warnings
 
 quiet_cosmetic_ray_warnings()
 
-BENCH_CORPUS = "/tmp/sprout_bench_corpus_16m"
-BENCH_ROWS = 16_000_000
+# Headline rows: 16M by default; the scaling battery dials this down via
+# SPROUT_BENCH_ROWS (efficiency is a ratio — it doesn't need the full corpus,
+# and a 2-CPU 16M build costs ~20 min/trial in slow host phases).
+BENCH_ROWS = int(os.environ.get("SPROUT_BENCH_ROWS", "16000000"))
+BENCH_CORPUS = f"/tmp/sprout_bench_corpus_{BENCH_ROWS // 1_000_000}m"
 
 
-def _ensure_bench_corpus():
+def _ensure_bench_corpus(rows: int = None, n_files: int = 64):
     from sprout_ray.sources.synth import ensure_corpus
 
-    return ensure_corpus(BENCH_CORPUS, BENCH_ROWS, n_files=64, seed=42)
+    rows = rows or BENCH_ROWS
+    path = f"/tmp/sprout_bench_corpus_{rows // 1_000_000}m"
+    return ensure_corpus(path, rows, n_files=n_files, seed=42)
+
+
+def _scale_spec(spec, rows: int):
+    """Shrink a bloom capacity to the warm-up row count (other sketch
+    geometries are row-count-independent)."""
+    if spec.kind == "bloom":
+        return ("bloom", spec.params[0], max(int(rows * 1.2), 11))
+    return (spec.kind, *spec.params)
 
 
 def headline(sf_dir: str) -> dict:
@@ -58,7 +71,7 @@ def headline(sf_dir: str) -> dict:
         "kll_len": (SketchSpec.of("kll", 200), "content_len"),
     }
 
-    def one_build():
+    def one_build(src=corpus, build_specs=specs):
         import pyarrow.compute as pc
 
         # block count pinned to the DATASET layout (one block per shard),
@@ -66,7 +79,7 @@ def headline(sf_dir: str) -> dict:
         # bloom zero/serialize) and the merge fan-in must not change with
         # cluster size, or the scaling measurement compares different jobs.
         # (Ray's default ~200-block heuristic would triple the partial bytes.)
-        ds = read_corpus(corpus, columns=cols, override_num_blocks=64)
+        ds = read_corpus(src, columns=cols, override_num_blocks=64)
         ds = with_invariant(ds)
         ds = ds.map_batches(
             lambda t: t.append_column(
@@ -75,12 +88,24 @@ def headline(sf_dir: str) -> dict:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        return multi_sketch_build(ds, specs)
+        return multi_sketch_build(ds, build_specs)
 
     # untimed warm-up: spawns + imports the full worker pool and warms the
     # OS page cache, so the timed runs measure steady-state throughput
-    # (cold pool start costs ~100s of kernel time on this VM class)
-    one_build()
+    # (cold pool start costs ~100s of kernel time on this VM class).
+    # SPROUT_BENCH_WARMUP_ROWS shrinks the warm-up corpus (the pool spawn +
+    # import is what matters, not the row count) — the scaling battery uses
+    # 1M so low-CPU levels don't pay a full extra build.
+    wrows = int(os.environ.get("SPROUT_BENCH_WARMUP_ROWS", "0"))
+    if wrows and wrows < BENCH_ROWS:
+        wcorpus = _ensure_bench_corpus(rows=wrows)
+        wspecs = {
+            name: (SketchSpec.of(*_scale_spec(spec, wrows)), col)
+            for name, (spec, col) in specs.items()
+        }
+        one_build(src=wcorpus, build_specs=wspecs)
+    else:
+        one_build()
 
     # shared-host noise is ~3x run to run; report the min of the timed runs
     # (SPROUT_BENCH_TRIALS, default 2 — the scaling battery uses 1 per

@@ -22,6 +22,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEVELS = [2, 8, 4, 16]
 PAIRS = [(2, 8), (4, 16)]
+# efficiency is a ratio: 8M rows keeps per-invocation wall sane at 2 CPUs
+# (a 16M 2-CPU build costs ~20 min/trial in slow host phases) while fixed
+# overheads stay <5% of the 16-CPU time; warm-up only needs to spawn the
+# worker pool, so it runs on a 1M corpus.
+ROWS = int(os.environ.get("SPROUT_BENCH_ROWS", "8000000"))
+WARMUP_ROWS = int(os.environ.get("SPROUT_BENCH_WARMUP_ROWS", "1000000"))
 
 
 def one(ncpu: int) -> float:
@@ -30,6 +36,8 @@ def one(ncpu: int) -> float:
         RAY_GRAFT_CPUS=str(ncpu),
         SPROUT_BENCH_HEADLINE_ONLY="1",
         SPROUT_BENCH_TRIALS="1",
+        SPROUT_BENCH_ROWS=str(ROWS),
+        SPROUT_BENCH_WARMUP_ROWS=str(WARMUP_ROWS),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -57,7 +65,7 @@ def main() -> None:
                 flush=True,
             )
     result = {
-        "metric": "interleaved scaling battery (16M-row headline build, "
+        "metric": f"interleaved scaling battery ({ROWS}-row headline build, "
         f"1 timed trial/process, {rounds} rounds)",
         "trials": {str(n): trials[n] for n in LEVELS},
         "min": {str(n): min(trials[n]) for n in LEVELS},
