@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": A.event_type_counts,
         "top_event_types": A.top_event_types,
         "events_tumbling_hourly": A.events_tumbling_hourly,
+        "events_hopping_15m": A.events_hopping_15m,
         "user_sessions": A.user_sessions,
         "orders_semi_join": A.orders_semi_join,
         "lang_sources_matrix": A.lang_sources_matrix,
@@ -122,6 +123,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro "
             "FROM events GROUP BY event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT)"
+        ),
+        "events_hopping_15m": (
+            # window w covers [w*hop, w*hop+size): w from (us-size)//hop+1
+            # to us//hop inclusive (integer microseconds, non-negative)
+            "WITH e AS (SELECT event_type, epoch_us(ts) AS us, value FROM events) "
+            "SELECT event_type, CAST(w AS BIGINT) AS window, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_micro "
+            "FROM e, LATERAL unnest(generate_series("
+            "(us - 3600000000) // 900000000 + 1, us // 900000000)) AS t(w) "
+            "GROUP BY event_type, w"
         ),
         "user_sessions": (
             "WITH o AS ("

@@ -191,6 +191,14 @@ def events_tumbling_hourly(sf_dir: str):
     return tumbling_counts(ds, key="event_type", size_s=3600)
 
 
+def events_hopping_15m(sf_dir: str):
+    """Hopping windows: 1h windows advancing every 15 min (4x overlap)."""
+    from ..stages.windows import hopping_counts
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    return hopping_counts(ds, key="event_type", size_s=3600, hop_s=900)
+
+
 def user_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user over the events log."""
     from ..stages.windows import sessionize

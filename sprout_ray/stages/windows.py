@@ -182,3 +182,58 @@ def _empty_sessions(key: str, key_type) -> pa.Table:
             "_edge": pa.array([], pa.bool_()),
         }
     )
+
+
+def hopping_counts(
+    ds,
+    key: str = "event_type",
+    ts_col: str = "ts",
+    size_s: int = 3600,
+    hop_s: int = 900,
+):
+    """Per-(key, window) count + value sum for HOPPING (sliding) windows:
+    window w covers [w*hop, w*hop + size), so each event belongs to
+    ~size/hop overlapping windows. The explode is fully vectorized
+    (repeat + cumsum-offset arange, no Python per row); the groupby is the
+    only shuffle. Output fan-out is size/hop x input rows — callers pick
+    hop accordingly (exactly the tradeoff any streaming engine documents).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    size_us = size_s * _US
+    hop_us = hop_s * _US
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # w*hop <= us < w*hop+size  =>  (us-size)//hop + 1 <= w <= us//hop
+        lo = (us - size_us) // hop_us + 1
+        hi = us // hop_us
+        counts = hi - lo + 1
+        idx = np.repeat(np.arange(len(us)), counts)
+        pos = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        windows = lo[idx] + pos
+        vmicro = pc.cast(
+            pc.round(
+                pc.multiply(t["value"], 1_000_000.0),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: t[key].take(pa.array(idx, pa.int64())),
+                "window": pa.array(windows, pa.int64()),
+                "value_micro": pa.array(vmicro[idx], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, "window"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("value_micro", alias_name="sum_value_micro"),
+        )
+    )

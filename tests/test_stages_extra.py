@@ -371,3 +371,24 @@ class TestMediaDedup:
         assert set(kept.columns) == {"payload_sha", "media_id"}
         # survivors are the FIRST occurrence of each payload
         assert 0 in set(kept["media_id"]) and 10 not in set(kept["media_id"])
+
+
+class TestHoppingWindows:
+    def test_boundary_membership_and_sum(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import hopping_counts
+
+        # size=4s, hop=1s: every event belongs to exactly 4 windows;
+        # an event AT a hop boundary (t=10s) covers windows 7..10
+        ts = pa.array([10_000_000, 10_500_000], pa.timestamp("us"))
+        t = pa.table({"event_type": ["a", "a"], "ts": ts, "value": [1.0, 2.0]})
+        out = (
+            hopping_counts(rd.from_arrow(t), size_s=4, hop_s=1)
+            .to_pandas()
+            .sort_values("window")
+            .reset_index(drop=True)
+        )
+        assert out["window"].tolist() == [7, 8, 9, 10]
+        assert out["n"].tolist() == [2, 2, 2, 2]
+        assert out["sum_value_micro"].tolist() == [3_000_000] * 4
