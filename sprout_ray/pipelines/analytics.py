@@ -458,13 +458,20 @@ def bloom_probe_prune(sf_dir: str):
 
 
 def hll_cardinalities(sf_dir: str):
-    """HLL estimates for documents' source/lang/text cardinalities."""
+    """HLL estimates for documents' source/lang/text cardinalities — all
+    three sketches built in ONE scan via multi_sketch_build."""
+    from .flagship import multi_sketch_build
+
     ds = _read(sf_dir, "documents", ["source", "lang", "text"])
-    rows = []
-    for col in ("source", "lang", "text"):
-        h = build_sketch(ds, SketchSpec.of("hll", 14), on=col)
-        rows.append({"column": col, "estimate": float(h.estimate())})
-    return pa.Table.from_pylist(rows)
+    built = multi_sketch_build(
+        ds, {c: (SketchSpec.of("hll", 14), c) for c in ("source", "lang", "text")}
+    )
+    return pa.Table.from_pylist(
+        [
+            {"column": c, "estimate": float(built[c].estimate())}
+            for c in ("source", "lang", "text")
+        ]
+    )
 
 
 def hll_by_lang(sf_dir: str):
