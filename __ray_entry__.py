@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
+        "embedding_neardup_exact": A.embedding_neardup_exact,
         "ann_brute_topk": A.ann_brute_topk,
         "ann_ivf_topk": A.ann_ivf_topk,
         "langid_predictions": A.langid_predictions,
@@ -71,6 +72,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_brute_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 4), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS s FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, s, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn "
+            "FROM scored) "
+            "SELECT query_id, vec_id, round(s, 6) AS score FROM ranked "
+            "WHERE rn <= 10 ORDER BY query_id, vec_id"
+        ),
+        "embedding_neardup_exact": (
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS score "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+            "ORDER BY id_a, id_b"
+        ),
         "exact_distinct_source": (
             "SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_distinct FROM documents"
         ),

@@ -4,10 +4,13 @@ Plain run: one JSON line with headline seconds + per-query seconds over
 ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) at
 ``ray.init(num_cpus=$RAY_GRAFT_CPUS or 32)``.
 
-``--scaling``: runs the headline job twice in fresh processes at num_cpus=8
-and num_cpus=32 on the same input and reports both throughputs plus scaling
-efficiency ``(t_8 / t_32) / 4`` (the in-sandbox evidence for the north
-rule's N-vs-4N cluster criterion).
+``--scaling``: interleaved fresh-process runs of the headline job at
+num_cpus=N and 4N on the same input, reporting both throughputs plus
+scaling efficiency ``(t_N / t_4N) / 4`` (the in-sandbox evidence for the
+north rule's N-vs-4N cluster criterion), PLUS the host-noise-immune engine
+probe (tools/engine_scaling_probe.py) whose fixed in-cache per-block work
+isolates the engine's own scheduling/dispatch efficiency from this shared
+VM's 4-10x memory-bandwidth weather. See BASELINE.md "Scaling evidence".
 
 Headline job: the reference-demo equivalent at corpus scale
 (/root/reference/cmd/main.go:24-47 — timed filter build + probes) = read the
@@ -243,6 +246,36 @@ def run_scaling() -> dict:
         t_hi.append(sub(hi))
     best_lo, best_hi = min(t_lo), min(t_hi)
     eff = (best_lo / best_hi) / (hi / lo)
+
+    # Host-noise-immune engine probe: same pipeline shape, fixed in-cache
+    # ALU work per block, so the shared VM's memory-bandwidth weather
+    # (measured 1.1-17 GB/s swings; see BASELINE.md "Scaling evidence")
+    # cannot mask the engine's own scheduling/dispatch scaling.
+    probe = None
+    if os.environ.get("SPROUT_SCALING_SKIP_PROBE") != "1":
+        probe_script = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tools",
+            "engine_scaling_probe.py",
+        )
+        env = dict(os.environ)
+        env.setdefault("SPROUT_PROBE_LEVELS", "2,8")
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    probe_script,
+                    os.environ.get("SPROUT_PROBE_ROUNDS", "1"),
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            probe = json.loads(out.strip().splitlines()[-1])
+        except (subprocess.CalledProcessError, ValueError, OSError):
+            probe = None
+
     return {
         "metric": (
             f"scaling efficiency (same {BENCH_ROWS}-row build at "
@@ -255,6 +288,7 @@ def run_scaling() -> dict:
         f"rows_per_sec_{lo}": round(BENCH_ROWS / best_lo),
         f"rows_per_sec_{hi}": round(BENCH_ROWS / best_hi),
         "scaling_efficiency": round(eff, 3),
+        "engine_probe": probe,
         "rows": BENCH_ROWS,
     }
 

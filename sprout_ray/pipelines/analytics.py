@@ -96,11 +96,11 @@ def nchars_stats_by_lang(sf_dir: str):
     )
 
 
-def _oround(arr):
+def _oround(arr, ndigits: int = 0):
     """Oracle-parity rounding: DuckDB round() is half-away-from-zero; Arrow's
     default is half-to-even. Arrow's half_towards_infinity rounds halves away
     from zero for BOTH signs (0.5->1, -0.5->-1), matching DuckDB exactly."""
-    return pc.round(arr, round_mode="half_towards_infinity")
+    return pc.round(arr, ndigits=ndigits, round_mode="half_towards_infinity")
 
 
 def _std_aggs(col):
@@ -558,14 +558,43 @@ def embedding_neardup(sf_dir: str):
     return embedding_near_dup_pairs(ds, threshold=0.5)
 
 
+def embedding_neardup_exact(sf_dir: str):
+    """Exact cosine-threshold pair join (the verification tier of near-dup).
+
+    Oracle-checked against DuckDB's double-precision self-join: float64
+    matmul, scores rounded half-away-from-zero to 6 decimals, rows ordered
+    by (id_a, id_b). Threshold 0.4 yields a few dozen pairs on this corpus
+    (max pairwise cosine ~0.5; see embedding_neardup's threshold note)."""
+    from ..stages.similarity import exact_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = exact_cosine_pairs(ds, threshold=0.4, dtype="float64", concurrency=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(2, "score", _oround(t["score"], 6))
+
+    return pairs.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
 def ann_brute_topk(sf_dir: str):
-    """Brute-force cosine top-10 of the first 4 embeddings as queries."""
+    """Brute-force cosine top-10 of the 4 lowest-vec_id embeddings as queries.
+
+    Oracle-checked: runs in float64 so scores agree with DuckDB's
+    double-precision ``list_cosine_similarity`` to ~1e-14 (both sides round
+    half-away-from-zero to 6 decimals AFTER ranking on the unrounded score;
+    ties broken by vec_id ascending). The float32 default of ``ann_topk``
+    remains the scale path."""
     from ..stages.similarity import ann_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.take(4)
-    q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
-    return ann_topk(ds, q, k=10, concurrency=2)
+    qrows = ds.sort("vec_id").take(4)  # 4 globally-lowest ids = SQL's ORDER BY vec_id LIMIT 4
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    df = ann_topk(ds, q, k=10, concurrency=2, dtype="float64")
+    df["query_id"] = qids[df["query_id"].to_numpy()]
+    s = df["score"].to_numpy()
+    df["score"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
 def ann_ivf_topk(sf_dir: str):

@@ -18,11 +18,11 @@ import pyarrow as pa
 import ray
 
 
-def _emb_matrix(col: pa.ChunkedArray) -> np.ndarray:
+def _emb_matrix(col: pa.ChunkedArray, dtype=np.float32) -> np.ndarray:
     arr = col.combine_chunks()
     if isinstance(arr, pa.ChunkedArray):  # empty chunked edge
-        return np.empty((0, 0), dtype=np.float32)
-    flat = np.asarray(arr.flatten(), dtype=np.float32)
+        return np.empty((0, 0), dtype=dtype)
+    flat = np.asarray(arr.flatten(), dtype=dtype)
     if len(arr) == 0:
         return flat.reshape(0, 0)
     dim = len(flat) // len(arr)
@@ -41,15 +41,18 @@ class CosineTopK:
     Emits (query_id, doc id, score) partial top-k rows per block; merge with
     ``merge_topk`` on the driver."""
 
-    def __init__(self, queries_ref, k: int, emb_col: str = "embedding", id_col: str = "vec_id"):
+    def __init__(self, queries_ref, k: int, emb_col: str = "embedding", id_col: str = "vec_id", dtype: str = "float32"):
         q = ray.get(queries_ref)
-        self.q = _normalize(np.asarray(q, dtype=np.float32))
+        # float32 is the scale path; float64 exists for oracle parity with
+        # DuckDB's double-precision list_cosine_similarity.
+        self.dtype = np.dtype(dtype)
+        self.q = _normalize(np.asarray(q, dtype=self.dtype))
         self.k = k
         self.emb_col = emb_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch[self.emb_col]))
+        emb = _normalize(_emb_matrix(batch[self.emb_col], dtype=self.dtype))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = emb @ self.q.T  # (B, Q)
         k = min(self.k, scores.shape[0])
@@ -69,9 +72,9 @@ class CosineTopK:
         )
 
 
-def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id", concurrency: int = 4):
+def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding", id_col: str = "vec_id", concurrency: int = 4, dtype: str = "float32"):
     """Brute-force exact cosine top-k (the correctness baseline for ANN)."""
-    ref = ray.put(np.asarray(queries, dtype=np.float32))
+    ref = ray.put(np.asarray(queries, dtype=np.dtype(dtype)))
     partials = ds.map_batches(
         CosineTopK,
         fn_constructor_kwargs={
@@ -79,6 +82,7 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding", i
             "k": k,
             "emb_col": emb_col,
             "id_col": id_col,
+            "dtype": dtype,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -406,4 +410,93 @@ def _empty_cosine_table() -> pa.Table:
             "right_id": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64()),
         }
+    )
+
+
+class _BlockVsAllPairs:
+    """Actor-pool stage: one (block x corpus) matmul per batch, emitting
+    (id_a < id_b, score) pairs above the threshold. The normalized corpus
+    matrix is broadcast once via ``ray.put`` and shared zero-copy by every
+    actor on a node."""
+
+    def __init__(self, corpus_ref, threshold: float, emb_col: str, id_col: str, dtype: str):
+        ids, mat = ray.get(corpus_ref)
+        self.ids = ids
+        self.mat = mat
+        self.threshold = threshold
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.dtype = np.dtype(dtype)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch[self.emb_col], dtype=self.dtype))
+        bids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if emb.size == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        s = emb @ self.mat.T  # (B, N)
+        mask = (s >= self.threshold) & (bids[:, None] < self.ids[None, :])
+        bi, cj = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[bi], type=pa.int64()),
+                "id_b": pa.array(self.ids[cj], type=pa.int64()),
+                "score": pa.array(s[bi, cj].astype(np.float64), type=pa.float64()),
+            }
+        )
+
+
+def exact_cosine_pairs(
+    ds,
+    threshold: float,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+    dtype: str = "float64",
+    max_broadcast_bytes: int = 2 << 30,
+):
+    """Exact all-pairs cosine-threshold self-join — the verification tier.
+
+    The corpus matrix is broadcast once (``ray.put``), each block does one
+    vectorized (block x corpus) matmul, so compute is the full O(n^2) spread
+    O(n^2 / p) per worker with zero shuffle. Use this on bounded corpora or
+    post-LSH candidate subsets; the broadcast side must fit in the object
+    store (guarded by ``max_broadcast_bytes``). For unbounded corpora use
+    ``embedding_near_dup_pairs`` (banded LSH) — same output contract,
+    approximate recall.
+
+    Returns (id_a, id_b, score) with id_a < id_b, every pair exactly once
+    (the id-ordering mask makes block overlap with the broadcast side safe).
+    """
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    if len(rows) == 0:
+        mat = np.empty((0, 0), dtype=np.dtype(dtype))
+    else:
+        mat = _normalize(
+            np.stack([np.asarray(r[emb_col], dtype=np.dtype(dtype)) for r in rows])
+        )
+    if mat.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"corpus matrix {mat.nbytes}B exceeds max_broadcast_bytes="
+            f"{max_broadcast_bytes}; use embedding_near_dup_pairs (LSH) for "
+            "unbounded corpora"
+        )
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _BlockVsAllPairs,
+        fn_constructor_kwargs={
+            "corpus_ref": ref,
+            "threshold": threshold,
+            "emb_col": emb_col,
+            "id_col": id_col,
+            "dtype": dtype,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
     )
