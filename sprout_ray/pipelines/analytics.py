@@ -573,7 +573,18 @@ def embedding_neardup_exact(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         return t.set_column(2, "score", _oround(t["score"], 6))
 
-    return pairs.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
+    out = pairs.map_batches(finish, batch_format="pyarrow").sort(["id_a", "id_b"])
+    if out.count() == 0:
+        # 0-row Datasets drop their schema on to_pandas; the driver's column
+        # check needs a schema-bearing empty table (see exact_dup_pairs).
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    return out
 
 
 def ann_brute_topk(sf_dir: str):

@@ -154,3 +154,58 @@ class TestLongKeys:
         bf = BloomFilter(0.01, 1000)
         bf.add_batch(keys)
         assert bf.contains_batch(keys).all()
+
+
+class TestExactCosinePairs:
+    def _table(self, vecs):
+        return pa.table(
+            {
+                "vec_id": list(range(len(vecs))),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.reshape(-1)), vecs.shape[1]
+                ),
+            }
+        )
+
+    def test_matches_numpy_all_pairs(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import _normalize, exact_cosine_pairs
+
+        rng = np.random.default_rng(11)
+        vecs = rng.standard_normal((120, 16)).astype(np.float32)
+        vecs[60] = vecs[5] * 3.0  # planted exact-direction dup
+        vecs[61] = vecs[6] + rng.standard_normal(16).astype(np.float32) * 0.01
+        ds = rd.from_arrow(self._table(vecs))
+        out = exact_cosine_pairs(ds, threshold=0.4, concurrency=1).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        n = _normalize(vecs.astype(np.float64))
+        s = n @ n.T
+        iu = np.triu_indices(len(vecs), 1)
+        want = {
+            (int(a), int(b))
+            for a, b in zip(iu[0], iu[1])
+            if s[a, b] >= 0.4
+        }
+        assert got == want  # exact tier: every pair once, none missed
+        assert (5, 60) in got and (6, 61) in got
+        # scores agree with the float64 reference
+        for _, r in out.iterrows():
+            assert abs(r["score"] - s[int(r["id_a"]), int(r["id_b"])]) < 1e-9
+
+    def test_empty_and_guard(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import exact_cosine_pairs
+
+        rng = np.random.default_rng(12)
+        vecs = rng.standard_normal((10, 8)).astype(np.float32)
+        ds = rd.from_arrow(self._table(vecs))
+        # impossible threshold -> zero rows (the query wrapper
+        # embedding_neardup_exact substitutes a schema-bearing empty table;
+        # a 0-row Dataset itself drops schema on to_pandas)
+        out = exact_cosine_pairs(ds, threshold=1.5, concurrency=1).to_pandas()
+        assert len(out) == 0
+        # broadcast guard trips when the corpus matrix exceeds the budget
+        with pytest.raises(ValueError, match="max_broadcast_bytes"):
+            exact_cosine_pairs(ds, threshold=0.5, max_broadcast_bytes=16)
