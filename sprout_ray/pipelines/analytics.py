@@ -22,9 +22,26 @@ from ..stages.probe import probe_filter
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Pruned parquet read with a size-aware block count.
+
+    ``read_parquet`` oversplits small files (~200 blocks regardless of
+    size), and every downstream groupby/sort/join pays a fixed
+    per-partition cost, so shuffle-tailed queries were overhead-bound at
+    bench scale. One block per CPU is the floor; block count grows with
+    file size (128 MiB target) so large inputs keep the same granularity
+    Ray's size-based splitting would pick. Results are block-count
+    independent — this only moves fixed overhead."""
+    import os
+
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    size_blocks = -(-os.path.getsize(path) // (128 << 20))
+    return rd.read_parquet(
+        path, columns=columns, override_num_blocks=max(cpus, size_blocks)
+    )
 
 
 # --------------------------------------------------------------------------
