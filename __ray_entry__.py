@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
+        "clicks_last_purchase": A.clicks_last_purchase,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
@@ -83,6 +84,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) "
             "SELECT query_id, vec_id, round(s, 6) AS score FROM ranked "
             "WHERE rn <= 10 ORDER BY query_id, vec_id"
+        ),
+        "clicks_last_purchase": (
+            "SELECT l.user_id, l.event_id, "
+            "CAST(epoch_us(l.ts) AS BIGINT) AS ts_us, "
+            "CAST(r.event_id AS DOUBLE) AS purchase_event_id, "
+            "CAST(epoch_us(r.ts) AS DOUBLE) AS purchase_ts_us, "
+            "CAST(r.value AS DOUBLE) AS purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type='click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY l.event_id"
         ),
         "embedding_neardup_exact": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -560,6 +560,32 @@ def simhash_neardup(sf_dir: str):
     return simhash_candidates(ds)
 
 
+def clicks_last_purchase(sf_dir: str):
+    """As-of join: each click event + the same user's latest prior purchase.
+
+    Oracle-checked against DuckDB's ASOF LEFT JOIN (inclusive bound; the
+    corpus has no (user_id, ts) purchase ties, verified, so the match is
+    unambiguous). Payload columns are float64 on BOTH sides so matched and
+    unmatched (null) rows share one dtype."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = asof_join(
+        ev.filter(expr="event_type == 'click'"),
+        ev.filter(expr="event_type == 'purchase'"),
+        key="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        right_payload={
+            "event_id": "purchase_event_id",
+            "ts": "purchase_ts_us",
+            "value": "purchase_value",
+        },
+        left_id_out="event_id",
+    )
+    return out.sort("event_id")
+
+
 def embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking.
 

@@ -1,0 +1,194 @@
+"""Ordered joins Ray Data lacks natively — as-of join (backward).
+
+An as-of join attaches, to every left row (key, t), the right row with the
+largest right.ts <= t for the same key (SQL: ``ASOF LEFT JOIN ... ON
+l.key = r.key AND l.ts >= r.ts``). Ray Data has no ordered-join operator
+(absent in the reference too — its engine is a sketch library), so this is
+expressed with the same machinery as ``windows.sessionize``:
+
+1. both sides are projected onto one unified schema (side tag 0=right,
+   1=left so a right row at the same timestamp sorts first and is eligible,
+   matching the inclusive ASOF bound) and unioned;
+2. ONE global ``sort([key, ts, side, tie])`` — the only shuffle;
+3. a fully vectorized per-block pass does last-observation-carried-forward
+   of right-row indices with numpy (segment-reset maximum.accumulate), so
+   every left row whose match lives in the same sorted block resolves
+   worker-side with zero Python loops;
+4. only a block's FIRST key run can need a match from an earlier block (a
+   key spanning two sorted blocks is necessarily last of one and first of
+   the next), so pass A emits one tiny summary row per block (first-row
+   identity + last right payload of the block's last key), the driver folds
+   the O(blocks) summaries into a per-block carry-in, and pass B joins with
+   the broadcast carry dict. Driver traffic is O(blocks), never O(rows).
+
+Partitioning assumption: none beyond the sort — skewed keys cost what the
+range shuffle costs. The carry chain handles a key spanning any number of
+consecutive blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str,
+    tie_col: str,
+    right_payload: dict[str, str],
+    left_id_out: str = "left_id",
+    ts_out: str = "ts_us",
+):
+    """Backward as-of join; one output row per left row.
+
+    Output columns: ``key``, ``left_id_out`` (the left row's ``tie_col``),
+    ``ts_out`` (left timestamp, int64 epoch-us), then one float64 column per
+    ``right_payload`` entry (right column -> output name; right's ``ts_col``
+    may be listed to emit the matched timestamp). Payload is uniformly
+    float64 so matched and unmatched (null) rows share one type; wider left
+    payloads re-join on ``left_id_out`` afterwards. ``key``/``tie_col`` must
+    be integer-typed; ``ts_col`` may be timestamp or integer.
+    """
+    import ray
+
+    pay_out = list(right_payload.values())
+
+    def as_i64(col) -> pa.ChunkedArray:
+        return pc.cast(col, pa.int64())
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                key: as_i64(t[key]),
+                "_ts_us": as_i64(t[ts_col]),
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_tie": as_i64(t[tie_col]),
+                **{name: pa.nulls(n, pa.float64()) for name in pay_out},
+            }
+        )
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                key: as_i64(t[key]),
+                "_ts_us": as_i64(t[ts_col]),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_tie": as_i64(t[tie_col]),
+                **{
+                    name: pc.cast(
+                        as_i64(t[src])
+                        if pa.types.is_timestamp(t[src].type)
+                        else t[src],
+                        pa.float64(),
+                    )
+                    for src, name in right_payload.items()
+                },
+            }
+        )
+
+    lp = left_ds.map_batches(prep_left, batch_format="pyarrow")
+    rp = right_ds.map_batches(prep_right, batch_format="pyarrow")
+    merged = lp.union(rp).sort([key, "_ts_us", "_side", "_tie"]).materialize()
+
+    # ---- pass A: one summary row per sorted block -------------------------
+    def block_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "f_key": pa.array([], pa.int64()),
+                    "f_ts": pa.array([], pa.int64()),
+                    "f_side": pa.array([], pa.int8()),
+                    "f_tie": pa.array([], pa.int64()),
+                    "last_key": pa.array([], pa.int64()),
+                    "has_right": pa.array([], pa.bool_()),
+                    **{n: pa.array([], pa.float64()) for n in pay_out},
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        last_key = keys[-1]
+        right_in_last = np.flatnonzero((keys == last_key) & (side == 0))
+        has_right = right_in_last.size > 0
+        idx = int(right_in_last[-1]) if has_right else 0
+        return pa.table(
+            {
+                "f_key": pa.array([int(keys[0])], pa.int64()),
+                "f_ts": pa.array([t["_ts_us"][0].as_py()], pa.int64()),
+                "f_side": pa.array([int(side[0])], pa.int8()),
+                "f_tie": pa.array([t["_tie"][0].as_py()], pa.int64()),
+                "last_key": pa.array([int(last_key)], pa.int64()),
+                "has_right": pa.array([has_right]),
+                **{
+                    n: pa.array(
+                        [t[n][idx].as_py() if has_right else None], pa.float64()
+                    )
+                    for n in pay_out
+                },
+            }
+        )
+
+    summaries = merged.map_batches(
+        block_summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    summaries.sort(key=lambda s: (s["f_key"], s["f_ts"], s["f_side"], s["f_tie"]))
+
+    carry_in: dict = {}
+    carry_key, carry_pay = None, None
+    for s in summaries:
+        ident = (s["f_key"], s["f_ts"], int(s["f_side"]), s["f_tie"])
+        carry_in[ident] = carry_pay if s["f_key"] == carry_key else None
+        if s["has_right"]:
+            carry_key = s["last_key"]
+            carry_pay = {n: s[n] for n in pay_out}
+        elif not (s["f_key"] == s["last_key"] == carry_key):
+            carry_key, carry_pay = s["last_key"], None
+    carry_ref = ray.put(carry_in)
+
+    # ---- pass B: vectorized LOCF + carry for the first key run ------------
+    def resolve(t: pa.Table) -> pa.Table:
+        def empty() -> pa.Table:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    left_id_out: pa.array([], pa.int64()),
+                    ts_out: pa.array([], pa.int64()),
+                    **{n: pa.array([], pa.float64()) for n in pay_out},
+                }
+            )
+
+        n = t.num_rows
+        if n == 0:
+            return empty()
+        keys = t[key].to_numpy(zero_copy_only=False)
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        idx = np.arange(n, dtype=np.int64)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg_first = np.maximum.accumulate(np.where(key_change, idx, 0))
+        locf = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        valid = locf >= seg_first
+        taken = t.take(np.where(valid, locf, 0))
+        carry = ray.get(carry_ref).get(
+            (int(keys[0]), t["_ts_us"][0].as_py(), int(side[0]), t["_tie"][0].as_py())
+        )
+        use_carry = (keys == keys[0]) & ~valid
+        vmask = pa.array(valid)
+        cols = {key: t[key], left_id_out: t["_tie"], ts_out: t["_ts_us"]}
+        for name in pay_out:
+            col = pc.if_else(vmask, taken[name], pa.scalar(None, pa.float64()))
+            if carry is not None and use_carry.any():
+                col = pc.if_else(
+                    pa.array(use_carry), pa.scalar(carry[name], pa.float64()), col
+                )
+            cols[name] = col
+        out = pa.table(cols).filter(pa.array(side == 1))
+        return out if out.num_rows else empty()
+
+    return merged.map_batches(
+        resolve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -209,3 +209,82 @@ class TestExactCosinePairs:
         # broadcast guard trips when the corpus matrix exceeds the budget
         with pytest.raises(ValueError, match="max_broadcast_bytes"):
             exact_cosine_pairs(ds, threshold=0.5, max_broadcast_bytes=16)
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof_across_blocks(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import asof_join
+
+        rng = np.random.default_rng(21)
+        n_left, n_right = 3000, 800
+        # user 7 dominates (spans many sorted blocks) and its only purchases
+        # are at the very start -> the carry must chain across blocks; user
+        # 999 has clicks but no purchases at all -> all-null payload.
+        l_user = np.where(rng.random(n_left) < 0.5, 7, rng.integers(0, 40, n_left))
+        l_user[:10] = 999
+        r_user = rng.integers(0, 40, n_right)
+        r_user[:50] = 7
+        l_ts = rng.integers(0, 10_000_000, n_left)
+        r_ts = np.concatenate(
+            [rng.integers(0, 1000, 50), rng.integers(0, 10_000_000, n_right - 50)]
+        )
+        left = pa.table(
+            {
+                "event_id": np.arange(n_left, dtype=np.int64),
+                "user_id": l_user.astype(np.int64),
+                "ts": l_ts.astype(np.int64),
+            }
+        )
+        right = pa.table(
+            {
+                "event_id": np.arange(10_000, 10_000 + n_right, dtype=np.int64),
+                "user_id": r_user.astype(np.int64),
+                "ts": r_ts.astype(np.int64),
+                "value": rng.random(n_right),
+            }
+        )
+        out = (
+            asof_join(
+                rd.from_arrow(left).repartition(16),
+                rd.from_arrow(right).repartition(8),
+                key="user_id",
+                ts_col="ts",
+                tie_col="event_id",
+                right_payload={"event_id": "r_id", "ts": "r_ts", "value": "r_value"},
+                left_id_out="event_id",
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        ldf = left.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # corpus has no (user, ts) right duplicates by construction of the
+        # check below; merge_asof is the reference (backward, inclusive)
+        rdf = (
+            right.to_pandas()
+            .sort_values(["ts", "event_id"])
+            .drop_duplicates(["user_id", "ts"], keep="last")
+        )
+        want = pd.merge_asof(
+            ldf,
+            rdf.rename(
+                columns={"event_id": "r_id", "ts": "r_ts", "value": "r_value"}
+            ),
+            left_on="ts",
+            right_on="r_ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        ).sort_values("event_id").reset_index(drop=True)
+        assert len(out) == n_left
+        assert (out["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+        got_id = out["r_id"].to_numpy()
+        want_id = want["r_id"].to_numpy(dtype=float, na_value=np.nan)
+        assert ((got_id == want_id) | (np.isnan(got_id) & np.isnan(want_id))).all()
+        gv, wv = out["r_value"].to_numpy(), want["r_value"].to_numpy()
+        assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+        # user 999 really exercises the no-right-rows path
+        assert out[out["user_id"] == 999]["r_id"].isna().all()
