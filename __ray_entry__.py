@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
         "clicks_last_purchase": A.clicks_last_purchase,
+        "purchases_clicks_1h": A.purchases_clicks_1h,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
@@ -95,6 +96,14 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
             "ORDER BY l.event_id"
+        ),
+        "purchases_clicks_1h": (
+            "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks "
+            "FROM (SELECT * FROM events WHERE event_type='purchase') p "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type='click') c "
+            "ON c.user_id = p.user_id AND c.ts > p.ts - INTERVAL 1 HOUR "
+            "AND c.ts <= p.ts "
+            "GROUP BY p.event_id ORDER BY p.event_id"
         ),
         "embedding_neardup_exact": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -586,6 +586,28 @@ def clicks_last_purchase(sf_dir: str):
     return out.sort("event_id")
 
 
+def purchases_clicks_1h(sf_dir: str):
+    """Range join: per purchase, same-user clicks in the trailing hour.
+
+    Oracle-checked against DuckDB's inequality join + GROUP BY; the Ray
+    side bucket-blocks the interval predicate (see
+    stages/joins.windowed_range_count)."""
+    from ..stages.joins import windowed_range_count
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = windowed_range_count(
+        ev.filter(expr="event_type == 'purchase'"),
+        ev.filter(expr="event_type == 'click'"),
+        key="user_id",
+        ts_col="ts",
+        anchor_id="event_id",
+        window_s=3600,
+        out_col="n_clicks",
+        num_partitions=4,
+    )
+    return out.sort("event_id")
+
+
 def embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking.
 

@@ -1,4 +1,5 @@
-"""Ordered joins Ray Data lacks natively — as-of join (backward).
+"""Ordered joins Ray Data lacks natively — as-of join (backward) and a
+bucket-blocked range (interval) join.
 
 An as-of join attaches, to every left row (key, t), the right row with the
 largest right.ts <= t for the same key (SQL: ``ASOF LEFT JOIN ... ON
@@ -192,3 +193,100 @@ def asof_join(
     return merged.map_batches(
         resolve, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def windowed_range_count(
+    anchor_ds,
+    event_ds,
+    key: str,
+    ts_col: str,
+    anchor_id: str,
+    window_s: int,
+    out_col: str = "n_events",
+    num_partitions: int = 8,
+):
+    """Range join: per anchor row, count same-key events with
+    ``ts in (anchor.ts - window_s, anchor.ts]``.
+
+    Ray Data's hash join cannot express the inequality predicate, so the
+    interval is bucket-blocked: events get ``bucket = ts // window``; each
+    anchor probes its own bucket and the previous one (a window of width W
+    aligned anywhere overlaps at most two W-wide buckets), the equi-join on
+    (key, bucket) lands every candidate pair exactly once (an event has ONE
+    bucket; the anchor's two probe rows have distinct buckets), and the
+    exact predicate filters vectorized after the join. Scale shape: shuffle
+    keyed by (key, bucket) so a hot key spreads over its time range; join
+    fan-in is events-per-(key, window) — bounded by data density, not
+    corpus size. Anchors with zero events are restored by a left join
+    against the count table (count coalesced to 0).
+    """
+    w_us = window_s * 1_000_000
+
+    def prep_events(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64())
+        return pa.table(
+            {
+                key: pc.cast(t[key], pa.int64()),
+                "bucket": pc.divide(ts, pa.scalar(w_us, pa.int64())),
+                "ev_ts": ts,
+            }
+        )
+
+    def prep_anchors(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64())
+        base = pa.table(
+            {
+                key: pc.cast(t[key], pa.int64()),
+                "bucket": pc.divide(ts, pa.scalar(w_us, pa.int64())),
+                anchor_id: pc.cast(t[anchor_id], pa.int64()),
+                "a_ts": ts,
+            }
+        )
+        prev = base.set_column(
+            1,
+            "bucket",
+            pc.subtract(base["bucket"], pa.scalar(1, pa.int64())),
+        )
+        return pa.concat_tables([base, prev])
+
+    events = event_ds.map_batches(prep_events, batch_format="pyarrow")
+    anchors = anchor_ds.map_batches(prep_anchors, batch_format="pyarrow")
+    joined = anchors.join(
+        events,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key, "bucket"),
+    )
+
+    def in_window(t: pa.Table) -> pa.Table:
+        lo = pc.subtract(t["a_ts"], pa.scalar(w_us, pa.int64()))
+        keep = pc.and_(
+            pc.greater(t["ev_ts"], lo), pc.less_equal(t["ev_ts"], t["a_ts"])
+        )
+        return t.filter(keep)
+
+    counts = (
+        joined.map_batches(in_window, batch_format="pyarrow")
+        .groupby(anchor_id)
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns([anchor_id, out_col]),
+            batch_format="pyarrow",
+        )
+    )
+    ids = anchor_ds.map_batches(
+        lambda t: pa.table({anchor_id: pc.cast(t[anchor_id], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    out = ids.join(
+        counts,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(anchor_id,),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(pc.cast(t[out_col], pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({anchor_id: t[anchor_id], out_col: n})
+
+    return out.map_batches(coalesce, batch_format="pyarrow")

@@ -288,3 +288,54 @@ class TestAsofJoin:
         assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
         # user 999 really exercises the no-right-rows path
         assert out[out["user_id"] == 999]["r_id"].isna().all()
+
+
+class TestRangeJoin:
+    def test_windowed_count_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import windowed_range_count
+
+        rng = np.random.default_rng(31)
+        n_a, n_e, w = 400, 2000, 100
+        a = pa.table(
+            {
+                "id": np.arange(n_a, dtype=np.int64),
+                "k": rng.integers(0, 12, n_a).astype(np.int64),
+                "ts": rng.integers(0, 5000, n_a).astype(np.int64) * 1_000_000,
+            }
+        )
+        e = pa.table(
+            {
+                "id": np.arange(n_e, dtype=np.int64),
+                "k": rng.integers(0, 12, n_e).astype(np.int64),
+                "ts": rng.integers(0, 5000, n_e).astype(np.int64) * 1_000_000,
+            }
+        )
+        out = (
+            windowed_range_count(
+                rd.from_arrow(a).repartition(4),
+                rd.from_arrow(e).repartition(4),
+                key="k",
+                ts_col="ts",
+                anchor_id="id",
+                window_s=w,
+                out_col="n",
+                num_partitions=2,
+            )
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        ak, ats = a["k"].to_numpy(), a["ts"].to_numpy()
+        ek, ets = e["k"].to_numpy(), e["ts"].to_numpy()
+        w_us = w * 1_000_000
+        want = np.array(
+            [
+                int(((ek == ak[i]) & (ets > ats[i] - w_us) & (ets <= ats[i])).sum())
+                for i in range(n_a)
+            ]
+        )
+        assert len(out) == n_a
+        assert (out["n"].to_numpy() == want).all()
+        assert (want == 0).any()  # zero-count anchors are exercised
