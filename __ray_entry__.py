@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "clicks_last_purchase": A.clicks_last_purchase,
         "purchases_clicks_1h": A.purchases_clicks_1h,
+        "revenue_by_nation": A.revenue_by_nation,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
@@ -96,6 +97,18 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
             "ORDER BY l.event_id"
+        ),
+        "revenue_by_nation": (
+            "SELECT n.n_name AS nation, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_centicents, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY nation"
         ),
         "purchases_clicks_1h": (
             "SELECT p.event_id, CAST(count(c.event_id) AS BIGINT) AS n_clicks "

@@ -586,6 +586,67 @@ def clicks_last_purchase(sf_dir: str):
     return out.sort("event_id")
 
 
+def revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped multi-join: lineitem revenue rolled up to nation.
+
+    Scale shape: ONE distributed hash join between the two fact tables
+    (lineitem x orders — both scale with the corpus); the dimension chain
+    customer->nation is tiny and broadcast once (``ray.put`` of a sorted
+    custkey->nation-code lookup, vectorized np.searchsorted inside
+    map_batches) instead of two more shuffle joins. Money in integer
+    centi-cents end to end (see q1_pricing_summary)."""
+    import ray
+
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    }
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    ckeys = np.array([r["c_custkey"] for r in cust], dtype=np.int64)
+    order_nat = np.argsort(ckeys)
+    ckeys = ckeys[order_nat]
+    cnames = np.array([nat[r["c_nationkey"]] for r in cust])[order_nat]
+    lut_ref = ray.put((ckeys, cnames))
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev_cc": rev_cc})
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    joined = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(lut_ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        return pa.table(
+            {
+                "nation": pa.array(names[pos]),
+                "rev_cc": t["rev_cc"],
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.map_batches(attach_nation, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(
+            Sum("rev_cc", alias_name="revenue_centicents"),
+            Count(alias_name="n_items"),
+        )
+    )
+    return out.sort("nation")
+
+
 def purchases_clicks_1h(sf_dir: str):
     """Range join: per purchase, same-user clicks in the trailing hour.
 
