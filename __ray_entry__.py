@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clicks_last_purchase": A.clicks_last_purchase,
         "purchases_clicks_1h": A.purchases_clicks_1h,
         "revenue_by_nation": A.revenue_by_nation,
+        "customers_no_orders": A.customers_no_orders,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
@@ -117,6 +118,13 @@ def oracle_sql() -> dict[str, str]:
             "ON c.user_id = p.user_id AND c.ts > p.ts - INTERVAL 1 HOUR "
             "AND c.ts <= p.ts "
             "GROUP BY p.event_id ORDER BY p.event_id"
+        ),
+        "customers_no_orders": (
+            "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name AS c_name "
+            "FROM customer c LEFT JOIN "
+            "(SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000) o "
+            "ON c.c_custkey = o.o_custkey "
+            "WHERE o.o_custkey IS NULL ORDER BY c_custkey"
         ),
         "embedding_neardup_exact": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -669,6 +669,63 @@ def purchases_clicks_1h(sf_dir: str):
     return out.sort("event_id")
 
 
+def customers_no_orders(sf_dir: str):
+    """Bloom-accelerated distributed anti-join: customers with no order
+    above 350k total price.
+
+    Inverts the reference's cache-guard (bloom.go:220-236) into an
+    anti-join accelerator: a Bloom filter built over the qualifying
+    orders' o_custkey PROVES absence (no false negatives,
+    bloom.go:200-217), so every customer the filter rejects is an
+    anti-join member with no shuffle at all. Only the "maybe" survivors —
+    true members plus <=eps false positives — pay the exact distributed
+    left-outer join against the distinct qualifying keys. At 100 TB the
+    definite-out stream (the bulk when the anti-join is selective) goes
+    straight to the sink; the one ``materialize()`` here caches only
+    (custkey, name, flag) — O(probe side), never O(orders) — so the two
+    consumers don't re-run the probe.
+    """
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350_000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    # capacity from parquet metadata (upper bound; avoids executing the
+    # filter pipeline once just to count survivors)
+    cap = _read(sf_dir, "orders", ["o_custkey"]).count()
+    bf = build_sketch(orders, SketchSpec.of("bloom", 0.01, max(cap, 11)), on="o_custkey")
+    flagged = probe_filter(
+        cust, bf, on="c_custkey", flag_column="maybe", concurrency=2
+    ).materialize()
+    definite = flagged.filter(expr="maybe == False").drop_columns(["maybe"])
+    maybe = flagged.filter(expr="maybe == True").drop_columns(["maybe"])
+
+    from ray.data.aggregate import Count
+
+    dkeys = (
+        orders.groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(
+            lambda t: pa.table({"c_custkey": t["o_custkey"], "_n": t["_n"]}),
+            batch_format="pyarrow",
+        )
+    )
+    joined = maybe.join(dkeys, join_type="left_outer", num_partitions=2, on=("c_custkey",))
+    survivors = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_n"])).select(["c_custkey", "c_name"]),
+        batch_format="pyarrow",
+    )
+    out = definite.union(survivors).sort("c_custkey")
+    tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:  # keep schema on empty results (driver column check)
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "c_name": pa.array([], pa.string())}
+        )
+    return tbl.select(["c_custkey", "c_name"])
+
+
 def embedding_neardup(sf_dir: str):
     """Embedding-cosine near-dup pairs via banded hyperplane-LSH blocking.
 

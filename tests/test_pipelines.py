@@ -174,3 +174,22 @@ def test_media_decode_stub_raises_without_fake():
 def test_langid_returns_counts():
     out = _pd(A.langid_predictions(SF))
     assert out["n"].sum() == 500
+
+
+def test_customers_no_orders_anti_join():
+    """Bloom-accelerated anti-join == DuckDB NOT-IN semantics at sf0.001."""
+    import duckdb
+
+    out = _pd(A.customers_no_orders(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name "
+        f"FROM '{SF}/customer.parquet' WHERE c_custkey NOT IN "
+        f"(SELECT o_custkey FROM '{SF}/orders.parquet' "
+        f"WHERE o_totalprice > 350000) ORDER BY c_custkey"
+    ).df()
+    con.close()
+    assert list(out.columns) == ["c_custkey", "c_name"]
+    pd.testing.assert_frame_equal(
+        out.astype({"c_custkey": "int64"}), want.reset_index(drop=True)
+    )
