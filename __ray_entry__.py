@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_event_types": A.top_event_types,
         "events_tumbling_hourly": A.events_tumbling_hourly,
         "events_hopping_15m": A.events_hopping_15m,
+        "hourly_active_users": A.hourly_active_users,
+        "exact_quantiles_by_lang": A.exact_quantiles_by_lang,
         "user_sessions": A.user_sessions,
         "orders_semi_join": A.orders_semi_join,
         "lang_sources_matrix": A.lang_sources_matrix,
@@ -199,6 +201,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM e, LATERAL unnest(generate_series("
             "(us - 3600000000) // 900000000 + 1, us // 900000000)) AS t(w) "
             "GROUP BY event_type, w"
+        ),
+        "hourly_active_users": (
+            "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            'FROM events GROUP BY "window" ORDER BY "window"'
+        ),
+        "exact_quantiles_by_lang": (
+            "SELECT lang, "
+            "CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25, "
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50, "
+            "CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75, "
+            "CAST(max(n_chars) AS BIGINT) AS p100 "
+            "FROM documents GROUP BY lang"
         ),
         "user_sessions": (
             "WITH o AS ("

@@ -216,6 +216,67 @@ def events_hopping_15m(sf_dir: str):
     return hopping_counts(ds, key="event_type", size_s=3600, hop_s=900)
 
 
+def exact_quantiles_by_lang(sf_dir: str):
+    """Exact per-lang quartiles of n_chars (percentile_disc semantics:
+    sorted[ceil(q*n)-1]) — the exact twin of the grouped t-digest/KLL build.
+
+    Exactness requires each group's full value column in one place, so this
+    shuffles O(rows) per group; it is the verification twin, bounded-
+    cardinality group keys only. The 100 TB path is quantile_sketches /
+    build_grouped (mergeable t-digest partials, O(blocks x sketch) traffic).
+    Quantiles chosen binary-exact (q*n never hits a float-repr boundary)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    QS = (0.25, 0.5, 0.75)
+
+    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy())
+        n = len(v)
+        idx = np.minimum(np.ceil(np.array(QS) * n).astype(np.int64) - 1, n - 1)
+        out = {"lang": [g["lang"].iloc[0]]}
+        for q, i in zip(QS, np.maximum(idx, 0)):
+            out[f"p{int(q * 100)}"] = [int(v[i])]
+        out["p100"] = [int(v[-1])]
+        return pd.DataFrame(out)
+
+    return ds.groupby("lang").map_groups(quartiles, batch_format="pandas")
+
+
+def hourly_active_users(sf_dir: str):
+    """Exact count(DISTINCT user_id) per tumbling hour — the exact twin of a
+    grouped HLL build.
+
+    Scale shape: dedupe per block first (in-batch numpy unique over the
+    (window, user) pair), THEN one native groupby over the already-thinned
+    pair stream, then a tiny per-window count. The pre-dedupe means the
+    shuffle carries at most one row per (window, user, block) instead of one
+    per event; when even the distinct pair set is too large, swap the tail
+    for hll_by_lang's grouped-sketch build (same call shape)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_dedupe(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((uid, win))
+        w, u = win[order], uid[order]
+        keep = np.ones(len(w), dtype=bool)
+        keep[1:] = (w[1:] != w[:-1]) | (u[1:] != u[:-1])
+        return pa.table({"window": pa.array(w[keep]), "user_id": pa.array(u[keep])})
+
+    from ray.data.aggregate import Count
+
+    pairs = ds.map_batches(pair_dedupe, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["window", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = (
+        distinct.select_columns(["window"])
+        .groupby("window")
+        .aggregate(Count(alias_name="n_users"))
+    )
+    return out.sort("window")
+
+
 def user_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user over the events log."""
     from ..stages.windows import sessionize

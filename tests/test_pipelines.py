@@ -193,3 +193,40 @@ def test_customers_no_orders_anti_join():
     pd.testing.assert_frame_equal(
         out.astype({"c_custkey": "int64"}), want.reset_index(drop=True)
     )
+
+
+def test_hourly_active_users_exact():
+    """Pre-deduped distinct-per-window == DuckDB count(DISTINCT)."""
+    import duckdb
+
+    out = _pd(A.hourly_active_users(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "
+        f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        f'FROM \'{SF}/events.parquet\' GROUP BY "window" ORDER BY "window"'
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+
+
+def test_exact_quantiles_by_lang():
+    """percentile_disc parity: sorted[ceil(q*n)-1] per lang."""
+    import duckdb
+
+    out = (
+        _pd(A.exact_quantiles_by_lang(SF))
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT lang, "
+        f"CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25, "
+        f"CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50, "
+        f"CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75, "
+        f"CAST(max(n_chars) AS BIGINT) AS p100 "
+        f"FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
