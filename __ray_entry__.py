@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_by_lang": A.hll_by_lang,
         "hll_by_lang_salted": A.hll_by_lang_salted,
         "cms_heavy_hitters": A.cms_heavy_hitters,
+        "mg_heavy_hitters": A.mg_heavy_hitters,
+        "mg_event_type_exact": A.mg_event_type_exact,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
         "clicks_last_purchase": A.clicks_last_purchase,
@@ -179,6 +181,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_type_counts": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+        ),
+        "mg_event_type_exact": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "top_event_types": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "

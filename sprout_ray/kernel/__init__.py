@@ -10,6 +10,7 @@ from .bloom import BloomCapacityError, BloomFilter, BloomMergeError, BloomStats,
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .misragries import MisraGries
 from .murmur3 import murmur3_64, murmur3_64_batch
 from .scalable_bloom import GROWTH_LARGE, GROWTH_SMALL, ScalableBloomFilter
 from .sketch import Sketch, SketchSpec, register_sketch
@@ -25,6 +26,7 @@ __all__ = [
     "GROWTH_SMALL",
     "HyperLogLog",
     "KLLSketch",
+    "MisraGries",
     "ScalableBloomFilter",
     "Sketch",
     "SketchSpec",

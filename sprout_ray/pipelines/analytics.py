@@ -579,6 +579,43 @@ def cms_heavy_hitters(sf_dir: str):
     )
 
 
+def mg_heavy_hitters(sf_dir: str):
+    """Self-candidating heavy hitters: one-pass distributed Misra-Gries.
+
+    Unlike cms_heavy_hitters (which needs an exact candidate set to probe),
+    the MG summary finds its own candidates: per-block partials of m=256
+    counters, tree-merged with additive error (kernel/misragries.py), then a
+    top-10 readout with per-key tight [lower, upper] count intervals. The
+    shuffle carries O(blocks x m) counters — row-count-independent."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    mg = build_sketch(ds, SketchSpec.of("mg", 256), on="user_id")
+    rows = mg.topk(10)
+    return pa.table(
+        {
+            "key": pa.array([k for k, _, _ in rows], pa.string()),
+            "count_lower": pa.array([lo for _, lo, _ in rows], pa.int64()),
+            "count_upper": pa.array([hi for _, _, hi in rows], pa.int64()),
+        }
+    )
+
+
+def mg_event_type_exact(sf_dir: str):
+    """MG summary degenerates to EXACT grouped counts when m exceeds the key
+    cardinality: no partial ever prunes, merges never prune, err_bound stays
+    0 — so this distributed sketch build is oracle-checkable against plain
+    GROUP BY counts (the asserts make the exactness claim load-bearing)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    mg = build_sketch(ds, SketchSpec.of("mg", 64), on="event_type")
+    assert mg.err_bound == 0, "m=64 must exceed event_type cardinality"
+    items = sorted(mg.counts.items())
+    return pa.table(
+        {
+            "event_type": pa.array([k for k, _ in items], pa.string()),
+            "n": pa.array([c for _, c in items], pa.int64()),
+        }
+    )
+
+
 def quantile_sketches(sf_dir: str):
     """t-digest + KLL quantiles of documents.n_chars — both built in ONE
     scan via multi_sketch_build (per-block partials updating every sketch)."""

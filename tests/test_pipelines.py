@@ -230,3 +230,31 @@ def test_exact_quantiles_by_lang():
     ).df()
     con.close()
     pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+
+
+def test_mg_heavy_hitters_bounds_and_exact_twin():
+    """Distributed MG build: top-k bounds bracket exact counts; the
+    below-capacity build is hash-exact vs GROUP BY."""
+    import duckdb
+
+    hh = _pd(A.mg_heavy_hitters(SF))
+    assert len(hh) == 10
+    con = duckdb.connect()
+    exact = (
+        con.execute(
+            f"SELECT CAST(user_id AS VARCHAR) k, count(*) n "
+            f"FROM '{SF}/events.parquet' GROUP BY 1"
+        )
+        .df()
+        .set_index("k")["n"]
+    )
+    for r in hh.itertuples():
+        assert r.count_lower <= exact[r.key] <= r.count_upper
+
+    ex = _pd(A.mg_event_type_exact(SF)).reset_index(drop=True)
+    want = con.execute(
+        f"SELECT event_type, CAST(count(*) AS BIGINT) AS n "
+        f"FROM '{SF}/events.parquet' GROUP BY event_type ORDER BY event_type"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(ex, want.reset_index(drop=True))

@@ -227,3 +227,77 @@ class TestSketchSpec:
         a = SketchSpec.of("bloom", 0.01, 1000)
         b = SketchSpec.of("bloom", 0.01, 1000)
         assert a == b and hash(a) == hash(b)
+
+
+class TestMisraGries:
+    """Heavy-hitters summary: deterministic bounds, mergeability, exactness
+    below capacity (kernel/misragries.py)."""
+
+    def test_bounds_and_guarantee_zipf(self):
+        import numpy as np
+        from collections import Counter
+
+        from sprout_ray.kernel.misragries import MisraGries
+
+        rng = np.random.default_rng(7)
+        keys = rng.zipf(1.4, 100_000).astype(str)
+        true = Counter(keys.tolist())
+        mg = MisraGries(m=64)
+        for off in range(0, len(keys), 8192):
+            mg.update_batch(keys[off : off + 8192])
+        assert mg.total == len(keys)
+        assert mg.err_bound <= len(keys) // 65 + 1
+        for k, lo, hi in mg.topk(20):
+            assert lo <= true[k] <= hi
+        thr = len(keys) / 65
+        for k, c in true.items():
+            if c > thr:
+                assert k in mg.counts
+
+    def test_merge_matches_bounds_and_is_order_insensitive(self):
+        import numpy as np
+        from collections import Counter
+
+        from sprout_ray.kernel.misragries import MisraGries
+
+        rng = np.random.default_rng(11)
+        keys = rng.zipf(1.3, 60_000).astype(str)
+        true = Counter(keys.tolist())
+        parts = []
+        for off in range(0, len(keys), 10_000):
+            p = MisraGries(m=48)
+            p.update_batch(keys[off : off + 10_000])
+            parts.append(p.to_bytes())
+        from sprout_ray.kernel.misragries import MisraGries as MG
+
+        fwd = MG.from_bytes(parts[0])
+        for b in parts[1:]:
+            fwd.merge(MG.from_bytes(b))
+        rev = MG.from_bytes(parts[-1])
+        for b in reversed(parts[:-1]):
+            rev.merge(MG.from_bytes(b))
+        assert fwd.total == rev.total == len(keys)
+        for acc in (fwd, rev):
+            assert acc.err_bound <= len(keys) // 49 + 1
+            for k, lo, hi in acc.topk(10):
+                assert lo <= true[k] <= hi
+
+    def test_exact_below_capacity_and_roundtrip(self):
+        from sprout_ray.kernel.misragries import MisraGries
+
+        mg = MisraGries(m=16)
+        mg.update_batch(["a", "b", "a", "c", "a", "b"])
+        assert mg.err_bound == 0
+        assert mg.counts == {"a": 3, "b": 2, "c": 1}
+        rt = MisraGries.from_bytes(mg.to_bytes())
+        assert rt.counts == mg.counts and rt.total == mg.total
+        assert rt.query("a") == (3, 3)
+
+    def test_geometry_mismatch_raises(self):
+        import pytest as _pytest
+
+        from sprout_ray.kernel.misragries import MisraGries
+
+        a, b = MisraGries(m=8), MisraGries(m=16)
+        with _pytest.raises(ValueError):
+            a.merge(b)
