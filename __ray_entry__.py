@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "mg_heavy_hitters": A.mg_heavy_hitters,
         "mg_event_type_exact": A.mg_event_type_exact,
+        "kmv_distinct_sample": A.kmv_distinct_sample,
+        "kmv_distinct_langs_exact": A.kmv_distinct_langs_exact,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
         "clicks_last_purchase": A.clicks_last_purchase,
@@ -185,6 +187,9 @@ def oracle_sql() -> dict[str, str]:
         "mg_event_type_exact": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        "kmv_distinct_langs_exact": (
+            "SELECT DISTINCT lang FROM documents ORDER BY lang"
         ),
         "top_event_types": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "

@@ -10,6 +10,7 @@ from .bloom import BloomCapacityError, BloomFilter, BloomMergeError, BloomStats,
 from .countmin import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .kmv import KMVSketch
 from .misragries import MisraGries
 from .murmur3 import murmur3_64, murmur3_64_batch
 from .scalable_bloom import GROWTH_LARGE, GROWTH_SMALL, ScalableBloomFilter
@@ -26,6 +27,7 @@ __all__ = [
     "GROWTH_SMALL",
     "HyperLogLog",
     "KLLSketch",
+    "KMVSketch",
     "MisraGries",
     "ScalableBloomFilter",
     "Sketch",

@@ -74,6 +74,7 @@ def _bootstrap() -> None:
     from .countmin import CountMinSketch
     from .hll import HyperLogLog
     from .kll import KLLSketch
+    from .kmv import KMVSketch
     from .misragries import MisraGries
     from .scalable_bloom import ScalableBloomFilter
     from .tdigest import TDigest
@@ -85,6 +86,7 @@ def _bootstrap() -> None:
     register_sketch("tdigest", TDigest, TDigest.from_bytes)
     register_sketch("kll", KLLSketch, KLLSketch.from_bytes)
     register_sketch("mg", MisraGries, MisraGries.from_bytes)
+    register_sketch("kmv", KMVSketch, KMVSketch.from_bytes)
 
 
 _bootstrap()

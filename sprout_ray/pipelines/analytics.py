@@ -616,6 +616,35 @@ def mg_event_type_exact(sf_dir: str):
     )
 
 
+def kmv_distinct_sample(sf_dir: str):
+    """Bottom-k distinct sketch over user_id: distinct-count estimate plus a
+    uniform without-replacement sample of the DISTINCT keys in one pass
+    (kernel/kmv.py). Shuffle traffic is O(blocks x k) retained minima —
+    row-count-independent; the sample is deterministic (murmur3 minima), so
+    re-runs and resumes agree."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    sk = build_sketch(ds, SketchSpec.of("kmv", 512), on="user_id")
+    r = sk.result()
+    return pa.table(
+        {
+            "estimate": pa.array([float(r["estimate"])], pa.float64()),
+            "n_retained": pa.array([r["n_retained"]], pa.int64()),
+            "exact": pa.array([bool(r["exact"])]),
+        }
+    )
+
+
+def kmv_distinct_langs_exact(sf_dir: str):
+    """Below capacity the KMV sketch retains EVERY distinct key, so the
+    distributed build returns the exact distinct set — oracle-checkable
+    against SELECT DISTINCT (same exact-degenerate pattern as
+    mg_event_type_exact)."""
+    ds = _read(sf_dir, "documents", ["lang"])
+    sk = build_sketch(ds, SketchSpec.of("kmv", 64), on="lang")
+    assert sk.is_exact(), "k=64 must exceed lang cardinality"
+    return pa.table({"lang": pa.array(sorted(sk.sample()), pa.string())})
+
+
 def quantile_sketches(sf_dir: str):
     """t-digest + KLL quantiles of documents.n_chars — both built in ONE
     scan via multi_sketch_build (per-block partials updating every sketch)."""

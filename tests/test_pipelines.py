@@ -258,3 +258,30 @@ def test_mg_heavy_hitters_bounds_and_exact_twin():
     ).df()
     con.close()
     pd.testing.assert_frame_equal(ex, want.reset_index(drop=True))
+
+
+def test_kmv_distinct_pipeline():
+    """Distributed KMV build: estimate brackets exact distinct count; the
+    below-capacity build returns the exact distinct set."""
+    import duckdb
+
+    est = _pd(A.kmv_distinct_sample(SF))
+    con = duckdb.connect()
+    true = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    e = est["estimate"].iloc[0]
+    if est["exact"].iloc[0]:
+        assert e == true
+    else:
+        assert abs(e - true) / true < 0.2
+
+    langs = _pd(A.kmv_distinct_langs_exact(SF))["lang"].tolist()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT DISTINCT lang FROM '{SF}/documents.parquet' ORDER BY lang"
+        ).fetchall()
+    ]
+    con.close()
+    assert langs == want

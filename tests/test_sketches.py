@@ -301,3 +301,67 @@ class TestMisraGries:
         a, b = MisraGries(m=8), MisraGries(m=16)
         with _pytest.raises(ValueError):
             a.merge(b)
+
+
+class TestKMV:
+    """Bottom-k distinct sketch: estimate bounds, deterministic merge,
+    exact-below-capacity (kernel/kmv.py)."""
+
+    def test_estimate_within_bound(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sprout_ray.kernel.kmv import KMVSketch
+
+        rng = np.random.default_rng(3)
+        keys = [f"key-{i}" for i in rng.integers(0, 50000, 150_000)]
+        true = len(set(keys))
+        sk = KMVSketch(k=512)
+        for off in range(0, len(keys), 32768):
+            sk.update_batch(pa.array(keys[off : off + 32768]))
+        assert abs(sk.estimate() - true) / true < 0.15  # ~3/sqrt(k)
+
+    def test_merge_deterministic_and_order_insensitive(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sprout_ray.kernel.kmv import KMVSketch
+
+        rng = np.random.default_rng(5)
+        keys = [f"k{i}" for i in rng.integers(0, 9000, 40_000)]
+        single = KMVSketch(k=256)
+        single.update_batch(pa.array(keys))
+        parts = []
+        for off in range(0, len(keys), 9000):
+            p = KMVSketch(k=256)
+            p.update_batch(pa.array(keys[off : off + 9000]))
+            parts.append(p.to_bytes())
+        fwd = KMVSketch.from_bytes(parts[0])
+        for b in parts[1:]:
+            fwd.merge(KMVSketch.from_bytes(b))
+        rev = KMVSketch.from_bytes(parts[-1])
+        for b in reversed(parts[:-1]):
+            rev.merge(KMVSketch.from_bytes(b))
+        assert np.array_equal(fwd.hashes, rev.hashes)
+        assert np.array_equal(fwd.hashes, single.hashes)
+        assert fwd.keys == single.keys
+        assert set(fwd.sample()) <= set(keys)
+
+    def test_exact_below_capacity_roundtrip(self):
+        import pyarrow as pa
+
+        from sprout_ray.kernel.kmv import KMVSketch
+
+        sk = KMVSketch(k=64)
+        sk.update_batch(pa.array(["x", "y", "x", "z"]))
+        assert sk.is_exact() and sk.estimate() == 3.0
+        rt = KMVSketch.from_bytes(sk.to_bytes())
+        assert sorted(rt.sample()) == ["x", "y", "z"]
+
+    def test_geometry_mismatch_raises(self):
+        import pytest as _pytest
+
+        from sprout_ray.kernel.kmv import KMVSketch
+
+        with _pytest.raises(ValueError):
+            KMVSketch(k=8).merge(KMVSketch(k=16))
