@@ -44,6 +44,10 @@ def _spec_from_args(args):
         return SketchSpec.of("tdigest", args.compression)
     if kind == "kll":
         return SketchSpec.of("kll", args.k)
+    if kind == "mg":
+        return SketchSpec.of("mg", args.m)
+    if kind == "kmv":
+        return SketchSpec.of("kmv", args.k)
     raise SystemExit(f"unknown sketch kind {kind!r}")
 
 
@@ -210,7 +214,8 @@ def main(argv=None) -> int:
 
     def common(sp):
         sp.add_argument("--sketch", default="bloom",
-                        choices=["bloom", "sbf", "hll", "cms", "tdigest", "kll"])
+                        choices=["bloom", "sbf", "hll", "cms", "tdigest", "kll",
+                                 "mg", "kmv"])
         sp.add_argument("--err-rate", type=float, default=0.001)
         sp.add_argument("--capacity", type=int, default=10_000)
         sp.add_argument("--growth-rate", type=int, default=2)
@@ -219,6 +224,7 @@ def main(argv=None) -> int:
         sp.add_argument("--delta", type=float, default=0.01)
         sp.add_argument("--compression", type=float, default=200.0)
         sp.add_argument("--k", type=int, default=200)
+        sp.add_argument("--m", type=int, default=256, help="mg counter capacity")
         sp.add_argument("--num-cpus", type=int,
                         default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 

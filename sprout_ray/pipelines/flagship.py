@@ -204,6 +204,8 @@ def flagship_over_documents(sf_dir: str) -> pa.Table:
             "cms_lang": (SketchSpec.of("cms", 0.0001, 0.01), "lang"),
             "tdigest_len": (SketchSpec.of("tdigest", 200.0), "content_len"),
             "kll_len": (SketchSpec.of("kll", 200), "content_len"),
+            "mg_lang": (SketchSpec.of("mg", 256), "lang"),
+            "kmv_repo": (SketchSpec.of("kmv", 512), "repo"),
         },
     )
     rows = []
