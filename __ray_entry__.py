@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mg_event_type_exact": A.mg_event_type_exact,
         "kmv_distinct_sample": A.kmv_distinct_sample,
         "kmv_distinct_langs_exact": A.kmv_distinct_langs_exact,
+        "kmv_user_overlap": A.kmv_user_overlap,
+        "top_source_per_lang": A.top_source_per_lang,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
         "clicks_last_purchase": A.clicks_last_purchase,
@@ -190,6 +192,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmv_distinct_langs_exact": (
             "SELECT DISTINCT lang FROM documents ORDER BY lang"
+        ),
+        "kmv_user_overlap": (
+            # valid in the sketches' exact regime (distinct users < k=512 at
+            # driver sf; the Ray side's combined-bottom-k estimator is then
+            # exactly i/u — see kernel/kmv.py)
+            "WITH a AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type='click'), "
+            "b AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type='purchase'), "
+            "u AS (SELECT count(*) AS n FROM "
+            "(SELECT * FROM a UNION SELECT * FROM b)), "
+            "i AS (SELECT count(*) AS n FROM a JOIN b USING (user_id)) "
+            "SELECT CAST(i.n AS DOUBLE) / u.n AS jaccard, "
+            "CAST(u.n AS DOUBLE) AS union_est, "
+            "CAST(i.n AS DOUBLE) AS inter_est, "
+            "TRUE AS exact FROM u, i"
+        ),
+        "top_source_per_lang": (
+            "SELECT lang, source AS top_source FROM ("
+            "SELECT lang, source, row_number() OVER "
+            "(PARTITION BY lang ORDER BY count(*) DESC, source) AS rn "
+            "FROM documents GROUP BY lang, source) WHERE rn = 1 ORDER BY lang"
         ),
         "top_event_types": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "

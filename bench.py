@@ -93,13 +93,14 @@ def headline(sf_dir: str) -> dict:
         )
         return multi_sketch_build(ds, build_specs)
 
-    # untimed warm-up: spawns + imports the full worker pool and warms the
-    # OS page cache, so the timed runs measure steady-state throughput
-    # (cold pool start costs ~100s of kernel time on this VM class).
-    # SPROUT_BENCH_WARMUP_ROWS shrinks the warm-up corpus (the pool spawn +
-    # import is what matters, not the row count) — the scaling battery uses
-    # 1M so low-CPU levels don't pay a full extra build.
-    wrows = int(os.environ.get("SPROUT_BENCH_WARMUP_ROWS", "0"))
+    # untimed warm-up: spawns + imports the full worker pool (cold pool
+    # start costs ~100s of kernel time on this VM class). A small warm-up
+    # corpus is the default: the pool spawn + import is what matters, not
+    # the row count, and the saved wall buys an extra timed trial — this
+    # host's memory bandwidth swings 4-10x on minute timescales (see
+    # BASELINE.md "Scaling evidence"), so min-of-3 trials is the better
+    # spend. SPROUT_BENCH_WARMUP_ROWS=0 forces a full-size warm-up.
+    wrows = int(os.environ.get("SPROUT_BENCH_WARMUP_ROWS", "2000000"))
     if wrows and wrows < BENCH_ROWS:
         wcorpus = _ensure_bench_corpus(rows=wrows)
         wspecs = {
@@ -111,10 +112,10 @@ def headline(sf_dir: str) -> dict:
         one_build()
 
     # shared-host noise is ~3x run to run; report the min of the timed runs
-    # (SPROUT_BENCH_TRIALS, default 2 — the scaling battery uses 1 per
+    # (SPROUT_BENCH_TRIALS, default 3 — the scaling battery uses 1 per
     # process and takes min across interleaved processes instead)
     trials = []
-    for _ in range(int(os.environ.get("SPROUT_BENCH_TRIALS", "2"))):
+    for _ in range(int(os.environ.get("SPROUT_BENCH_TRIALS", "3"))):
         t0 = time.time()
         built = one_build()
         trials.append(time.time() - t0)

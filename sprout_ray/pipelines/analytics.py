@@ -616,6 +616,76 @@ def mg_event_type_exact(sf_dir: str):
     )
 
 
+def top_source_per_lang(sf_dir: str):
+    """Grouped Misra-Gries readout: per-lang most frequent source.
+
+    A distributed grouped sketch build (one MG partial per (block, lang),
+    merged inside the groupby-aggregate — skew notes at
+    stages/builder.build_grouped) whose m=64 capacity exceeds the source
+    cardinality, so every per-group summary is provably exact and the top-1
+    readout is oracle-checkable; MG's (count desc, key asc) tie-break is
+    mirrored in the SQL twin's ORDER BY."""
+
+    def top1(sk) -> str:
+        assert sk.err_bound == 0, "m=64 must exceed source cardinality"
+        return sk.topk(1)[0][0]
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    out = build_grouped(
+        ds, SketchSpec.of("mg", 64), on="source", key="lang",
+        finalizer=top1, alias="top_source",
+    )
+    return out.sort("lang")
+
+
+def kmv_user_overlap(sf_dir: str):
+    """Distinct-set overlap from two KMV sketches: Jaccard / intersection /
+    union of (click users, purchase users) WITHOUT a distinct-join.
+
+    Combined bottom-k estimator (Beyer et al. SIGMOD 2007): take the k
+    smallest hashes of the union of the two minima sets; the fraction also
+    present in BOTH sketches estimates Jaccard; union size comes from the
+    k-th minimum; intersection = J x union. Each side is one streaming
+    sketch build — the shuffle carries O(blocks x k) minima, and the two
+    sides never co-shuffle (vs an exact distinct-join of the raw streams)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    a = build_sketch(
+        ev.filter(expr="event_type == 'click'"), SketchSpec.of("kmv", 512),
+        on="user_id",
+    )
+    b = build_sketch(
+        ev.filter(expr="event_type == 'purchase'"), SketchSpec.of("kmv", 512),
+        on="user_id",
+    )
+    ha, hb = set(a.hashes.tolist()), set(b.hashes.tolist())
+    exact = a.is_exact() and b.is_exact()
+    if exact:
+        # below capacity both sketches hold EVERY distinct key: the readout
+        # is the exact overlap (ulp-safe: no estimator round-trip), which
+        # makes this query oracle-checkable in the exact regime
+        union_est = float(len(ha | hb))
+        inter_est = float(len(ha & hb))
+        j = inter_est / max(union_est, 1.0)
+    else:
+        union_minima = np.array(sorted(ha | hb), dtype=np.uint64)[: a.k]
+        k_used = int(union_minima.size)
+        both = sum(1 for h in union_minima.tolist() if h in ha and h in hb)
+        j = both / max(k_used, 1)
+        if k_used < a.k:
+            union_est = float(k_used)
+        else:
+            union_est = (a.k - 1) / ((float(union_minima[-1]) + 1.0) / float(2**64))
+        inter_est = j * union_est
+    return pa.table(
+        {
+            "jaccard": pa.array([j], pa.float64()),
+            "union_est": pa.array([union_est], pa.float64()),
+            "inter_est": pa.array([inter_est], pa.float64()),
+            "exact": pa.array([exact]),
+        }
+    )
+
+
 def kmv_distinct_sample(sf_dir: str):
     """Bottom-k distinct sketch over user_id: distinct-count estimate plus a
     uniform without-replacement sample of the DISTINCT keys in one pass

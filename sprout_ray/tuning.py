@@ -38,6 +38,10 @@ class _CosmeticWarningFilter:
     _NEEDLES = (
         "Failed to hash the schemas (for deduplication)",
         "with a different schema",
+        # AggregateFnV2 intermediate accumulators are sketch OBJECTS; Ray
+        # ships them pickled by design (sketch-sized, not row-sized). The
+        # per-block fallback notice + traceback reads as an error.
+        "falling back to serialize as pickled python objects",
     )
 
     def filter(self, record) -> bool:
@@ -53,6 +57,7 @@ def quiet_cosmetic_ray_warnings() -> None:
     for name in (
         "ray.data._internal.arrow_ops.transform_pyarrow",
         "ray.data._internal.execution.streaming_executor_state",
+        "ray.air.util.tensor_extensions.arrow",
     ):
         lg = logging.getLogger(name)
         if not any(isinstance(f, _CosmeticWarningFilter) for f in lg.filters):

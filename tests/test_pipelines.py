@@ -285,3 +285,45 @@ def test_kmv_distinct_pipeline():
     ]
     con.close()
     assert langs == want
+
+
+def test_top_source_per_lang_grouped_mg():
+    """Grouped MG (exact-degenerate) top-1 == SQL window-function answer."""
+    import duckdb
+
+    out = _pd(A.top_source_per_lang(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT lang, source AS top_source FROM ("
+        f"SELECT lang, source, row_number() OVER "
+        f"(PARTITION BY lang ORDER BY count(*) DESC, source) AS rn "
+        f"FROM '{SF}/documents.parquet' GROUP BY lang, source) "
+        f"WHERE rn = 1 ORDER BY lang"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+
+
+def test_kmv_user_overlap_bounds():
+    """KMV Jaccard/intersection estimates bracket the exact overlap."""
+    import duckdb
+
+    out = _pd(A.kmv_user_overlap(SF)).iloc[0]
+    con = duckdb.connect()
+    na, nb, ni, nu = con.execute(
+        f"WITH a AS (SELECT DISTINCT user_id FROM '{SF}/events.parquet' "
+        f"WHERE event_type='click'), "
+        f"b AS (SELECT DISTINCT user_id FROM '{SF}/events.parquet' "
+        f"WHERE event_type='purchase') "
+        f"SELECT (SELECT count(*) FROM a), (SELECT count(*) FROM b), "
+        f"(SELECT count(*) FROM a JOIN b USING (user_id)), "
+        f"(SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))"
+    ).fetchone()
+    con.close()
+    true_j = ni / nu
+    if out["exact"]:
+        assert out["jaccard"] == pytest.approx(true_j)
+        assert out["union_est"] == nu and out["inter_est"] == pytest.approx(ni)
+    else:
+        assert abs(out["jaccard"] - true_j) < 0.15
+        assert abs(out["union_est"] - nu) / nu < 0.2
