@@ -199,3 +199,160 @@ def _drain_one(pending: dict, sketches: list, metrics: dict, ckpt_dir: str, spec
     metrics["built"] += 1
     metrics["rows"] += nrows
     return sketches, metrics
+
+
+# ---------------------------------------------------------------------------
+# Multi-sketch resumable build: one scan per partition updates EVERY sketch
+# (the flagship battery's resume story — the reference can only persist one
+# filter per file, bloom.go:410-425; here a 10-sketch battery checkpoints and
+# resumes as a unit without re-reading finished shards).
+# ---------------------------------------------------------------------------
+
+
+def _multi_manifest_path(ckpt_dir: str, pid: int) -> str:
+    return os.path.join(ckpt_dir, f"multi-{pid:05d}.parquet")
+
+
+def write_multi_checkpoint(
+    ckpt_dir: str, pid: int, specs: dict, blobs: dict, rows: int, input_files: list
+) -> str:
+    """One parquet file per partition, one row per sketch name (atomic)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    names = sorted(specs)
+    lineage = json.dumps(
+        {"input_files": list(input_files), "rows": rows,
+         "specs": {n: _spec_json(specs[n][0]) for n in names}}
+    )
+    tbl = pa.table(
+        {
+            "partition_id": pa.array([pid] * len(names), pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "sketch_kind": pa.array([specs[n][0].kind for n in names], pa.string()),
+            "spec": pa.array([_spec_json(specs[n][0]) for n in names], pa.string()),
+            "state": pa.array([blobs[n] for n in names], pa.large_binary()),
+            "rows": pa.array([rows] * len(names), pa.int64()),
+            "lineage": pa.array([lineage] * len(names), pa.string()),
+        }
+    )
+    final = _multi_manifest_path(ckpt_dir, pid)
+    tmp = final + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def _load_multi_checkpoint(ckpt_dir: str, pid: int, specs: dict, files: list):
+    """Partition's blobs dict if the checkpoint covers every requested sketch
+    with matching spec AND lineage; None -> rebuild."""
+    path = _multi_manifest_path(ckpt_dir, pid)
+    if not os.path.exists(path):
+        return None
+    rows = pq.read_table(path).to_pylist()
+    by_name = {r["name"]: r for r in rows}
+    for name, (spec, _on) in specs.items():
+        r = by_name.get(name)
+        if r is None or r["spec"] != _spec_json(spec):
+            return None
+        if json.loads(r["lineage"]).get("input_files") != list(files):
+            return None
+    return {n: by_name[n] for n in specs}
+
+
+def _build_partition_multi_task(files: list, specs_items: list, derive=None) -> tuple:
+    """One streaming scan of the shard updates every sketch.
+
+    ``specs_items``: [(name, spec, on)]. ``derive`` (optional) maps each
+    Arrow batch-table before column extraction, so sketches can target
+    derived columns (sha256 invariant, content_len) without materializing
+    them anywhere."""
+    from ..stages.builder import update_chunked
+
+    sks = {name: spec.make() for name, spec, _on in specs_items}
+    # derive may reference any input column -> read all; otherwise prune the
+    # scan to exactly the sketched columns
+    raw_cols = None if derive else sorted({on for _, _, on in specs_items})
+    rows = 0
+    for path in files:
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(columns=raw_cols):
+            t = pa.Table.from_batches([batch])
+            if derive is not None:
+                t = derive(t)
+            for name, spec, on in specs_items:
+                col = t.column(on)
+                if col.null_count:
+                    col = col.drop_null()
+                if len(col):
+                    update_chunked(sks[name], spec.kind, col)
+            rows += batch.num_rows
+    return {name: sk.to_bytes() for name, sk in sks.items()}, rows
+
+
+def build_multi_with_checkpoints(
+    input_files: list,
+    specs: dict,
+    ckpt_dir: str,
+    files_per_partition: int = 1,
+    max_concurrency: int = 16,
+    derive=None,
+):
+    """Resumable MULTI-sketch build: ``specs`` = name -> (SketchSpec, on).
+
+    One partition per ``files_per_partition`` input files; each pending
+    partition is one Ray task that streams its shard's row groups ONCE and
+    updates every sketch (same single-scan economics as
+    pipelines.flagship.multi_sketch_build, plus checkpoints). A partition
+    resumes only when its checkpoint covers every requested sketch with
+    matching spec and lineage; partial/stale checkpoints rebuild the whole
+    partition (the scan is shared, so per-sketch resume would re-read the
+    shard anyway). Returns ({name: sketch}, metrics)."""
+    import ray
+
+    parts = [
+        (i, input_files[i * files_per_partition : (i + 1) * files_per_partition])
+        for i in range(
+            (len(input_files) + files_per_partition - 1) // files_per_partition
+        )
+    ]
+    metrics = {"partitions": len(parts), "resumed": 0, "built": 0, "rows": 0}
+    specs_items = [(n, s, on) for n, (s, on) in sorted(specs.items())]
+    task = ray.remote(_build_partition_multi_task)
+
+    accs: dict = {}
+    pending: dict = {}
+
+    def account(blobs: dict, nrows: int):
+        for name, (spec, _on) in specs.items():
+            b = blobs[name]
+            sk = sketch_from_bytes(b if isinstance(b, bytes) else b["state"])
+            if name in accs:
+                accs[name].merge(sk)
+            else:
+                accs[name] = sk
+        metrics["rows"] += nrows
+
+    def drain_one():
+        ready, _ = ray.wait(list(pending), num_returns=1)
+        ref = ready[0]
+        pid, files = pending.pop(ref)
+        blobs, nrows = ray.get(ref)
+        write_multi_checkpoint(ckpt_dir, pid, specs, blobs, nrows, files)
+        account(blobs, nrows)
+        metrics["built"] += 1
+
+    for pid, files in parts:
+        done = _load_multi_checkpoint(ckpt_dir, pid, specs, files)
+        if done is not None:
+            account(done, done[specs_items[0][0]]["rows"])
+            metrics["resumed"] += 1
+            continue
+        ref = task.options(num_cpus=1).remote(files, specs_items, derive)
+        pending[ref] = (pid, files)
+        while len(pending) >= max_concurrency:
+            drain_one()
+    while pending:
+        drain_one()
+
+    for name, (spec, _on) in specs.items():
+        accs.setdefault(name, spec.make())
+    return accs, metrics

@@ -236,3 +236,74 @@ def test_serialized_roundtrip_through_object_store(corpus_ds):
     ref = ray.put(h.to_bytes())
     back = sketch_from_bytes(ray.get(ref))
     assert (back.registers == h.registers).all()
+
+
+def test_multi_checkpoint_resume(corpus, tmp_path):
+    """One-scan multi-sketch build resumes as a unit; results match the
+    single-sketch checkpointed builds."""
+    from sprout_ray.state.checkpoint import (
+        build_multi_with_checkpoints,
+        build_with_checkpoints,
+    )
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    specs = {
+        "hll_repo": (SketchSpec.of("hll", 12), "repo"),
+        "cms_lang": (SketchSpec.of("cms", 0.001, 0.01), "lang"),
+        "mg_lang": (SketchSpec.of("mg", 64), "lang"),
+    }
+    ck = str(tmp_path / "mck")
+    built, m1 = build_multi_with_checkpoints(files, specs, ckpt_dir=ck)
+    assert m1["built"] == len(files) and m1["resumed"] == 0
+    assert m1["rows"] == N_ROWS
+    single, _ = build_with_checkpoints(
+        files, specs["hll_repo"][0], on="repo", ckpt_dir=str(tmp_path / "sck")
+    )
+    assert (built["hll_repo"].registers == single.registers).all()
+    assert built["mg_lang"].total == N_ROWS and built["mg_lang"].err_bound == 0
+
+    # full resume: nothing rebuilt, identical states
+    again, m2 = build_multi_with_checkpoints(files, specs, ckpt_dir=ck)
+    assert m2["built"] == 0 and m2["resumed"] == len(files)
+    assert (again["hll_repo"].registers == built["hll_repo"].registers).all()
+    assert again["mg_lang"].counts == built["mg_lang"].counts
+
+    # partial resume: drop one partition's manifest -> only it rebuilds
+    os.remove(os.path.join(ck, "multi-00000.parquet"))
+    third, m3 = build_multi_with_checkpoints(files, specs, ckpt_dir=ck)
+    assert m3["built"] == 1 and m3["resumed"] == len(files) - 1
+    assert (third["hll_repo"].registers == built["hll_repo"].registers).all()
+
+    # spec change for ONE sketch invalidates the unit (shared scan)
+    specs2 = dict(specs)
+    specs2["hll_repo"] = (SketchSpec.of("hll", 10), "repo")
+    _, m4 = build_multi_with_checkpoints(files, specs2, ckpt_dir=ck)
+    assert m4["built"] == len(files) and m4["resumed"] == 0
+
+
+def test_multi_checkpoint_derive_column(corpus, tmp_path):
+    """Sketches over derived columns (sha256 invariant) checkpoint too."""
+    from sprout_ray.functions.hashing import add_sha256
+    from sprout_ray.state.checkpoint import build_multi_with_checkpoints
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )[:2]
+    specs = {
+        "bloom_sha": (SketchSpec.of("bloom", 0.01, 20_000), "sha256"),
+        "hll_sha": (SketchSpec.of("hll", 12), "sha256"),
+    }
+    built, m = build_multi_with_checkpoints(
+        files, specs, ckpt_dir=str(tmp_path / "dck"),
+        derive=lambda t: add_sha256(t, column="content"),
+    )
+    assert m["built"] == 2
+    assert built["bloom_sha"].count == m["rows"]
+    resumed, m2 = build_multi_with_checkpoints(
+        files, specs, ckpt_dir=str(tmp_path / "dck"),
+        derive=lambda t: add_sha256(t, column="content"),
+    )
+    assert m2["resumed"] == 2 and m2["built"] == 0
+    assert resumed["bloom_sha"].count == built["bloom_sha"].count
