@@ -216,11 +216,22 @@ def run_scaling() -> dict:
     runs ``trials`` times interleaved and the per-level MIN (standard
     noise-robust estimator) feeds the efficiency number."""
 
+    # scaling defaults: efficiency is a ratio, so it doesn't need the full
+    # 16M corpus — 4M rows keeps a 4-CPU trial in minutes; one timed trial
+    # per process (min is taken ACROSS interleaved processes); tiny warm-up
+    # (pool spawn + imports are what it pays for). All overridable via env.
+    rows = int(os.environ.get("SPROUT_BENCH_ROWS", "4000000"))
+
     def sub(ncpu: int) -> float:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             SPROUT_BENCH_HEADLINE_ONLY="1",
+            SPROUT_BENCH_ROWS=str(rows),
+            SPROUT_BENCH_TRIALS=os.environ.get("SPROUT_BENCH_TRIALS", "1"),
+            SPROUT_BENCH_WARMUP_ROWS=os.environ.get(
+                "SPROUT_BENCH_WARMUP_ROWS", "1000000"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -279,18 +290,18 @@ def run_scaling() -> dict:
 
     return {
         "metric": (
-            f"scaling efficiency (same {BENCH_ROWS}-row build at "
+            f"scaling efficiency (same {rows}-row build at "
             f"num_cpus={lo} vs {hi}, min of {trials})"
         ),
         f"sec_{lo}": best_lo,
         f"sec_{hi}": best_hi,
         f"sec_{lo}_trials": t_lo,
         f"sec_{hi}_trials": t_hi,
-        f"rows_per_sec_{lo}": round(BENCH_ROWS / best_lo),
-        f"rows_per_sec_{hi}": round(BENCH_ROWS / best_hi),
+        f"rows_per_sec_{lo}": round(rows / best_lo),
+        f"rows_per_sec_{hi}": round(rows / best_hi),
         "scaling_efficiency": round(eff, 3),
         "engine_probe": probe,
-        "rows": BENCH_ROWS,
+        "rows": rows,
     }
 
 
