@@ -1,0 +1,99 @@
+"""Hypothesis property tests for the mergeable-summary kernels (no Ray).
+
+The distributed engine's correctness rests on two algebraic facts per
+sketch: (1) the single-pass bounds hold for ANY input, (2) merging
+arbitrary partial splits preserves them (associativity is what makes the
+tree merges in stages/builder.py legal). Randomized splits + adversarial
+key multisets probe exactly those.
+"""
+
+from collections import Counter
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sprout_ray.kernel.kmv import KMVSketch
+from sprout_ray.kernel.misragries import MisraGries
+
+keys_strategy = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0, max_size=400
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys=keys_strategy, m=st.integers(min_value=1, max_value=32))
+def test_mg_bounds_any_input(keys, m):
+    mg = MisraGries(m=m)
+    mg.update_batch(np.asarray(keys, dtype=object)) if keys else None
+    true = Counter(keys)
+    assert mg.total == len(keys)
+    # deterministic interval per tracked key; decrement budget bound
+    assert mg.err_bound * (m + 1) <= len(keys)
+    for k, c in mg.counts.items():
+        assert c <= true[k] <= c + mg.err_bound
+    # guarantee: heavy keys are never evicted
+    for k, c in true.items():
+        if c > len(keys) / (m + 1):
+            assert k in mg.counts
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=keys_strategy,
+    m=st.integers(min_value=1, max_value=32),
+    splits=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+)
+def test_mg_merged_splits_keep_bounds(keys, m, splits):
+    cuts = sorted({s for s in splits if s < len(keys)})
+    parts, prev = [], 0
+    for c in cuts + [len(keys)]:
+        p = MisraGries(m=m)
+        if keys[prev:c]:
+            p.update_batch(np.asarray(keys[prev:c], dtype=object))
+        parts.append(p)
+        prev = c
+    acc = MisraGries.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        acc.merge(MisraGries.from_bytes(p.to_bytes()))
+    true = Counter(keys)
+    assert acc.total == len(keys)
+    assert acc.err_bound * (m + 1) <= len(keys)
+    for k, c in acc.counts.items():
+        assert c <= true[k] <= c + acc.err_bound
+    for k, c in true.items():
+        if c > len(keys) / (m + 1):
+            assert k in acc.counts
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    keys=keys_strategy,
+    k=st.integers(min_value=2, max_value=64),
+    splits=st.lists(st.integers(min_value=0, max_value=400), max_size=4),
+)
+def test_kmv_merge_equals_single_pass(keys, k, splits):
+    import pyarrow as pa
+
+    single = KMVSketch(k=k)
+    if keys:
+        single.update_batch(pa.array(keys))
+    cuts = sorted({s for s in splits if s < len(keys)})
+    parts, prev = [], 0
+    for c in cuts + [len(keys)]:
+        p = KMVSketch(k=k)
+        if keys[prev:c]:
+            p.update_batch(pa.array(keys[prev:c]))
+        parts.append(p)
+        prev = c
+    acc = KMVSketch.from_bytes(parts[0].to_bytes())
+    for p in parts[1:]:
+        acc.merge(KMVSketch.from_bytes(p.to_bytes()))
+    # bottom-k of a union is determined by the unions of bottom-k sets:
+    # any split merges to EXACTLY the single-pass state
+    assert np.array_equal(acc.hashes, single.hashes)
+    assert acc.keys == single.keys
+    n_distinct = len(set(keys))
+    if n_distinct < k:
+        assert acc.is_exact() and acc.estimate() == float(n_distinct)
+        assert sorted(acc.sample()) == sorted(set(keys))
