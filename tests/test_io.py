@@ -45,3 +45,46 @@ def test_resumable_transform_write(ray_session, tmp_path):
     m3 = resumable_transform_write(files, out, transform=_transform)
     assert m3["written"] == 1 and m3["resumed"] == 3
     assert os.path.isdir(victim)
+
+
+def test_read_any_formats_build_identical_sketch(ray_session, tmp_path):
+    """Parquet / CSV / JSONL ingest of the same rows feed bit-identical
+    sketch builds (sources/formats.py)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sprout_ray.kernel import SketchSpec
+    from sprout_ray.sources.formats import detect_format, read_any
+    from sprout_ray.stages.builder import build_sketch
+
+    t = pa.table(
+        {
+            "repo": [f"r{i % 7}" for i in range(200)],
+            "content": [f"doc body {i}" for i in range(200)],
+        }
+    )
+    pq_path = str(tmp_path / "d.parquet")
+    csv_path = str(tmp_path / "d.csv")
+    json_path = str(tmp_path / "d.jsonl")
+    pq.write_table(t, pq_path)
+    con = duckdb.connect()
+    con.execute(f"COPY (SELECT * FROM '{pq_path}') TO '{csv_path}' (HEADER)")
+    con.execute(
+        f"COPY (SELECT * FROM '{pq_path}') TO '{json_path}' (FORMAT JSON)"
+    )
+    con.close()
+
+    assert detect_format(pq_path) == "parquet"
+    assert detect_format(csv_path) == "csv"
+    assert detect_format(json_path) == "json"
+
+    spec = SketchSpec.of("hll", 12)
+    built = {
+        p: build_sketch(read_any(p, columns=["repo"]), spec, on="repo")
+        for p in (pq_path, csv_path, json_path)
+    }
+    ref = built[pq_path]
+    assert ref.estimate() > 0
+    for p, sk in built.items():
+        assert (sk.registers == ref.registers).all(), p
