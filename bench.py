@@ -35,14 +35,23 @@ quiet_cosmetic_ray_warnings()
 # SPROUT_BENCH_ROWS (efficiency is a ratio — it doesn't need the full corpus,
 # and a 2-CPU 16M build costs ~20 min/trial in slow host phases).
 BENCH_ROWS = int(os.environ.get("SPROUT_BENCH_ROWS", "16000000"))
-BENCH_CORPUS = f"/tmp/sprout_bench_corpus_{BENCH_ROWS // 1_000_000}m"
+
+
+def _corpus_tag(rows: int) -> str:
+    # whole millions keep the legacy "Nm" cache names; anything else gets
+    # the exact row count (sub-1M sizes used to ALL collide at "0m" and
+    # silently reuse whatever corpus was cached there first)
+    return f"{rows // 1_000_000}m" if rows and rows % 1_000_000 == 0 else str(rows)
+
+
+BENCH_CORPUS = f"/tmp/sprout_bench_corpus_{_corpus_tag(BENCH_ROWS)}"
 
 
 def _ensure_bench_corpus(rows: int = None, n_files: int = 64):
     from sprout_ray.sources.synth import ensure_corpus
 
     rows = rows or BENCH_ROWS
-    path = f"/tmp/sprout_bench_corpus_{rows // 1_000_000}m"
+    path = f"/tmp/sprout_bench_corpus_{_corpus_tag(rows)}"
     return ensure_corpus(path, rows, n_files=n_files, seed=42)
 
 
