@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
         "embedding_neardup_exact": A.embedding_neardup_exact,
+        "token_jaccard_top1": A.token_jaccard_top1,
         "ann_brute_topk": A.ann_brute_topk,
         "ann_ivf_topk": A.ann_ivf_topk,
         "langid_predictions": A.langid_predictions,
@@ -84,6 +85,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_jaccard_top1": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
+            "FROM documents WHERE trim(text) <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+            "q AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 20), "
+            "qsizes AS (SELECT qid, count(*) AS n FROM q GROUP BY qid), "
+            "inter AS (SELECT q.qid, t.doc_id, count(*) AS i FROM toks t "
+            "JOIN q ON t.tok = q.tok WHERE t.doc_id <> q.qid "
+            "GROUP BY q.qid, t.doc_id), "
+            "scored AS (SELECT inter.qid, inter.doc_id, "
+            "CAST(inter.i AS DOUBLE) / (qs.n + s.n - inter.i) AS j "
+            "FROM inter JOIN sizes s ON inter.doc_id = s.doc_id "
+            "JOIN qsizes qs ON inter.qid = qs.qid), "
+            "ranked AS (SELECT qid, doc_id, j, row_number() OVER "
+            "(PARTITION BY qid ORDER BY j DESC, doc_id) AS rn FROM scored) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(doc_id AS BIGINT) AS match_id, round(j, 6) AS jaccard "
+            "FROM ranked WHERE rn = 1 ORDER BY query_id"
+        ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "ORDER BY vec_id LIMIT 4), "

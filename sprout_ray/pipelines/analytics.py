@@ -967,6 +967,17 @@ def embedding_neardup_exact(sf_dir: str):
     return out
 
 
+def token_jaccard_top1(sf_dir: str):
+    """Exact token-set-Jaccard nearest neighbor for the first 20 docs —
+    the exact verification twin of MinHash similarity (which estimates
+    exactly this Jaccard). See stages/similarity.token_jaccard_top1 for
+    the broadcast + in-process hash-join + per-batch top-1 shape."""
+    from ..stages.similarity import token_jaccard_top1 as tj
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tj(ds, query_max_id=20)
+
+
 def ann_brute_topk(sf_dir: str):
     """Brute-force cosine top-10 of the 4 lowest-vec_id embeddings as queries.
 

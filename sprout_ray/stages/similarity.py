@@ -500,3 +500,128 @@ def exact_cosine_pairs(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+def _token_explode(t: pa.Table, text_col: str, id_col: str) -> "pa.Table":
+    """Rows -> distinct (doc_id, tok, n_tok) token rows, vectorized.
+
+    Tokenization contract shared with the DuckDB oracle twin
+    (string_split_regex(lower(trim(text)), '\\s+'), empty docs dropped):
+    lowercase, whitespace-split, per-doc dedupe. Each input doc is ONE row,
+    so its exploded tokens stay inside this batch — per-batch dedupe and
+    per-doc token counts are final, never partial."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    texts = pc.utf8_lower(pc.utf8_trim_whitespace(t[text_col]))
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    ids = t[id_col].combine_chunks().take(parents)
+    df = pd.DataFrame(
+        {
+            "doc_id": ids.to_numpy(zero_copy_only=False),
+            "tok": flat.to_pandas(),
+        }
+    )
+    df = df[df["tok"] != ""].drop_duplicates()
+    if len(df) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "tok": pa.array([], pa.string()),
+                "n_tok": pa.array([], pa.int64()),
+            }
+        )
+    df["n_tok"] = df.groupby("doc_id")["tok"].transform("size").astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def token_jaccard_top1(
+    ds,
+    query_max_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact token-set-Jaccard nearest neighbor for each query doc.
+
+    The EXACT twin of MinHash (which estimates exactly this Jaccard,
+    stages/dedup.py): queries = docs with id < ``query_max_id``. Scale
+    shape: the query token table is tiny and broadcast once (``ray.put``);
+    each batch explodes its docs to distinct tokens, hash-joins them
+    against the query tokens in-process (pandas C merge — no cluster
+    shuffle), computes |A∩B| / (|A|+|B|-|A∩B|) for the docs it holds, and
+    emits only its per-query best row. The driver reduces Q-row partials.
+    Corpus tokens never co-shuffle; traffic is O(batches x Q).
+
+    Returns pa.Table (query_id, match_id, jaccard rounded to 6) — ranked on
+    the unrounded score, ties broken by smaller match_id.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    exploded_q = ds.filter(expr=f"{id_col} < {query_max_id}").map_batches(
+        lambda t: _token_explode(t, text_col, id_col), batch_format="pyarrow"
+    )
+    qdf = exploded_q.to_pandas().rename(
+        columns={"doc_id": "qid", "n_tok": "q_n"}
+    )
+    if len(qdf) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "match_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    q_ref = ray.put(qdf)
+
+    def best_per_query(t: pa.Table) -> pa.Table:
+        tok = _token_explode(t, text_col, id_col).to_pandas()
+        q = ray.get(q_ref)
+        m = tok.merge(q, on="tok")
+        m = m[m["doc_id"] != m["qid"]]
+        if len(m) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "match_id": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        g = (
+            m.groupby(["qid", "doc_id"])
+            .agg(i=("tok", "size"), n_tok=("n_tok", "first"), q_n=("q_n", "first"))
+            .reset_index()
+        )
+        g["jaccard"] = g["i"] / (g["q_n"] + g["n_tok"] - g["i"])
+        # per-batch partial reduce: keep only each query's best candidate
+        g = g.sort_values(["qid", "jaccard", "doc_id"], ascending=[True, False, True])
+        g = g.drop_duplicates("qid", keep="first")
+        return pa.table(
+            {
+                "query_id": pa.array(g["qid"].to_numpy(), pa.int64()),
+                "match_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "jaccard": pa.array(g["jaccard"].to_numpy(), pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(best_per_query, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "match_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    out = partials.sort_values(
+        ["query_id", "jaccard", "match_id"], ascending=[True, False, True]
+    ).drop_duplicates("query_id", keep="first")
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+            "match_id": pa.array(out["match_id"].to_numpy(), pa.int64()),
+            "jaccard": pa.array(np.round(out["jaccard"].to_numpy(), 6), pa.float64()),
+        }
+    )

@@ -327,3 +327,19 @@ def test_kmv_user_overlap_bounds():
     else:
         assert abs(out["jaccard"] - true_j) < 0.15
         assert abs(out["union_est"] - nu) / nu < 0.2
+
+
+def test_token_jaccard_top1_exact():
+    """Distributed token-set-Jaccard NN == SQL set-algebra answer, and the
+    top match for a planted exact duplicate is jaccard 1.0."""
+    import duckdb
+
+    out = _pd(A.token_jaccard_top1(SF)).reset_index(drop=True)
+    assert len(out) == 20
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    import __ray_entry__ as E
+
+    want = con.execute(E.oracle_sql()["token_jaccard_top1"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
