@@ -214,22 +214,11 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_langs_exact": (
             "SELECT DISTINCT lang FROM documents ORDER BY lang"
         ),
-        "kmv_user_overlap": (
-            # valid in the sketches' exact regime (distinct users < k=512 at
-            # driver sf; the Ray side's combined-bottom-k estimator is then
-            # exactly i/u — see kernel/kmv.py)
-            "WITH a AS (SELECT DISTINCT user_id FROM events "
-            "WHERE event_type='click'), "
-            "b AS (SELECT DISTINCT user_id FROM events "
-            "WHERE event_type='purchase'), "
-            "u AS (SELECT count(*) AS n FROM "
-            "(SELECT * FROM a UNION SELECT * FROM b)), "
-            "i AS (SELECT count(*) AS n FROM a JOIN b USING (user_id)) "
-            "SELECT CAST(i.n AS DOUBLE) / u.n AS jaccard, "
-            "CAST(u.n AS DOUBLE) AS union_est, "
-            "CAST(i.n AS DOUBLE) AS inter_est, "
-            "TRUE AS exact FROM u, i"
-        ),
+        # NOTE: kmv_user_overlap deliberately has NO SQL twin — its oracle
+        # would only be valid in the sketch's exact regime (distinct users
+        # < k), which holds at sf0.01 but not sf0.1; a scale-conditional
+        # oracle is a footgun. Estimator bounds are pytest-gated instead
+        # (test_kmv_user_overlap_bounds covers both regimes).
         "top_source_per_lang": (
             "SELECT lang, source AS top_source FROM ("
             "SELECT lang, source, row_number() OVER "
