@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": A.simhash_neardup,
         "embedding_neardup": A.embedding_neardup,
         "embedding_neardup_exact": A.embedding_neardup_exact,
+        "curation_survivors": A.curation_survivors,
         "token_jaccard_top1": A.token_jaccard_top1,
         "ann_brute_topk": A.ann_brute_topk,
         "ann_ivf_topk": A.ann_ivf_topk,
@@ -85,6 +86,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_survivors": (
+            "WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY text), "
+            "feat AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS token_count, "
+            "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+            "/ greatest(len(text), 1), 6) AS punct_ratio FROM documents) "
+            "SELECT CAST(f.doc_id AS BIGINT) AS doc_id, f.lang AS lang "
+            "FROM feat f JOIN winners w USING (doc_id) "
+            "WHERE f.token_count >= 30 AND f.punct_ratio <= 0.3 "
+            "ORDER BY f.doc_id"
+        ),
         "token_jaccard_top1": (
             "WITH toks AS (SELECT doc_id, "
             "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "

@@ -177,6 +177,10 @@ def query_suite(sf_dir: str) -> dict:
         ("bloom_probe_prune", A.bloom_probe_prune),
         ("minhash_neardup", A.minhash_neardup),
         ("token_counts", A.token_counts),
+        ("user_sessions", A.user_sessions),
+        ("revenue_by_nation", A.revenue_by_nation),
+        ("mg_heavy_hitters", A.mg_heavy_hitters),
+        ("token_jaccard_top1", A.token_jaccard_top1),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

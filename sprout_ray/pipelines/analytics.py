@@ -967,6 +967,39 @@ def embedding_neardup_exact(sf_dir: str):
     return out
 
 
+def curation_survivors(sf_dir: str):
+    """End-to-end training-data curation readout: exact-dedup winners that
+    pass the quality gate — the composed pipeline a 100 TB corpus curation
+    run executes before writing shards (dedup -> score -> filter -> join).
+
+    Scale shape: quality features are one vectorized actor-pool pass
+    (stages/text.QualityScorer); dedup winners shuffle (text, doc_id) via a
+    native groupby-min (at 10^12 docs swap text for the 128-bit fingerprint
+    pair, see _dup_pair_ds); survivors = hash join of the two id streams —
+    no content moves through the join. The quality threshold compares the
+    ROUNDED (6dp, half-away) score on both engines so the gate is
+    bit-deterministic."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    from ..stages.text import QualityScorer
+
+    feats = (
+        ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=2,
+                       batch_size=256)
+        .filter(expr="token_count >= 30 and punct_ratio <= 0.3")
+        .select_columns(["doc_id", "lang"])
+    )
+    winners = (
+        ds.groupby("text")
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["min(doc_id)"]}),
+            batch_format="pyarrow",
+        )
+    )
+    surv = feats.join(winners, join_type="inner", num_partitions=2, on=("doc_id",))
+    return surv.sort("doc_id")
+
+
 def token_jaccard_top1(sf_dir: str):
     """Exact token-set-Jaccard nearest neighbor for the first 20 docs —
     the exact verification twin of MinHash similarity (which estimates

@@ -343,3 +343,18 @@ def test_token_jaccard_top1_exact():
     want = con.execute(E.oracle_sql()["token_jaccard_top1"]).df()
     con.close()
     pd.testing.assert_frame_equal(out, want.reset_index(drop=True))
+
+
+def test_curation_survivors_pipeline():
+    """Composed dedup + quality-gate pipeline == SQL set algebra."""
+    import duckdb
+
+    out = _pd(A.curation_survivors(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    import __ray_entry__ as E
+
+    want = con.execute(E.oracle_sql()["curation_survivors"]).df()
+    con.close()
+    assert len(out) > 0
+    pd.testing.assert_frame_equal(out.astype({"doc_id": "int64"}), want)
