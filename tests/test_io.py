@@ -88,3 +88,41 @@ def test_read_any_formats_build_identical_sketch(ray_session, tmp_path):
     assert ref.estimate() > 0
     for p, sk in built.items():
         assert (sk.registers == ref.registers).all(), p
+
+
+def test_curate_corpus_resumable_write(ray_session, tmp_path):
+    """Write-side curation: output rows == the oracle-checked survivor set;
+    a rerun resumes without rewriting."""
+    import duckdb
+    import pyarrow.parquet as pq_mod
+
+    from sprout_ray.pipelines.curate import curate_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    m1 = curate_corpus([src], out)
+    assert m1["written"] == 1 and m1["resumed"] == 0
+    m2 = curate_corpus([src], out)
+    assert m2["written"] == 0 and m2["resumed"] == 1
+
+    import glob as g
+
+    got = pq_mod.read_table(
+        sorted(g.glob(f"{out}/part=*/**/*.parquet", recursive=True))
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        "WITH winners AS (SELECT min(doc_id) AS doc_id FROM "
+        f"'{src}' GROUP BY text), "
+        "feat AS (SELECT doc_id, "
+        "CAST(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+        "AS token_count, "
+        "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+        f"/ greatest(len(text), 1), 6) AS punct_ratio FROM '{src}') "
+        "SELECT f.doc_id FROM feat f JOIN winners w USING (doc_id) "
+        "WHERE f.token_count >= 30 AND f.punct_ratio <= 0.3 ORDER BY f.doc_id"
+    ).df()
+    con.close()
+    got_ids = sorted(got["doc_id"].to_pylist())
+    assert got_ids == want["doc_id"].tolist()
