@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_sample": A.kmv_distinct_sample,
         "kmv_distinct_langs_exact": A.kmv_distinct_langs_exact,
         "kmv_user_overlap": A.kmv_user_overlap,
+        "kmv_sources_by_lang_exact": A.kmv_sources_by_lang_exact,
         "top_source_per_lang": A.top_source_per_lang,
         "quantile_sketches": A.quantile_sketches,
         # training-data ops
@@ -228,6 +229,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmv_distinct_langs_exact": (
             "SELECT DISTINCT lang FROM documents ORDER BY lang"
+        ),
+        "kmv_sources_by_lang_exact": (
+            "SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         # NOTE: kmv_user_overlap deliberately has NO SQL twin — its oracle
         # would only be valid in the sketch's exact regime (distinct users

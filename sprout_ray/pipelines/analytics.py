@@ -686,6 +686,25 @@ def kmv_user_overlap(sf_dir: str):
     )
 
 
+def kmv_sources_by_lang_exact(sf_dir: str):
+    """Grouped KMV distinct counts, exact-degenerate: per-lang distinct
+    sources via one per-(block, lang) bottom-k partial each, merged inside
+    the groupby-aggregate. k=256 exceeds the source cardinality so every
+    group readout is provably exact (same oracle pattern as
+    mg_event_type_exact); the approximate grouped twin is hll_by_lang."""
+
+    def exact_count(sk) -> int:
+        assert sk.is_exact(), "k=256 must exceed per-lang source cardinality"
+        return int(sk.estimate())
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    out = build_grouped(
+        ds, SketchSpec.of("kmv", 256), on="source", key="lang",
+        finalizer=exact_count, alias="n_sources",
+    )
+    return out.sort("lang")
+
+
 def kmv_distinct_sample(sf_dir: str):
     """Bottom-k distinct sketch over user_id: distinct-count estimate plus a
     uniform without-replacement sample of the DISTINCT keys in one pass
