@@ -123,6 +123,34 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_topk(args) -> int:
+    """Heavy-hitter / distinct-sample readout of a merged checkpoint:
+    MG -> top-k items with [lower, upper] count intervals; KMV -> distinct
+    estimate + retained key sample. Other kinds print result()."""
+    from .kernel.kmv import KMVSketch
+    from .kernel.misragries import MisraGries
+
+    sk = _load_ckpt(args.ckpt[0], args)
+    if isinstance(sk, MisraGries):
+        print(json.dumps({
+            "kind": "mg",
+            "topk": [
+                {"key": k, "lower": lo, "upper": hi}
+                for k, lo, hi in sk.topk(args.top)
+            ],
+            **sk.result(),
+        }))
+    elif isinstance(sk, KMVSketch):
+        print(json.dumps({
+            "kind": "kmv",
+            "sample": sk.sample()[: args.top],
+            **sk.result(),
+        }))
+    else:
+        print(json.dumps(sk.result()))
+    return 0
+
+
 def cmd_merge(args) -> int:
     accs = [_load_ckpt(c, args) for c in args.ckpt]
     acc = accs[0]
@@ -254,6 +282,12 @@ def main(argv=None) -> int:
     st.add_argument("--ckpt", action="append", required=True)
     common(st)
     st.set_defaults(fn=cmd_stats)
+
+    tk = sub.add_parser("topk", help="top-k / sample readout of a checkpoint (mg/kmv)")
+    tk.add_argument("--ckpt", action="append", required=True)
+    tk.add_argument("--top", type=int, default=10)
+    common(tk)
+    tk.set_defaults(fn=cmd_topk)
 
     mg = sub.add_parser("merge", help="merge checkpoint dirs into one sketch file")
     mg.add_argument("--ckpt", action="append", required=True)

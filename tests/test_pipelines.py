@@ -358,3 +358,17 @@ def test_curation_survivors_pipeline():
     con.close()
     assert len(out) > 0
     pd.testing.assert_frame_equal(out.astype({"doc_id": "int64"}), want)
+
+
+def test_kmv_sources_by_lang_exact():
+    """Grouped bottom-k (exact-degenerate) == count(DISTINCT) per lang."""
+    import duckdb
+
+    out = _pd(A.kmv_sources_by_lang_exact(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+        f"FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(out.astype({"n_sources": "int64"}), want)

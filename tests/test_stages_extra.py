@@ -392,3 +392,28 @@ class TestHoppingWindows:
         assert out["window"].tolist() == [7, 8, 9, 10]
         assert out["n"].tolist() == [2, 2, 2, 2]
         assert out["sum_value_micro"].tolist() == [3_000_000] * 4
+
+
+class TestCLITopk:
+    def test_topk_readout(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "ckmg")
+        subprocess.run(
+            [sys.executable, "-m", "sprout_ray.cli", "build",
+             "--input", "/root/testdata/sf0.001/documents.parquet",
+             "--on", "lang", "--sketch", "mg", "--m", "64",
+             "--ckpt", ck, "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        out = subprocess.run(
+            [sys.executable, "-m", "sprout_ray.cli", "topk",
+             "--ckpt", ck, "--top", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        rec = _json.loads(out.strip().splitlines()[-1])
+        assert rec["kind"] == "mg" and len(rec["topk"]) == 2
+        assert rec["err_bound"] == 0  # below capacity -> exact intervals
+        assert rec["topk"][0]["lower"] == rec["topk"][0]["upper"]
