@@ -805,24 +805,45 @@ def clicks_last_purchase(sf_dir: str):
 def revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shaped multi-join: lineitem revenue rolled up to nation.
 
-    Scale shape: ONE distributed hash join between the two fact tables
-    (lineitem x orders — both scale with the corpus); the dimension chain
-    customer->nation is tiny and broadcast once (``ray.put`` of a sorted
-    custkey->nation-code lookup, vectorized np.searchsorted inside
-    map_batches) instead of two more shuffle joins. Money in integer
-    centi-cents end to end (see q1_pricing_summary)."""
+    Scale shape: TWO distributed hash joins between corpus-scaled tables
+    (orders x customer on custkey, then lineitem x the nation-tagged orders
+    on orderkey) — customer is a fact-scaled table (millions to billions of
+    rows at target scale) so it is never broadcast. Only the 25-row nation
+    dimension is broadcast (``ray.put`` of a sorted key->name lookup), with
+    a membership check so a non-FK-clean corpus errors instead of silently
+    attributing revenue to the wrong nation. Money in integer centi-cents
+    end to end (see q1_pricing_summary)."""
     import ray
 
-    nat = {
-        r["n_nationkey"]: r["n_name"]
-        for r in _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
-    }
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
-    ckeys = np.array([r["c_custkey"] for r in cust], dtype=np.int64)
-    order_nat = np.argsort(ckeys)
-    ckeys = ckeys[order_nat]
-    cnames = np.array([nat[r["c_nationkey"]] for r in cust])[order_nat]
-    lut_ref = ray.put((ckeys, cnames))
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nkeys = np.array([r["n_nationkey"] for r in nat_rows], dtype=np.int64)
+    norder = np.argsort(nkeys)
+    nkeys = nkeys[norder]
+    nnames = np.array([r["n_name"] for r in nat_rows])[norder]
+    nat_ref = ray.put((nkeys, nnames))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # hash-join partition actors cost ~0.5-1 s fixed each (CLAUDE.md), so
+    # partition counts scale with row volume (~2M rows/partition), floor 2
+    n_orders = orders.count()  # parquet metadata, no scan
+    parts = max(2, n_orders // 2_000_000)
+    ordersn = orders.join(cust, join_type="inner", num_partitions=parts, on=("o_custkey",))
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(nat_ref)
+        nk = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        if not (keys[pos] == nk).all():
+            raise ValueError("c_nationkey not present in nation table")
+        return pa.table(
+            {"l_orderkey": t["o_orderkey"], "nation": pa.array(names[pos])}
+        )
+
+    ordersn = ordersn.map_batches(attach_nation, batch_format="pyarrow")
 
     def prep_li(t: pa.Table) -> pa.Table:
         base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
@@ -833,28 +854,13 @@ def revenue_by_nation(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(prep_li, batch_format="pyarrow")
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
-        batch_format="pyarrow",
-    )
-    joined = li.join(orders, join_type="inner", num_partitions=4, on=("l_orderkey",))
-
-    def attach_nation(t: pa.Table) -> pa.Table:
-        keys, names = ray.get(lut_ref)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ck)
-        return pa.table(
-            {
-                "nation": pa.array(names[pos]),
-                "rev_cc": t["rev_cc"],
-            }
-        )
+    li_parts = max(2, _read(sf_dir, "lineitem", ["l_orderkey"]).count() // 2_000_000)
+    joined = li.join(ordersn, join_type="inner", num_partitions=li_parts, on=("l_orderkey",))
 
     from ray.data.aggregate import Count, Sum
 
     out = (
-        joined.map_batches(attach_nation, batch_format="pyarrow")
-        .groupby("nation")
+        joined.groupby("nation")
         .aggregate(
             Sum("rev_cc", alias_name="revenue_centicents"),
             Count(alias_name="n_items"),

@@ -51,6 +51,42 @@ class TestCLI:
         assert pr["definitely-not-there-xyz"] is False
 
 
+class TestMinHasherBatchVectorized:
+    """signatures_batch (one windowed hash pass + minimum.reduceat) must be
+    bit-identical to the per-doc signature() path for every doc shape."""
+
+    def test_bit_identical_edge_shapes(self):
+        from sprout_ray.stages.dedup import MinHasher
+
+        mh = MinHasher(num_perm=64)
+        texts = [
+            "hello world this is a test doc",
+            "",            # empty -> all-max signature
+            "abc",         # shorter than k -> whole-text shingle
+            "x" * 40,      # single repeated shingle
+            "the quick brown fox " * 50,
+            None,          # null text
+            "w" * 20000,   # crosses the 8k-row chunk boundary alone
+        ]
+        got = mh.signatures_batch(texts)
+        exp = np.stack([mh.signature(t or "") for t in texts])
+        assert (got == exp).all()
+
+    def test_chunk_boundary_independence(self):
+        """Docs split across internal row chunks combine minima correctly."""
+        from sprout_ray.stages import dedup
+        from sprout_ray.stages.dedup import MinHasher
+
+        mh = MinHasher(num_perm=32)
+        rng = np.random.default_rng(7)
+        docs = [
+            "".join(chr(97 + c) for c in rng.integers(0, 26, int(ln)))
+            for ln in rng.integers(1, 800, 64)
+        ]
+        exp = np.stack([mh.signature(d) for d in docs])
+        assert (mh.signatures_batch(docs) == exp).all()
+
+
 class TestDistributedLSHTwins:
     """The distributed banding path (bucket_key explode -> count-aggregate
     hot buckets -> bounded pairs) must find the same identical-doc pairs as
