@@ -363,7 +363,7 @@ def _dup_pair_ds(sf_dir: str):
     import ray.data as rd
 
     from ..functions.hashing import murmur_column
-    from ..stages.dedup import hot_buckets, lsh_candidate_pairs
+    from ..stages.dedup import lsh_candidate_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -379,14 +379,14 @@ def _dup_pair_ds(sf_dir: str):
     keyed = ds.map_batches(
         key_rows, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()  # 24 B/row; consumed by hot-count, expansion and verify
-    hot = hot_buckets(keyed.select_columns(["bucket_key"]))
-    if hot.size == 0:
+    # hot-bucket filter is size-guarded inside (broadcast -> semi-join)
+    cand = lsh_candidate_pairs(keyed, max_bucket=4096).materialize()
+    if cand.count() == 0:
         return rd.from_arrow(
             pa.table(
                 {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
             )
         )
-    cand = lsh_candidate_pairs(keyed, max_bucket=4096, hot=hot)
     # collision verify: candidate ids are few -> broadcast their h1 values
     cand_ids = pa.array(
         sorted(

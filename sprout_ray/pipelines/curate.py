@@ -3,12 +3,21 @@
 The write-side twin of ``analytics.curation_survivors`` — what a 100 TB
 training-data run actually executes: compute the global exact-dedup winner
 set once (only (text-key, doc_id) shuffles; at 10^12 docs substitute the
-128-bit fingerprint pair of stages/dedup._dup_pair_ds for raw text),
-broadcast the winner ids (``ray.put`` once, read per actor), then stream
-every input shard through the vectorized quality gate + winner membership
-filter and write one output directory per shard via
+128-bit fingerprint pair of stages/dedup._dup_pair_ds for raw text), then
+stream every input shard through the vectorized quality gate + winner
+membership filter and write one output directory per shard via
 ``sources.io.resumable_transform_write`` — a killed run resumes, skipping
 finished shards entirely.
+
+The winner membership filter is SIZE-GUARDED (mirroring
+``stages.dedup.exact_dedup``): up to ``broadcast_max`` winners the sorted id
+array is broadcast once (``ray.put``, read per actor) and every block
+filters locally; above that the winner ids stay a materialized Dataset in
+the object store and each shard runs a distributed hash SEMI-JOIN against
+them — the winner set is ~the distinct-document count, i.e. O(corpus), so
+an unconditional driver materialization could never survive 100 TB. Both
+paths sort each shard's survivors by id before writing, so output content
+is identical regardless of which path ran (asserted in tests/test_io.py).
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ def curate_corpus(
     min_tokens: int = 30,
     max_punct: float = 0.3,
     files_per_partition: int = 1,
+    broadcast_max: int = 4_000_000,
 ) -> dict:
     """Write the curated corpus under ``out_dir`` (resumable); returns the
     sink metrics plus the number of winner ids."""
@@ -35,39 +45,63 @@ def curate_corpus(
     from ..stages.text import QualityScorer
 
     ds = rd.read_parquet(input_files, columns=[id_col, text_col])
-    winner_rows = (
+    winners_ds = (
         ds.groupby(text_col)
         .min(id_col)
-        .select_columns([f"min({id_col})"])
-        .take_all()
+        .map_batches(
+            lambda t: pa.table({id_col: t[f"min({id_col})"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()  # ids only — object store (spills fine), reused per shard
     )
-    winners = np.sort(
-        np.array([r[f"min({id_col})"] for r in winner_rows], dtype=np.int64)
-    )
-    winners_ref = ray.put(winners)
+    n_winners = winners_ds.count()
 
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        w = ray.get(winners_ref)
-        pos = np.searchsorted(w, ids)
-        pos_c = np.minimum(pos, len(w) - 1) if len(w) else pos
-        mask = (len(w) > 0) & (w[pos_c] == ids) if len(w) else np.zeros(len(ids), bool)
-        return t.filter(pa.array(mask))
+    if n_winners <= broadcast_max:
+        winners = np.sort(
+            np.array(
+                [r[id_col] for r in winners_ds.take_all()], dtype=np.int64
+            )
+        )
+        winners_ref = ray.put(winners)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            w = ray.get(winners_ref)
+            if not len(w):
+                return t.filter(pa.array(np.zeros(len(ids), bool)))
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            return t.filter(pa.array(w[pos] == ids))
+
+        def winner_filter(shard_ds):
+            return shard_ds.map_batches(keep, batch_format="pyarrow")
+
+    else:
+        # winner ids alone outgrow one node: distributed hash semi-join of
+        # the shard stream against the materialized winner-id Dataset
+        # (winner ids are unique, so inner join = semi-join)
+        join_parts = max(2, n_winners // 4_000_000)
+
+        def winner_filter(shard_ds):
+            return shard_ds.join(
+                winners_ds,
+                join_type="inner",
+                num_partitions=join_parts,
+                on=(id_col,),
+            )
 
     def transform(shard_ds):
-        import pyarrow.compute as pc
-
-        return (
+        return winner_filter(
             shard_ds.map_batches(
-                QualityScorer, batch_format="pyarrow", concurrency=2, batch_size=256
+                QualityScorer, batch_format="pyarrow", concurrency=2,
+                batch_size=256,
+            ).filter(
+                expr=f"token_count >= {min_tokens} and punct_ratio <= {max_punct}"
             )
-            .filter(expr=f"token_count >= {min_tokens} and punct_ratio <= {max_punct}")
-            .map_batches(keep, batch_format="pyarrow")
-        )
+        ).sort(id_col)  # deterministic shard content on either filter path
 
     metrics = resumable_transform_write(
         input_files, out_dir, transform=transform,
         files_per_partition=files_per_partition,
     )
-    metrics["winners"] = int(len(winners))
+    metrics["winners"] = int(n_winners)
     return metrics

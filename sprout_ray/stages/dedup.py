@@ -240,7 +240,10 @@ def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id", include_signa
     ``include_signature=True`` carries the signature through the explode so
     the in-bucket verify stage can estimate Jaccard without a join or a
     driver-side signature table (costs bands x sig_size per doc on the one
-    shuffle that only hot rows survive)."""
+    shuffle that only hot rows survive). The carried signature is packed as
+    ``large_binary`` (uint64 little-endian) — Arrow's hash join rejects
+    fixed_size_list payloads, and the semi-join hot filter must be able to
+    carry these rows."""
 
     def explode(batch: pa.Table) -> pa.Table:
         sig_arr = batch["signature"].combine_chunks()
@@ -254,11 +257,7 @@ def minhash_bands(sig_ds, bands: int = 16, id_col: str = "doc_id", include_signa
             id_col: pa.array(np.tile(ids, bands)),
         }
         if include_signature:
-            num_perm = sigs.shape[1]
-            tiled = np.tile(sigs, (bands, 1))
-            cols["signature"] = pa.FixedSizeListArray.from_arrays(
-                pa.array(tiled.reshape(-1), pa.uint64()), num_perm
-            )
+            cols["signature"] = pack_rows(np.tile(sigs, (bands, 1)))
         return pa.table(cols)
 
     return sig_ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -269,11 +268,44 @@ def _combined_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
         return (band_hash.astype(np.uint64) * _MIX) ^ band_id.astype(np.uint64)
 
 
+def pack_rows(mat: np.ndarray):
+    """Pack a contiguous (n, w) fixed-width matrix as an Arrow large_binary
+    array (one row per entry, zero-copy buffers). Arrow's hash join rejects
+    fixed_size_list payload columns, so row payloads that must survive the
+    semi-join hot filter (minhash signatures, embeddings) ride as bytes."""
+    mat = np.ascontiguousarray(mat)
+    n = mat.shape[0]
+    offs = np.arange(n + 1, dtype=np.int64) * (mat.shape[1] * mat.itemsize)
+    return pa.Array.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offs), pa.py_buffer(mat)]
+    )
+
+
+def unpack_rows(col, n_rows: int, dtype=np.uint64) -> np.ndarray:
+    """(n_rows, w) matrix of ``dtype`` from a packed large_binary column
+    (vectorized gather — rows may be non-contiguous after a shuffle/join)."""
+    arr = col.combine_chunks()
+    if n_rows == 0:
+        return np.empty((0, 0), dtype=dtype)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset : arr.offset + n_rows + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    row_b = int(offsets[1] - offsets[0])
+    idx = offsets[:-1, None] + np.arange(row_b)[None, :]
+    return np.ascontiguousarray(data[idx]).view(dtype)
+
+
+_unpack_signatures = unpack_rows  # back-compat alias
+
+
 def hot_buckets(band_ds) -> np.ndarray:
     """bucket_key values holding >= 2 docs (sorted int64).
 
     A native count-aggregate (vectorized partial-per-block + combine) — the
-    singleton sea never touches Python."""
+    singleton sea never touches Python. NOTE: this materializes the hot-key
+    list on the driver; query paths go through :func:`hot_bucket_rows`,
+    whose broadcast is size-guarded."""
     counts = band_ds.groupby("bucket_key").count()
     hot = counts.map_batches(
         lambda t: t.filter(pc.greater(t["count()"], 1)).select(["bucket_key"]),
@@ -284,34 +316,93 @@ def hot_buckets(band_ds) -> np.ndarray:
     return np.sort(np.array([r["bucket_key"] for r in hot], dtype=np.int64))
 
 
-def lsh_candidate_pairs(band_ds, id_col: str = "doc_id", max_bucket: int = 64, hot: np.ndarray | None = None):
+# Hot-key broadcast budget: the non-singleton bucket count grows with the
+# duplicate count, which is unbounded at corpus scale — above this many hot
+# keys the band rows semi-join the hot-key Dataset instead of broadcasting.
+HOT_BROADCAST_MAX = 2_000_000
+
+
+def hot_bucket_rows(rows_ds, count_ds=None, hot_max: int | None = None):
+    """Filter ``rows_ds`` to rows whose ``bucket_key`` holds >= 2 members.
+
+    Returns ``(filtered_ds_or_None, n_hot)`` (None when no bucket is hot).
+    Counting runs over ``count_ds`` (a cheaper bucket_key-only projection)
+    when given. Up to ``hot_max`` hot keys the key list is broadcast once
+    (``ray.put`` + vectorized ``np.isin`` per block — rows never shuffle);
+    above that a distributed hash SEMI-JOIN of the rows against the hot-key
+    Dataset runs instead (hot keys are unique, so inner join = semi-join)."""
+    import ray
+
+    if hot_max is None:
+        hot_max = HOT_BROADCAST_MAX
+    src = count_ds if count_ds is not None else rows_ds.select_columns(["bucket_key"])
+    hot_ds = (
+        src.groupby("bucket_key")
+        .count()
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count()"], 1)).select(["bucket_key"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n = hot_ds.count()
+    if n == 0:
+        return None, 0
+    if n <= hot_max:
+        hot = np.sort(
+            np.array([r["bucket_key"] for r in hot_ds.take_all()], dtype=np.int64)
+        )
+        hot_ref = ray.put(hot)
+
+        def keep_hot(batch: pa.Table) -> pa.Table:
+            keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
+
+        return rows_ds.map_batches(keep_hot, batch_format="pyarrow"), n
+    parts = max(2, n // 2_000_000)
+    return (
+        rows_ds.join(hot_ds, join_type="inner", num_partitions=parts, on=("bucket_key",)),
+        n,
+    )
+
+
+def lsh_candidate_pairs(
+    band_ds,
+    id_col: str = "doc_id",
+    max_bucket: int = 64,
+    hot: np.ndarray | None = None,
+    hot_max: int | None = None,
+):
     """Candidate (left_id, right_id) pairs from LSH buckets with >= 2 docs.
 
-    Flow: hot-bucket keys (small, broadcast) -> vectorized isin filter ->
-    per-bucket pairwise expansion ONLY on hot buckets (bounded by
-    ``max_bucket`` against degenerate bands) -> pair dedup."""
+    Flow: hot-bucket filter (:func:`hot_bucket_rows` — broadcast under the
+    size budget, distributed semi-join above it) -> per-bucket pairwise
+    expansion ONLY on hot buckets (bounded by ``max_bucket`` against
+    degenerate bands) -> pair dedup. A precomputed ``hot`` array opts into
+    the legacy unconditional broadcast (tests/callers that already hold it)."""
     import pandas as pd
     import ray
 
-    if hot is None:
-        hot = hot_buckets(band_ds)
-    if hot.size == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "left_id": pa.array([], pa.int64()),
-                    "right_id": pa.array([], pa.int64()),
-                }
-            )
-        )
-    hot_ref = ray.put(hot)
+    empty = pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+        }
+    )
+    if hot is not None:
+        if hot.size == 0:
+            return ray.data.from_arrow(empty)
+        hot_ref = ray.put(hot)
 
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
-        mask = np.isin(keys, ray.get(hot_ref))
-        return batch.filter(pa.array(mask))
+        def keep_hot(batch: pa.Table) -> pa.Table:
+            keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
 
-    hot_rows = band_ds.map_batches(keep_hot, batch_format="pyarrow")
+        hot_rows = band_ds.map_batches(keep_hot, batch_format="pyarrow")
+    else:
+        hot_rows, n_hot = hot_bucket_rows(band_ds, hot_max=hot_max)
+        if hot_rows is None:
+            return ray.data.from_arrow(empty)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(group[id_col].unique())[:max_bucket]
@@ -368,6 +459,7 @@ def minhash_pairs_distributed(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     max_bucket: int = 64,
+    hot_max: int | None = None,
 ):
     """Distributed LSH tail: bands -> hot buckets -> fused in-bucket
     pair-expansion + signature-Jaccard verify -> per-pair max.
@@ -375,7 +467,9 @@ def minhash_pairs_distributed(
     Scale shape: signatures NEVER land on the driver. The only rows that
     reach the Python per-group verify are members of buckets holding >= 2
     docs (the hot-bucket prefilter is a native count-aggregate over a
-    bucket_key-only projection); everything else is vectorized map_batches
+    bucket_key-only projection, and the hot-key broadcast is size-guarded —
+    above ``hot_max`` keys the band rows semi-join instead, see
+    :func:`hot_bucket_rows`); everything else is vectorized map_batches
     or native groupby. Per-pair traffic is O(hot rows x bands x sig_size).
 
     Verification is fused into the bucket group (signatures ride the
@@ -388,24 +482,17 @@ def minhash_pairs_distributed(
     # (id, signature) dataset in the OBJECT STORE (spills fine), not driver
     sig_m = sig_ds.materialize()
     key_ds = minhash_bands(sig_m, bands=bands, id_col=id_col)
-    hot = hot_buckets(key_ds.select_columns(["bucket_key"]))
-    if hot.size == 0:
-        return ray.data.from_arrow(_empty_pairs_table())
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
-
-    hot_rows = minhash_bands(sig_m, bands=bands, id_col=id_col, include_signature=True).map_batches(
-        keep_hot, batch_format="pyarrow"
+    hot_rows, n_hot = hot_bucket_rows(
+        minhash_bands(sig_m, bands=bands, id_col=id_col, include_signature=True),
+        count_ds=key_ds.select_columns(["bucket_key"]),
+        hot_max=hot_max,
     )
+    if hot_rows is None:
+        return ray.data.from_arrow(_empty_pairs_table())
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        sigs = np.asarray(group["signature"].combine_chunks().flatten()).reshape(
-            len(ids), -1
-        )
+        sigs = unpack_rows(group["signature"], len(ids))
         order = np.argsort(ids, kind="stable")[:max_bucket]
         ids, sigs = ids[order], sigs[order]
         n = len(ids)
@@ -441,6 +528,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     concurrency: int = 4,
     driver_side: bool = False,
+    hot_max: int | None = None,
 ):
     """Full near-dup pipeline: signatures (distributed actor pool) -> bands
     -> hot buckets -> in-bucket signature-Jaccard verify >= threshold.
@@ -467,7 +555,7 @@ def minhash_dedup_pairs(
     )
     if not driver_side:
         return minhash_pairs_distributed(
-            sig_ds, bands=bands, threshold=threshold, id_col=id_col
+            sig_ds, bands=bands, threshold=threshold, id_col=id_col, hot_max=hot_max
         )
     sig_rows = sig_ds.take_all()
     if not sig_rows:
@@ -735,9 +823,11 @@ def simhash_pairs_distributed(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     max_bucket: int = 256,
+    hot_max: int | None = None,
 ):
     """Distributed SimHash tail on the same bucket_key machinery as MinHash:
-    4x16-bit band keys -> native hot-bucket count -> fused in-bucket Hamming
+    4x16-bit band keys -> native hot-bucket count (size-guarded broadcast /
+    semi-join, see :func:`hot_bucket_rows`) -> fused in-bucket Hamming
     verify -> per-pair dedup. Simhashes (8 B/doc) ride the explode, so the
     verify needs no join and no driver-side signature table."""
     import ray
@@ -761,14 +851,11 @@ def simhash_pairs_distributed(
 
     sig_m = sig_ds.materialize()
     band_ds = sig_m.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    hot = hot_buckets(band_ds.select_columns(["bucket_key"]))
-    if hot.size == 0:
+    hot_rows, n_hot = hot_bucket_rows(
+        band_ds, count_ds=band_ds.select_columns(["bucket_key"]), hot_max=hot_max
+    )
+    if hot_rows is None:
         return ray.data.from_arrow(_empty_hamming_table())
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
@@ -794,10 +881,8 @@ def simhash_pairs_distributed(
             }
         )
 
-    pairs = (
-        band_ds.map_batches(keep_hot, batch_format="pyarrow")
-        .groupby("bucket_key")
-        .map_groups(verify_bucket, batch_format="pyarrow")
+    pairs = hot_rows.groupby("bucket_key").map_groups(
+        verify_bucket, batch_format="pyarrow"
     )
     # the same pair carries the same hamming in every colliding band; min()
     # is just the dedup that keeps one row per pair
@@ -818,7 +903,7 @@ def simhash_signature_ds(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(sig_stage, batch_format="pyarrow")
 
 
-def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 256, driver_side: bool = False):
+def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, max_bucket: int = 256, driver_side: bool = False, hot_max: int | None = None):
     """SimHash near-dup: signature -> 4x16-bit band blocking -> Hamming verify.
 
     Two docs within Hamming distance 3 share at least one of the four 16-bit
@@ -833,7 +918,8 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_h
     sig_ds = simhash_signature_ds(ds, text_col=text_col, id_col=id_col)
     if not driver_side:
         return simhash_pairs_distributed(
-            sig_ds, max_hamming=max_hamming, id_col=id_col, max_bucket=max_bucket
+            sig_ds, max_hamming=max_hamming, id_col=id_col, max_bucket=max_bucket,
+            hot_max=hot_max,
         )
     sig_rows = sig_ds.take_all()
     empty = _empty_hamming_table()

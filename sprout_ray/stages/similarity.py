@@ -300,6 +300,7 @@ def embedding_near_dup_pairs(
     max_bucket: int = 256,
     seed: int = 7,
     dim: int | None = None,
+    hot_max: int | None = None,
 ):
     """Cosine >= threshold pairs via banded hyperplane-LSH blocking + a fused
     vectorized in-bucket verify (same distributed shape as the MinHash tail:
@@ -310,8 +311,11 @@ def embedding_near_dup_pairs(
     n_bands) via :func:`band_bits_for`; every vector probes ``n_bands``
     buckets, so a true pair is missed only if all bands disagree. The verify
     is one matmul + an upper-triangle threshold mask per hot bucket — no
-    per-row Python — and ``max_bucket`` caps degenerate buckets."""
-    from .dedup import _combined_key, hot_buckets
+    per-row Python — and ``max_bucket`` caps degenerate buckets. The hot
+    filter is size-guarded (broadcast under ``hot_max`` keys, distributed
+    semi-join above — see dedup.hot_bucket_rows), so the embedding payload
+    rides as packed large_binary, the one type Arrow's join carries."""
+    from .dedup import _combined_key, hot_bucket_rows, pack_rows, unpack_rows
 
     if dim is None:
         first = ds.take(1)
@@ -343,10 +347,7 @@ def embedding_near_dup_pairs(
             id_col: pa.array(np.tile(ids, n_bands)),
         }
         if with_emb:
-            cols["emb"] = pa.FixedSizeListArray.from_arrays(
-                pa.array(np.tile(emb, (n_bands, 1)).reshape(-1), pa.float32()),
-                dim,
-            )
+            cols["emb"] = pack_rows(np.tile(emb, (n_bands, 1)))
         return pa.table(cols)
 
     ds_m = ds.materialize()  # two consumers: key-only count + hot verify
@@ -355,26 +356,21 @@ def embedding_near_dup_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    hot = hot_buckets(keys_only)
-    if hot.size == 0:
+    hot_rows, n_hot = hot_bucket_rows(
+        ds_m.map_batches(
+            lambda t: explode(t, with_emb=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        count_ds=keys_only,
+        hot_max=hot_max,
+    )
+    if hot_rows is None:
         return ray.data.from_arrow(_empty_cosine_table())
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        keys = batch["bucket_key"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(keys, ray.get(hot_ref))))
-
-    hot_rows = ds_m.map_batches(
-        lambda t: explode(t, with_emb=True),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).map_batches(keep_hot, batch_format="pyarrow")
 
     def verify_bucket(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_numpy(zero_copy_only=False)
-        emb = np.asarray(group["emb"].combine_chunks().flatten()).reshape(
-            len(ids), dim
-        )
+        emb = unpack_rows(group["emb"], len(ids), dtype=np.float32)
         order = np.argsort(ids, kind="stable")[:max_bucket]
         ids, emb = ids[order], emb[order]
         n = len(ids)

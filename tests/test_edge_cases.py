@@ -91,6 +91,11 @@ class TestPlantedSimilarity:
         got = set(zip(out["left_id"], out["right_id"]))
         assert (10, 50) in got and (20, 51) in got
         assert len(got) < 10  # random vectors don't flood the result
+        # hot_max=0 forces the distributed semi-join hot filter: same pairs
+        out2 = embedding_near_dup_pairs(
+            rd.from_arrow(t), threshold=0.95, hot_max=0
+        ).to_pandas()
+        assert set(zip(out2["left_id"], out2["right_id"])) == got
 
     def test_ivf_full_probe_equals_exact(self, ray_session):
         import ray.data as rd

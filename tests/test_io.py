@@ -126,3 +126,15 @@ def test_curate_corpus_resumable_write(ray_session, tmp_path):
     con.close()
     got_ids = sorted(got["doc_id"].to_pylist())
     assert got_ids == want["doc_id"].tolist()
+
+    # force the distributed semi-join winner path (broadcast_max=0): output
+    # content must be identical to the broadcast path's
+    out2 = str(tmp_path / "curated_join")
+    m3 = curate_corpus([src], out2, broadcast_max=0)
+    assert m3["written"] == 1 and m3["winners"] == m1["winners"]
+    got2 = pq_mod.read_table(
+        sorted(g.glob(f"{out2}/part=*/**/*.parquet", recursive=True))
+    )
+    a = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = got2.to_pandas()[a.columns].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

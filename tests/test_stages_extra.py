@@ -154,6 +154,15 @@ class TestDistributedLSHTwins:
             )
             assert dist.shape == drv.shape, fn.__name__
             assert (dist.values == drv.values).all(), fn.__name__
+            # hot_max=0 forces the distributed semi-join hot filter: the
+            # pair set must be identical to the broadcast path's
+            sj = (
+                fn(ds, hot_max=0).to_pandas()
+                .sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)
+            )
+            assert sj.shape == drv.shape, fn.__name__
+            assert (sj.values == drv.values).all(), fn.__name__
             got = set(zip(dist["left_id"], dist["right_id"]))
             assert (2, 40) in got and (9, 42) in got, fn.__name__
 
