@@ -318,7 +318,8 @@ def main(argv=None) -> int:
     kb.add_argument("--key", required=True)
     kb.add_argument("--value", required=True)
     kb.add_argument("--store", required=True, help="KV store directory")
-    kb.add_argument("--buckets", type=int, default=16)
+    kb.add_argument("--buckets", type=int, default=0,
+                    help="0 = auto-scale (~1M rows/bucket, capped 4096)")
     common(kb)
     kb.set_defaults(fn=cmd_kv_build)
 

@@ -111,8 +111,12 @@ class KMVSketch:
         }
 
     def to_bytes(self) -> bytes:
-        meta = json.dumps({"kind": "kmv", "k": self.k}).encode()
-        kbytes = [k.encode() if isinstance(k, str) else bytes(k) for k in self.keys]
+        """Length-prefixed framing; keys carry a per-key is-str flag so
+        binary keys (legal sketch input) round-trip as bytes instead of
+        corrupting through an unconditional decode. Non-str/bytes keys are
+        rejected explicitly (``bytes(int)`` would silently zero-fill)."""
+        meta = json.dumps({"kind": "kmv", "k": self.k, "v": 2}).encode()
+        kbytes, flags = _encode_keys(self.keys)
         lengths = np.array([len(b) for b in kbytes], dtype=np.int32)
         return (
             len(meta).to_bytes(4, "little")
@@ -120,6 +124,7 @@ class KMVSketch:
             + len(kbytes).to_bytes(4, "little")
             + self.hashes.tobytes()
             + lengths.tobytes()
+            + flags.tobytes()
             + b"".join(kbytes)
         )
 
@@ -135,9 +140,30 @@ class KMVSketch:
         off += 8 * n
         lengths = np.frombuffer(buf, dtype=np.int32, count=n, offset=off)
         off += 4 * n
+        flags = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+        off += n
         keys = []
-        for ln in lengths.tolist():
-            keys.append(buf[off : off + ln].decode())
+        for ln, fl in zip(lengths.tolist(), flags.tolist()):
+            raw = buf[off : off + ln]
+            keys.append(raw.decode() if fl else raw)
             off += ln
         sk.keys = keys
         return sk
+
+
+def _encode_keys(keys) -> tuple:
+    """(bytes list, uint8 is-str flags) for a key sequence; rejects key
+    types whose bytes round-trip would be lossy."""
+    out, flags = [], np.empty(len(keys), dtype=np.uint8)
+    for i, k in enumerate(keys):
+        if isinstance(k, str):
+            out.append(k.encode())
+            flags[i] = 1
+        elif isinstance(k, (bytes, bytearray)):
+            out.append(bytes(k))
+            flags[i] = 0
+        else:
+            raise TypeError(
+                f"sketch keys must be str or bytes, got {type(k).__name__}"
+            )
+    return out, flags

@@ -110,16 +110,22 @@ class MisraGries:
         }
 
     def to_bytes(self) -> bytes:
+        """Length-prefixed framing with per-key is-str flags (see
+        kernel.kmv._encode_keys): binary keys round-trip as bytes, non-
+        str/bytes keys are rejected instead of silently corrupting."""
+        from .kmv import _encode_keys
+
         meta = json.dumps(
             {
                 "kind": "mg",
                 "m": self.m,
                 "total": self.total,
                 "err_bound": self.err_bound,
+                "v": 2,
             }
         ).encode()
         keys = list(self.counts.keys())
-        kbytes = [k.encode() if isinstance(k, str) else bytes(k) for k in keys]
+        kbytes, flags = _encode_keys(keys)
         lengths = np.array([len(b) for b in kbytes], dtype=np.int32)
         cnts = np.fromiter(self.counts.values(), dtype=np.int64, count=len(keys))
         return (
@@ -128,6 +134,7 @@ class MisraGries:
             + len(keys).to_bytes(4, "little")
             + lengths.tobytes()
             + cnts.tobytes()
+            + flags.tobytes()
             + b"".join(kbytes)
         )
 
@@ -145,9 +152,12 @@ class MisraGries:
         off += 4 * n
         cnts = np.frombuffer(buf, dtype=np.int64, count=n, offset=off)
         off += 8 * n
+        flags = np.frombuffer(buf, dtype=np.uint8, count=n, offset=off)
+        off += n
         counts: dict = {}
-        for ln, c in zip(lengths.tolist(), cnts.tolist()):
-            counts[buf[off : off + ln].decode()] = c
+        for ln, c, fl in zip(lengths.tolist(), cnts.tolist(), flags.tolist()):
+            raw = buf[off : off + ln]
+            counts[raw.decode() if fl else raw] = c
             off += ln
         sk.counts = counts
         return sk

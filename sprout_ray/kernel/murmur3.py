@@ -366,6 +366,11 @@ def length_bucketed_spans(
     if n == 0:
         return []
     widths = (np.asarray(lengths, dtype=np.int64) // 16 + 1) * 16
+    # fast path (the overwhelmingly common case: uniform short keys): if the
+    # whole chunk padded to the GLOBAL max width fits the budget, it is one
+    # span — no per-row Python walk in the hash hot path
+    if n * int(widths.max()) <= budget and (max_rows is None or n <= max_rows):
+        return [(0, n)]
     spans = []
     i = 0
     while i < n:

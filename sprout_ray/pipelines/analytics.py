@@ -338,16 +338,27 @@ def orders_semi_join(sf_dir: str):
 
 
 def lang_sources_matrix(sf_dir: str):
-    """Exact distinct sources per lang — twin of grouped HLL."""
+    """Exact distinct sources per lang — twin of grouped HLL.
+
+    Scale shape (mirrors hourly_active_users): dedupe (lang, source) pairs
+    per block with one vectorized Arrow group_by, THEN a native distributed
+    groupby over the thinned pair stream, then a tiny per-lang count — the
+    shuffle carries at most one row per (lang, source, block), and no
+    whole-lang group ever lands in one Python call."""
+    from ray.data.aggregate import Count
+
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    import pandas as pd
-
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "n_sources": [g["source"].nunique()]}
-        )
-
-    return ds.groupby("lang").map_groups(distinct, batch_format="pandas")
+    pairs = ds.map_batches(
+        lambda t: t.group_by(["lang", "source"]).aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct = pairs.groupby(["lang", "source"]).aggregate(Count(alias_name="_n"))
+    return (
+        distinct.select_columns(["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_sources"))
+    )
 
 
 def _dup_pair_ds(sf_dir: str):

@@ -739,6 +739,7 @@ def connected_components_distributed(
         .materialize()
     )
     prev_sum = labels.sum("cluster")
+    converged = False
     for _ in range(max_rounds):
         msgs = edges.join(
             labels,
@@ -779,8 +780,17 @@ def connected_components_distributed(
         )
         cur_sum = labels.sum("cluster")
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently-unconverged labels would fail downstream oracles with no
+        # diagnostic pointing here; pointer jumping needs O(log diameter)
+        # rounds, so exhaustion means a pathological graph or too-small cap
+        raise RuntimeError(
+            f"connected_components_distributed: no fixpoint after "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
     return labels
 
 

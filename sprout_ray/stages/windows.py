@@ -159,9 +159,13 @@ def sessionize(ds, key: str = "user_id", ts_col: str = "ts", id_col: str = "even
         .reset_index(drop=True)
     )
     stitched["session_id"] = stitched.groupby(key, sort=False).cumcount()
+    # rebuild the key column with the ORIGINAL dtype (block_sessions
+    # preserved it; inferring here would make e.g. an int32/dictionary key
+    # mismatch the interior schema and break the union)
+    key_type = sessions.schema().base_schema.field(key).type
     out_tbl = pa.table(
         {
-            key: pa.array(stitched[key].to_numpy()),
+            key: pa.array(stitched[key].to_numpy(), type=key_type),
             "session_id": pa.array(stitched["session_id"].to_numpy(), pa.int64()),
             "n_events": pa.array(stitched["n_events"].to_numpy(), pa.int64()),
             "start_us": pa.array(stitched["start_us"].to_numpy(), pa.int64()),

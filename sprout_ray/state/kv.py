@@ -7,24 +7,31 @@ store only on "maybe" (bloom.go:220-236 — the filter-as-cache-guard
 pattern). This module re-expresses that as a persistent, hash-bucketed
 Parquet KV:
 
-- ``KVStore.build``: one Ray Data pass hash-partitions (key, value) rows
-  into ``n_buckets`` Parquet files by murmur3(key) and builds one Bloom
-  filter per bucket (written alongside, in the reference's packed file
-  layout via refformat). Writing is per-bucket, so a failed build can be
-  rerun per missing bucket.
+- ``KVStore.build``: one STREAMING Ray Data pass hash-partitions
+  (key, value) rows by murmur3(key) into hive-partitioned Parquet
+  (``write_parquet(partition_cols=...)`` — no bucket is ever materialized
+  whole in one worker; blocks stream straight to the bucket files), then a
+  distributed per-bucket task pass builds one Bloom filter per bucket by
+  iterating the bucket's row groups incrementally (reference packed file
+  layout via refformat). ``n_buckets`` auto-scales with row count
+  (~1M rows/bucket, capped 4096) so bucket size stays bounded as the
+  corpus grows. A failed build reruns cheaply: the data write is one
+  retryable Ray job and the bloom pass skips buckets whose filter file
+  already exists.
 - ``KVStore.get``: groups probe keys by bucket; buckets whose filter says
   "definitely not" for all their keys cost ZERO IO; otherwise only that
-  bucket's file is read, filtered to the maybe-keys. No false negatives;
+  bucket's files are read, filtered to the maybe-keys. No false negatives;
   false positives cost one pruned bucket read, exactly like the
   reference's guarded ``db.Get``.
 
-Unlike the reference (whose store races the filter file on crash), bucket
-files + filters are written atomically (tmp + rename) and carry a manifest
-with count + geometry, so ``open`` validates what it loads.
+Unlike the reference (whose store races the filter file on crash), the
+manifest (count + geometry per bucket) is written last via tmp + rename,
+so ``open`` validates what it loads.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 
@@ -35,6 +42,19 @@ import pyarrow.parquet as pq
 
 from ..kernel.bloom import BloomFilter
 from .refformat import export_filter_file, import_bloom_file
+
+
+def _bucket_bloom(files: list, key_col: str, err_rate: float, out_path: str) -> dict:
+    """Build one bucket's Bloom filter by streaming its row groups (never
+    holds more than one record batch of keys in memory)."""
+    nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    bf = BloomFilter(err_rate=err_rate, capacity=max(nrows * 2, 11))
+    for f in files:
+        pf = pq.ParquetFile(f)
+        for batch in pf.iter_batches(columns=[key_col], batch_size=65536):
+            bf.add_batch(batch.column(0))
+    export_filter_file(bf, out_path)
+    return {"rows": int(nrows), "cap": int(bf.capacity)}
 
 
 class KVStore:
@@ -56,12 +76,19 @@ class KVStore:
         key_col: str,
         value_col: str,
         path: str,
-        n_buckets: int = 16,
+        n_buckets: int | None = None,
         err_rate: float = 0.001,
+        rows_per_bucket: int = 1_000_000,
     ) -> "KVStore":
-        """One pass: bucket rows by murmur3(key) % n_buckets, write each
-        bucket's (key, value) Parquet + its Bloom filter."""
+        """Streaming build: hive-partitioned data write + distributed
+        per-bucket bloom pass. ``n_buckets=None`` auto-scales with rows."""
+        import ray
+
         from ..functions.hashing import murmur_column
+
+        if n_buckets is None or n_buckets <= 0:
+            n = ds.count()
+            n_buckets = int(min(4096, max(1, -(-n // rows_per_bucket))))
 
         os.makedirs(path, exist_ok=True)
 
@@ -76,42 +103,38 @@ class KVStore:
                 }
             )
 
-        tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-        counts = {}
-        # groupby shuffle co-locates each bucket; map_groups writes one
-        # bucket file + filter per group (buckets are few and fat, so the
-        # per-group-Python cost is n_buckets calls, not a singleton sea)
-        import pandas as pd
-
-        def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            b = int(g["_bucket"].iloc[0])
-            t = pa.Table.from_pandas(
-                g[[key_col, value_col]], preserve_index=False
-            )
-            tmp = os.path.join(path, f"bucket-{b:04d}.parquet.tmp")
-            final = os.path.join(path, f"bucket-{b:04d}.parquet")
-            pq.write_table(t, tmp)
-            os.replace(tmp, final)
-            bf = BloomFilter(err_rate=err_rate, capacity=max(len(g) * 2, 11))
-            bf.add_batch(t[key_col].combine_chunks())
-            export_filter_file(bf, os.path.join(path, f"bucket-{b:04d}.bloom"))
-            return pd.DataFrame({"bucket": [b], "rows": [len(g)], "cap": [bf.capacity]})
-
-        stats = (
-            tagged.groupby("_bucket")
-            .map_groups(write_bucket, batch_format="pandas")
-            .to_pandas()
+        data_dir = os.path.join(path, "data")
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+            data_dir, partition_cols=["_bucket"], mode="overwrite"
         )
-        counts = {int(r.bucket): {"rows": int(r.rows), "cap": int(r.cap)} for r in stats.itertuples()}
+
+        bloom_task = ray.remote(num_cpus=1)(_bucket_bloom)
+        jobs, order = [], []
+        for b_dir in sorted(_glob.glob(os.path.join(data_dir, "_bucket=*"))):
+            b = int(os.path.basename(b_dir).split("=", 1)[1])
+            files = sorted(_glob.glob(os.path.join(b_dir, "*.parquet")))
+            if not files:
+                continue
+            order.append(b)
+            jobs.append(
+                bloom_task.remote(
+                    files, key_col, err_rate,
+                    os.path.join(path, f"bucket-{b:04d}.bloom"),
+                )
+            )
+        counts = dict(zip(order, ray.get(jobs)))
         manifest = {
             "n_buckets": n_buckets,
             "key_col": key_col,
             "value_col": value_col,
             "err_rate": err_rate,
+            "layout": "hive",
             "buckets": {str(k): v for k, v in sorted(counts.items())},
         }
-        with open(os.path.join(path, "manifest.json"), "w") as f:
+        tmp = os.path.join(path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(path, "manifest.json"))
         return KVStore(path, manifest)
 
     @staticmethod
@@ -120,6 +143,13 @@ class KVStore:
             return KVStore(path, json.load(f))
 
     # ---- get -----------------------------------------------------------
+
+    def _bucket_files(self, bucket: int) -> list:
+        return sorted(
+            _glob.glob(
+                os.path.join(self.path, "data", f"_bucket={bucket}", "*.parquet")
+            )
+        )
 
     def _filter_for(self, bucket: int) -> BloomFilter | None:
         if bucket in self._filters:
@@ -157,7 +187,7 @@ class KVStore:
                 continue  # definite miss for the whole bucket: zero IO
             probe = sub.filter(pa.array(maybe))
             t = pq.read_table(
-                os.path.join(self.path, f"bucket-{int(b):04d}.parquet"),
+                self._bucket_files(int(b)),
                 columns=[self.key_col, self.value_col],
             )
             hit = t.filter(pc.is_in(t[self.key_col], value_set=probe))

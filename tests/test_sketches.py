@@ -365,3 +365,29 @@ class TestKMV:
 
         with _pytest.raises(ValueError):
             KMVSketch(k=8).merge(KMVSketch(k=16))
+
+    def test_binary_keys_roundtrip(self):
+        """Binary key columns (legal sketch input) must survive
+        serialization as bytes — not crash on decode or corrupt (ADVICE)."""
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from sprout_ray.kernel.kmv import KMVSketch
+        from sprout_ray.kernel.misragries import MisraGries
+
+        raw = [b"\xff\xfe-not-utf8", b"\x00binary", b"plain"]
+        sk = KMVSketch(k=16)
+        sk.update_batch(pa.array(raw, pa.binary()))
+        rt = KMVSketch.from_bytes(sk.to_bytes())
+        assert sorted(rt.sample()) == sorted(raw)
+
+        mg = MisraGries(m=8)
+        mg.counts = {b"\xff\xfe": 3, "text": 2}
+        mg.total = 5
+        mgr = MisraGries.from_bytes(mg.to_bytes())
+        assert mgr.counts == mg.counts
+
+        mg_bad = MisraGries(m=8)
+        mg_bad.counts = {42: 1}
+        with _pytest.raises(TypeError):
+            mg_bad.to_bytes()
