@@ -72,8 +72,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_orders": A.customers_no_orders,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
+        "minhash_neardup_exact": A.minhash_neardup_exact,
+        "simhash_neardup_exact": A.simhash_neardup_exact,
         "embedding_neardup": A.embedding_neardup,
         "embedding_neardup_exact": A.embedding_neardup_exact,
+        "embedding_neardup_planted": A.embedding_neardup_planted,
         "curation_survivors": A.curation_survivors,
         "token_jaccard_top1": A.token_jaccard_top1,
         "ann_brute_topk": A.ann_brute_topk,
@@ -83,6 +86,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": A.media_features,
         "media_dedup": A.media_dedup,
     }
+
+
+_PLANTED_DUP_PAIRS_SQL = (
+    "WITH corpus AS ("
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT CAST(doc_id + 1000000 AS BIGINT), text "
+    "FROM documents WHERE doc_id < 100) "
+    "SELECT a.doc_id AS left_id, b.doc_id AS right_id "
+    "FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id "
+    "ORDER BY left_id, right_id"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -314,6 +329,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(b.doc_id AS BIGINT) AS right_id "
             "FROM documents a JOIN documents b "
             "ON a.text = b.text AND a.doc_id < b.doc_id"
+        ),
+        # degenerate-regime oracles: at threshold=1.0 / max_hamming=0 over
+        # the planted-dup corpus (documents UNION doc_id<100 shifted 1e6)
+        # the LSH tails + exact verify equal the text-equality self-join
+        "minhash_neardup_exact": _PLANTED_DUP_PAIRS_SQL,
+        "simhash_neardup_exact": _PLANTED_DUP_PAIRS_SQL,
+        "embedding_neardup_planted": (
+            "WITH corpus AS ("
+            "SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings "
+            "UNION ALL "
+            "SELECT CAST(vec_id + 1000000 AS BIGINT), embedding "
+            "FROM embeddings WHERE vec_id < 50) "
+            "SELECT a.vec_id AS left_id, b.vec_id AS right_id "
+            "FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.99 "
+            "ORDER BY left_id, right_id"
         ),
         "exact_dup_clusters": (
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "

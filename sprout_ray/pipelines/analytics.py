@@ -787,6 +787,133 @@ def simhash_neardup(sf_dir: str):
     return simhash_candidates(ds)
 
 
+def _planted_dup_docs(sf_dir: str, n_plant: int = 100, offset: int = 1_000_000):
+    """documents UNION a copy of the lowest ``n_plant`` doc_ids shifted by
+    ``offset`` — a deterministic planted-exact-dup corpus, reproduced
+    verbatim in the SQL twins (degenerate-regime oracles for the near-dup
+    family, the same trick that made MG/KMV oracle-checkable)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    dup = ds.filter(expr=f"doc_id < {n_plant}").map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.add(t["doc_id"], pa.scalar(offset, pa.int64())),
+             "text": t["text"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.union(dup)
+
+
+def _verify_pairs_exact_text(pairs_ds, corpus_ds, id_col: str = "doc_id"):
+    """Keep only candidate pairs whose texts agree on TWO independent
+    murmur3-64 fingerprints (128 bits of agreement — the same text-equality
+    convention as _dup_pair_ds). Candidate sets here are O(planted dups),
+    so the fingerprint lookup is a tiny broadcast."""
+    import ray
+
+    from ..functions.hashing import murmur_column
+
+    cand_ids = pa.array(
+        sorted(
+            {r["left_id"] for r in pairs_ds.select_columns(["left_id"]).take_all()}
+            | {r["right_id"] for r in pairs_ds.select_columns(["right_id"]).take_all()}
+        ),
+        pa.int64(),
+    )
+    if len(cand_ids) == 0:
+        return pairs_ds
+    fp_rows = corpus_ds.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "h0": pa.array(murmur_column(t["text"], 0).view(np.int64)),
+                "h1": pa.array(murmur_column(t["text"], 1).view(np.int64)),
+            }
+        ).filter(pc.is_in(t[id_col], value_set=cand_ids)),
+        batch_format="pyarrow",
+    ).take_all()
+    fp_ref = ray.put({r[id_col]: (r["h0"], r["h1"]) for r in fp_rows})
+
+    def verify(t: pa.Table) -> pa.Table:
+        fp = ray.get(fp_ref)
+        left = t["left_id"].to_pylist()
+        right = t["right_id"].to_pylist()
+        keep = pa.array([fp[a] == fp[b] for a, b in zip(left, right)])
+        return t.filter(keep)
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+def _empty_id_pairs() -> pa.Table:
+    return pa.table(
+        {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
+    )
+
+
+def minhash_neardup_exact(sf_dir: str):
+    """Degenerate-regime ORACLE for the MinHash-LSH tail: on the planted-dup
+    corpus, threshold=1.0 keeps only pairs whose 128 signature minima ALL
+    agree; identical texts always surface (identical signatures collide in
+    every band), and a two-fingerprint exact verify removes any
+    identical-shingle-set-distinct-text survivors — so the distributed LSH
+    pipeline's result equals the SQL text-equality self-join exactly."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    corpus = _planted_dup_docs(sf_dir)
+    pairs = minhash_dedup_pairs(corpus, threshold=1.0, concurrency=2).select_columns(
+        ["left_id", "right_id"]
+    )
+    out = _verify_pairs_exact_text(pairs, corpus).sort(["left_id", "right_id"])
+    if out.count() == 0:
+        return _empty_id_pairs()
+    return out
+
+
+def simhash_neardup_exact(sf_dir: str):
+    """Degenerate-regime ORACLE for the SimHash tail: max_hamming=0 on the
+    planted-dup corpus keeps only identical 64-bit simhashes (always found —
+    all four bands agree); the two-fingerprint verify removes distinct-text
+    simhash collisions (e.g. token permutations), so the result equals the
+    SQL text-equality self-join exactly."""
+    from ..stages.dedup import simhash_candidates
+
+    corpus = _planted_dup_docs(sf_dir)
+    pairs = simhash_candidates(corpus, max_hamming=0).select_columns(
+        ["left_id", "right_id"]
+    )
+    out = _verify_pairs_exact_text(pairs, corpus).sort(["left_id", "right_id"])
+    if out.count() == 0:
+        return _empty_id_pairs()
+    return out
+
+
+def embedding_neardup_planted(sf_dir: str):
+    """Degenerate-regime ORACLE for the hyperplane-LSH embedding tail:
+    embeddings UNION copies of vec_id<50 shifted by 1e6 plants exact-dup
+    vectors (cosine 1.0). At threshold 0.99 only those pairs qualify on
+    either engine (the corpus's max non-planted cosine is ~0.6), and
+    identical vectors have identical sign bits so every band collides —
+    recall is deterministic, making the banded-LSH pipeline
+    oracle-checkable against DuckDB's cosine self-join."""
+    from ..stages.similarity import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dup = ds.filter(expr="vec_id < 50").map_batches(
+        lambda t: pa.table(
+            {"vec_id": pc.add(t["vec_id"], pa.scalar(1_000_000, pa.int64())),
+             "embedding": t["embedding"]}
+        ),
+        batch_format="pyarrow",
+    )
+    corpus = ds.union(dup)
+    pairs = embedding_near_dup_pairs(
+        corpus, threshold=0.99, id_col="vec_id"
+    ).select_columns(["left_id", "right_id"])
+    out = pairs.sort(["left_id", "right_id"])
+    if out.count() == 0:
+        return _empty_id_pairs()
+    return out
+
+
 def clicks_last_purchase(sf_dir: str):
     """As-of join: each click event + the same user's latest prior purchase.
 
@@ -1069,13 +1196,28 @@ def ann_brute_topk(sf_dir: str):
 
 
 def ann_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate cosine top-10 (scan only nprobe buckets)."""
-    from ..stages.similarity import ivf_topk
+    """IVF-bucketed approximate cosine top-10 (scan only nprobe buckets).
+
+    Self-evidencing: each row carries ``recall`` — the measured fraction of
+    that query's IVF top-10 also present in the brute-force top-10 on the
+    same float32 path — so the driver's rows-only record shows the
+    approximation quality directly (recall >= 0.9 is separately
+    pytest-gated; nprobe=nlist degenerates to exact)."""
+    from ..stages.similarity import ann_topk, ivf_topk
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     qrows = ds.take(4)
     q = np.stack([np.asarray(r["embedding"], dtype=np.float32) for r in qrows])
-    return ivf_topk(ds, q, k=10, nlist=8, nprobe=4, concurrency=2)
+    ivf = ivf_topk(ds, q, k=10, nlist=8, nprobe=4, concurrency=2)
+    brute = ann_topk(ds, q, k=10, concurrency=2)
+    brute_ids = brute.groupby("query_id")["vec_id"].apply(set).to_dict()
+    recall = {
+        qi: round(len(set(g["vec_id"]) & brute_ids.get(qi, set())) / max(len(g), 1), 4)
+        for qi, g in ivf.groupby("query_id")
+    }
+    ivf = ivf.copy()
+    ivf["recall"] = ivf["query_id"].map(recall)
+    return ivf
 
 
 def langid_predictions(sf_dir: str):
