@@ -200,6 +200,44 @@ def cmd_probe_ref(args) -> int:
     return 0
 
 
+def cmd_new_ref(args) -> int:
+    """Create an empty filter file in the reference layout (cli/bloom.go
+    'new': geometry from flags, file zeroed)."""
+    from .kernel.bloom import BloomFilter
+    from .state.refformat import export_filter_file
+
+    bf = BloomFilter(err_rate=args.err_rate, capacity=args.capacity)
+    n = export_filter_file(bf, args.file)
+    print(json.dumps({"file": args.file, "bytes": n, "k": bf.k, "m": bf.m}))
+    return 0
+
+
+def cmd_set_ref(args) -> int:
+    """Incremental maintenance parity with the reference CLI's workhorse
+    loop (cli/bloom.go:57-112: reopen file -> Add key -> close): import the
+    reference-layout file, add keys, re-export in place. Faithful caveat:
+    the file stores no count (refformat.py), so — exactly like a reopened
+    reference filter — the capacity check restarts from 0 on each open."""
+    from .state.refformat import export_filter_file, import_bloom_file
+
+    bf = import_bloom_file(args.file, err_rate=args.err_rate, capacity=args.capacity)
+    bf.add_batch([k.encode() for k in args.keys])
+    export_filter_file(bf, args.file)
+    print(json.dumps({"file": args.file, "added": len(args.keys)}))
+    return 0
+
+
+def cmd_reset_ref(args) -> int:
+    """Clear a reference-layout filter file in place (cli/bloom.go 'reset')."""
+    from .state.refformat import export_filter_file, import_bloom_file
+
+    bf = import_bloom_file(args.file, err_rate=args.err_rate, capacity=args.capacity)
+    bf.clear()
+    export_filter_file(bf, args.file)
+    print(json.dumps({"file": args.file, "reset": True}))
+    return 0
+
+
 def cmd_kv_build(args) -> int:
     """Build a bloom-guarded hash-bucketed KV (the reference's Put path)."""
     _init_ray(args.num_cpus)
@@ -310,6 +348,24 @@ def main(argv=None) -> int:
     prf.add_argument("--keys", nargs="+", required=True)
     common(prf)
     prf.set_defaults(fn=cmd_probe_ref)
+
+    nr = sub.add_parser("new-ref", help="create an empty reference-layout filter file")
+    nr.add_argument("--file", required=True)
+    common(nr)
+    nr.set_defaults(fn=cmd_new_ref)
+
+    sr = sub.add_parser(
+        "set-ref", help="add keys into an existing reference-layout filter file"
+    )
+    sr.add_argument("--file", required=True)
+    sr.add_argument("--keys", nargs="+", required=True)
+    common(sr)
+    sr.set_defaults(fn=cmd_set_ref)
+
+    rr = sub.add_parser("reset-ref", help="clear a reference-layout filter file")
+    rr.add_argument("--file", required=True)
+    common(rr)
+    rr.set_defaults(fn=cmd_reset_ref)
 
     kb = sub.add_parser(
         "kv-build", help="build a bloom-guarded hash-bucketed parquet KV"

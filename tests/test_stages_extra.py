@@ -50,6 +50,24 @@ class TestCLI:
         pr = self._run("probe", "--ckpt", ck, "--keys", "definitely-not-there-xyz")
         assert pr["definitely-not-there-xyz"] is False
 
+    def test_ref_file_incremental_set_reset(self, tmp_path):
+        """Reference-CLI parity loop (cli/bloom.go:57-112): membership of a
+        reference-layout file grows across separate set-ref invocations and
+        clears on reset-ref."""
+        f = str(tmp_path / "ref.bloom")
+        geo = ["--err-rate", "0.001", "--capacity", "1000"]
+        self._run("new-ref", "--file", f, *geo)
+        self._run("set-ref", "--file", f, "--keys", "alpha", *geo)
+        p1 = self._run("probe-ref", "--file", f, "--keys", "alpha", "beta", *geo)
+        assert p1["alpha"] is True and p1["beta"] is False
+        # second invocation: reopen -> add -> close, earlier keys survive
+        self._run("set-ref", "--file", f, "--keys", "beta", *geo)
+        p2 = self._run("probe-ref", "--file", f, "--keys", "alpha", "beta", *geo)
+        assert p2["alpha"] is True and p2["beta"] is True
+        self._run("reset-ref", "--file", f, *geo)
+        p3 = self._run("probe-ref", "--file", f, "--keys", "alpha", "beta", *geo)
+        assert p3["alpha"] is False and p3["beta"] is False
+
 
 class TestMinHasherBatchVectorized:
     """signatures_batch (one windowed hash pass + minimum.reduceat) must be
