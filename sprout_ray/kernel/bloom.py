@@ -89,10 +89,34 @@ class BloomStats:
         }
 
 
-class BloomFilter:
-    """Fixed-capacity partitioned Bloom filter over byte keys."""
+# MSB-first bit masks, indexed by (bit_index & 7)
+_MASK_LUT = (np.uint8(128) >> np.arange(8, dtype=np.uint8)).copy()
 
-    __slots__ = ("err_rate", "capacity", "k", "m", "bit_width", "seeds", "bits", "count")
+
+def _u32_to_u64(idx: np.ndarray) -> np.ndarray:
+    """uint32 -> uint64 widening without numpy 1.26's checked-cast path."""
+    out = np.zeros(idx.size, dtype=np.uint64)
+    out.view(np.uint32)[::2] = idx  # little-endian low words
+    return out
+
+
+class BloomFilter:
+    """Fixed-capacity partitioned Bloom filter over byte keys.
+
+    The dense bit array is LAZY: adds accumulate raw probe indices in
+    ``_pending`` until something needs the dense form (a probe, a merge
+    into a dense side, export, or a serialization whose index payload
+    would outweigh the bitmap). A per-block partial of a big filter (e.g.
+    64 blocks of a 19M-capacity build: ~2.5M set bits of ~276M) therefore
+    never allocates its ~34 MB array at all — load-bearing on hosts where
+    allocations past the 32 MiB glibc mmap-threshold cap churn the kernel
+    (see BASELINE.md "Host-ceiling analysis"), and it makes partial
+    serialization a raw index dump instead of zero+scatter+compress."""
+
+    __slots__ = (
+        "err_rate", "capacity", "k", "m", "bit_width", "seeds", "count",
+        "_bits", "_pending", "_pending_n",
+    )
 
     def __init__(self, err_rate: float = 0.001, capacity: int = 10_000):
         if capacity <= 10:
@@ -102,8 +126,37 @@ class BloomFilter:
         self.k, m_bits, self.m, self.seeds = derive_params(err_rate, capacity)
         # bloom.go:124-125: bits -> bytes with 8 bytes of slack
         self.bit_width = m_bits // 8 + 8
-        self.bits = np.zeros(self.bit_width, dtype=np.uint8)
+        self._bits = None  # dense array, created on first need
+        self._pending: list = []  # uint64 probe-index arrays awaiting scatter
+        self._pending_n = 0
         self.count = 0
+
+    # ---- lazy dense bits ----------------------------------------------
+
+    @property
+    def bits(self) -> np.ndarray:
+        """Dense packed bit array (densifies pending indices on access)."""
+        self._densify()
+        return self._bits
+
+    @bits.setter
+    def bits(self, arr: np.ndarray) -> None:
+        self._bits = arr
+        self._pending = []
+        self._pending_n = 0
+
+    def _densify(self) -> None:
+        if self._bits is None:
+            self._bits = np.zeros(self.bit_width, dtype=np.uint8)
+        if self._pending:
+            idx = np.concatenate(self._pending)
+            byte_idx, masks = self._bit_addr(idx)
+            np.bitwise_or.at(self._bits, byte_idx, masks)
+            self._pending = []
+            self._pending_n = 0
+
+    def is_sparse(self) -> bool:
+        return self._bits is None
 
     # ---- probe layout -------------------------------------------------
 
@@ -124,17 +177,26 @@ class BloomFilter:
         """MSB-first byte/mask addressing (bloom.go:283-294).
 
         byte index stays uint64 (fancy indexing accepts it; the int64 astype
-        would cost ~1us/element on numpy 1.26's checked-cast path)."""
+        would cost ~1us/element on numpy 1.26's checked-cast path — the mask
+        comes from a LUT gather for the same reason)."""
         byte_idx = idx >> np.uint64(3)
-        masks = np.uint8(128) >> (idx & np.uint64(7)).astype(np.uint8)
+        masks = _MASK_LUT[idx & np.uint64(7)]
         return byte_idx, masks
 
     # ---- core ops -----------------------------------------------------
 
     def _set_bits(self, mat: np.ndarray, lengths: np.ndarray) -> None:
         idx = self._probe_indices(mat, lengths)
+        if self._bits is None:
+            flat = idx.ravel()
+            self._pending.append(flat)
+            self._pending_n += flat.size
+            # past the break-even point the bitmap is the smaller state
+            if self._pending_n * 8 > self.bit_width * 2:
+                self._densify()
+            return
         byte_idx, masks = self._bit_addr(idx)
-        np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())
+        np.bitwise_or.at(self._bits, byte_idx.ravel(), masks.ravel())
 
     def add_batch(self, keys) -> None:
         """Add keys; mirrors per-row Add semantics: once count reaches
@@ -185,11 +247,20 @@ class BloomFilter:
             raise BloomMergeError("BloomFilter k values do not match")
         if self.bit_width != other.bit_width:
             raise BloomMergeError("BloomFilter bit_width values do not match")
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        if self._bits is None and other._bits is None:
+            self._pending.extend(other._pending)
+            self._pending_n += other._pending_n
+            if self._pending_n * 8 > self.bit_width * 2:
+                self._densify()
+        else:
+            np.bitwise_or(self.bits, other.bits, out=self.bits)
         self.count += other.count
 
     def clear(self) -> None:
-        self.bits[:] = 0
+        if self._bits is not None:
+            self._bits[:] = 0
+        self._pending = []
+        self._pending_n = 0
         self.count = 0
 
     # ---- introspection ------------------------------------------------
@@ -210,6 +281,32 @@ class BloomFilter:
     # ---- serialization ------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Dense bitmap, or — while sparse and smaller — the raw probe-index
+        dump (``fmt="sparse"``; uint32 when the bit space fits, else uint64).
+        Per-block partials of big filters ship this way: no zeroing, no
+        scatter, no compression of a mostly-empty bitmap."""
+        total_bits = self.m * self.k
+        use_u4 = total_bits <= 0xFFFFFFFF
+        itemsize = 4 if use_u4 else 8
+        if self._bits is None and self._pending_n * itemsize < self.bit_width:
+            idx = (
+                np.concatenate(self._pending)
+                if self._pending
+                else np.empty(0, dtype=np.uint64)
+            )
+            if use_u4:
+                idx = idx.astype(np.uint32)
+            meta = json.dumps(
+                {
+                    "kind": "bloom",
+                    "err_rate": self.err_rate,
+                    "capacity": self.capacity,
+                    "count": self.count,
+                    "fmt": "sparse",
+                    "dtype": "u4" if use_u4 else "u8",
+                }
+            ).encode()
+            return len(meta).to_bytes(4, "little") + meta + idx.tobytes()
         meta = json.dumps(
             {
                 "kind": "bloom",
@@ -226,14 +323,24 @@ class BloomFilter:
         meta = json.loads(buf[4 : 4 + mlen].decode())
         assert meta["kind"] == "bloom", meta["kind"]
         bf = cls(err_rate=meta["err_rate"], capacity=meta["capacity"])
-        bf.bits = np.frombuffer(buf[4 + mlen :], dtype=np.uint8).copy()
-        assert bf.bits.size == bf.bit_width
+        if meta.get("fmt") == "sparse":
+            dt = np.uint32 if meta.get("dtype", "u4") == "u4" else np.uint64
+            idx = np.frombuffer(buf, dtype=dt, offset=4 + mlen)
+            if idx.size:
+                bf._pending = [
+                    _u32_to_u64(idx) if dt is np.uint32 else idx.copy()
+                ]
+                bf._pending_n = idx.size
+        else:
+            bf.bits = np.frombuffer(buf[4 + mlen :], dtype=np.uint8).copy()
+            assert bf._bits.size == bf.bit_width
         bf.count = meta["count"]
         return bf
 
     def merge_bytes(self, buf: bytes) -> None:
-        """Merge a serialized partial WITHOUT materializing it: OR straight
-        from a read-only buffer view (a 34 MB filter otherwise costs a zero
+        """Merge a serialized partial WITHOUT materializing it: a dense
+        partial ORs straight from a read-only buffer view; a sparse partial
+        scatters its index dump (a 34 MB filter otherwise costs a zero
         alloc + a copy per partial in the reduce fan-in)."""
         mlen = int.from_bytes(buf[:4], "little")
         meta = json.loads(buf[4 : 4 + mlen].decode())
@@ -241,8 +348,22 @@ class BloomFilter:
             meta["err_rate"] != self.err_rate or meta["capacity"] != self.capacity
         ):
             raise BloomMergeError(f"partial spec mismatch: {meta}")
-        view = np.frombuffer(buf, dtype=np.uint8, offset=4 + mlen)
-        np.bitwise_or(self.bits, view, out=self.bits)
+        if meta.get("fmt") == "sparse":
+            dt = np.uint32 if meta.get("dtype", "u4") == "u4" else np.uint64
+            idx = np.frombuffer(buf, dtype=dt, offset=4 + mlen)
+            if idx.size:
+                flat = _u32_to_u64(idx) if dt is np.uint32 else idx.copy()
+                if self._bits is None:
+                    self._pending.append(flat)
+                    self._pending_n += flat.size
+                    if self._pending_n * 8 > self.bit_width * 2:
+                        self._densify()
+                else:
+                    byte_idx, masks = self._bit_addr(flat)
+                    np.bitwise_or.at(self._bits, byte_idx, masks)
+        else:
+            view = np.frombuffer(buf, dtype=np.uint8, offset=4 + mlen)
+            np.bitwise_or(self.bits, view, out=self.bits)
         self.count += meta["count"]
 
 

@@ -30,12 +30,25 @@ from .agg import SketchAgg, _update_input
 
 def pack_partial(buf: bytes) -> bytes:
     """Wire format for serialized partials: low-fill bitmaps/registers are
-    mostly zeros, so cheap zlib-1 cuts partial shipping severalfold."""
+    mostly zeros, so cheap zlib-1 cuts partial shipping severalfold. A
+    256 KB probe skips compression for high-entropy payloads (sparse bloom
+    index dumps are near-random integers — zlib would burn CPU for ~0%)."""
+    if len(buf) > 262_144:
+        probe = zlib.compress(buf[:262_144], 1)
+        # sparse index dumps probe ~0.75 (only the top byte is sparse);
+        # dense low-fill bitmaps/registers probe <= ~0.3 — the 0.7 cut keeps
+        # zlib for the latter and skips its CPU for the former
+        if len(probe) > 0.7 * 262_144:
+            return b"R0" + buf
     return b"Z1" + zlib.compress(buf, 1)
 
 
 def unpack_partial(buf: bytes) -> bytes:
-    return zlib.decompress(buf[2:]) if buf[:2] == b"Z1" else bytes(buf)
+    if buf[:2] == b"Z1":
+        return zlib.decompress(buf[2:])
+    if buf[:2] == b"R0":
+        return bytes(buf[2:])
+    return bytes(buf)
 
 
 # Update chunk: temporaries for a 32k-row hash pass stay ~2-3 MB — under the
