@@ -135,7 +135,7 @@ def headline(sf_dir: str) -> dict:
     trials = []
     max_trials = int(os.environ.get("SPROUT_BENCH_TRIALS", "0") or 0)
     good = float(os.environ.get("SPROUT_BENCH_GOOD_SEC", "70"))
-    budget = float(os.environ.get("SPROUT_BENCH_WALL_BUDGET", "900"))
+    budget = float(os.environ.get("SPROUT_BENCH_WALL_BUDGET", "1200"))
     while True:
         t0 = time.time()
         built = one_build()
