@@ -147,6 +147,45 @@ def test_serialize_roundtrip():
     assert clone.stats() == bf.stats()
 
 
+def test_sparse_partial_format_and_equivalence():
+    """Per-block partials of big filters serialize as a sparse index dump
+    (no dense bitmap ever allocated); merging sparse partials yields bits
+    identical to one dense build over the same keys."""
+    cap = 2_000_000  # big enough that a small add stays under break-even
+    keys_a = [f"a-{i}".encode() for i in range(5_000)]
+    keys_b = [f"b-{i}".encode() for i in range(5_000)]
+
+    pa_ = BloomFilter(err_rate=0.001, capacity=cap)
+    pa_.add_batch(keys_a)
+    assert pa_.is_sparse()  # no dense array at the leaf
+    blob = pa_.to_bytes()
+    assert len(blob) < pa_.bit_width // 2  # index dump, not a bitmap
+
+    pb = BloomFilter(err_rate=0.001, capacity=cap)
+    pb.add_batch(keys_b)
+
+    merged = BloomFilter.from_bytes(blob)
+    merged.merge(BloomFilter.from_bytes(pb.to_bytes()))
+    assert merged.count == 10_000
+
+    dense = BloomFilter(err_rate=0.001, capacity=cap)
+    dense.add_batch(keys_a)
+    dense.add_batch(keys_b)
+    assert (merged.bits == dense.bits).all()  # .bits densifies both
+    assert merged.contains_batch(keys_a + keys_b).all()
+
+    # probing densifies in place; a later to_bytes is the dense format
+    clone = BloomFilter.from_bytes(merged.to_bytes())
+    assert (clone.bits == dense.bits).all()
+
+
+def test_sparse_densifies_past_break_even():
+    bf = BloomFilter(err_rate=0.01, capacity=100)  # tiny bitmap
+    bf.add_batch([f"k{i}".encode() for i in range(90)])
+    assert not bf.is_sparse()  # index dump would outweigh the bitmap
+    assert bf.contains(b"k0")
+
+
 def test_stats():
     bf = BloomFilter(err_rate=0.01, capacity=1000)
     bf.add(b"x")
