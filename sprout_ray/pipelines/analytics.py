@@ -285,41 +285,52 @@ def user_sessions(sf_dir: str):
     return sessionize(ds, key="user_id", gap_s=1800)
 
 
-def orders_semi_join(sf_dir: str):
+def orders_semi_join(sf_dir: str, broadcast_max: int = 4_000_000):
     """Bloom-pruned exact semi-join: lineitems of orders with totalprice>150k.
 
     The Bloom filter prunes the probe side (no false negatives); an exact
-    broadcast-set verification removes false positives, so the result is
-    exactly the SQL semi-join while only the pruned survivor stream pays the
-    exact check (the reference's Get/cache-guard pattern at dataset scale,
+    verification removes false positives, so the result is exactly the SQL
+    semi-join while only the pruned survivor stream pays the exact check
+    (the reference's Get/cache-guard pattern at dataset scale,
     bloom.go:220-236).
 
-    SIZE GUARD: the exact verify broadcasts the build-side key list, which
-    is only sane while the selective predicate keeps it small (here ~a few
-    percent of orders). When the build side outgrows a broadcast, drop the
-    exact list and keep only the bloom prune feeding a distributed hash
-    semi-join (stages.probe.bloom_semi_join / stages.dedup.exact_dedup's
-    join path show the shape)."""
+    SIZE GUARD (enforced, not advisory): up to ``broadcast_max`` build-side
+    keys the exact verify is a broadcast ``is_in`` per block; above that the
+    pruned survivors run a distributed hash semi-join against the
+    (unique-key) build side — the bloom prune still spares the join the
+    non-qualifying bulk."""
     import ray
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     hot = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 150_000.0)),
         batch_format="pyarrow",
-    ).select_columns(["o_orderkey"])
-    keys = [r["o_orderkey"] for r in hot.take_all()]
+    ).select_columns(["o_orderkey"]).materialize()
+    n_hot = hot.count()
     bf = build_sketch(
-        hot, SketchSpec.of("bloom", 0.01, max(len(keys), 11)), on="o_orderkey"
+        hot, SketchSpec.of("bloom", 0.01, max(n_hot, 11)), on="o_orderkey"
     )
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     pruned = probe_filter(li, bf, on="l_orderkey", mode="maybe", concurrency=2)
-    key_ref = ray.put(pa.array(keys))
+    if n_hot <= broadcast_max:
+        key_ref = ray.put(
+            pa.array([r["o_orderkey"] for r in hot.take_all()])
+        )
 
-    def verify(t: pa.Table) -> pa.Table:
-        ks = ray.get(key_ref)
-        return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
+        def verify(t: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
 
-    exact = pruned.map_batches(verify, batch_format="pyarrow")
+        exact = pruned.map_batches(verify, batch_format="pyarrow")
+    else:
+        exact = pruned.join(
+            hot.map_batches(
+                lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=max(2, n_hot // 2_000_000),
+            on=("l_orderkey",),
+        )
     from ray.data.aggregate import Count, Sum
 
     def prep(t: pa.Table) -> pa.Table:

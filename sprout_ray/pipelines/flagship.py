@@ -29,7 +29,7 @@ def with_invariant(ds, content_col: str = "content"):
     )
 
 
-def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 16) -> dict:
+def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) -> dict:
     """Build several sketches in ONE pass over the data.
 
     ``specs``: name -> (SketchSpec, column). A single map_batches stage
@@ -71,16 +71,29 @@ def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 16) -
         cols = {}
         for name, (spec, _col) in items:
             sk = merge_partials(batch[name].to_pylist(), spec)
-            cols[name] = pa.array([pack_partial(sk.to_bytes())], pa.large_binary())
+            # intermediates ship raw ("R0"): they cross the object store
+            # exactly once, and zlib on increasingly dense upper-level
+            # bitmaps costs more CPU than the memcpy it saves
+            cols[name] = pa.array([b"R0" + sk.to_bytes()], pa.large_binary())
         total = sum(batch["rows"].to_pylist())
         cols["rows"] = pa.array([total], pa.int64())
         return pa.table(cols)
 
     merged = ds.map_batches(
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).materialize()
+    )
+    # two LAZY tree levels (fan_in^2 reduction, 64x at the default) chained
+    # before any materialize: merge tasks start as soon as fan_in leaf
+    # partials exist, so the reduce OVERLAPS the scan instead of waiting on
+    # a barrier — the barrier version charged the whole merge tree as
+    # cluster-size-independent fixed wall, capping scaling efficiency.
+    for _ in range(2):
+        merged = merged.map_batches(
+            merge_rows, batch_format="pyarrow", batch_size=fan_in
+        )
+    merged = merged.materialize()
     n = merged.count()
-    while n > driver_max:
+    while n > driver_max:  # fallback for block counts beyond fan_in^2
         merged = merged.map_batches(
             merge_rows, batch_format="pyarrow", batch_size=fan_in
         ).materialize()

@@ -37,6 +37,23 @@ def test_entry_contract():
     assert set(os_) <= set(qs)
 
 
+def test_orders_semi_join_guard_paths_agree():
+    """The enforced size guard: broadcast verify (default) and distributed
+    hash semi-join (broadcast_max=0) produce the identical exact result."""
+    a = (
+        _pd(A.orders_semi_join(SF))
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    b = (
+        _pd(A.orders_semi_join(SF, broadcast_max=0))[a.columns]
+        .sort_values("l_orderkey")
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    assert a.equals(b)
+
+
 def test_hll_vs_exact_sources():
     import duckdb
 
