@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_clicks_1h": A.purchases_clicks_1h,
         "revenue_by_nation": A.revenue_by_nation,
         "customers_no_orders": A.customers_no_orders,
+        "ngram_jaccard_pairs": A.ngram_jaccard_pairs,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "minhash_neardup_exact": A.minhash_neardup_exact,
@@ -81,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_jaccard_top1": A.token_jaccard_top1,
         "ann_brute_topk": A.ann_brute_topk,
         "ann_ivf_topk": A.ann_ivf_topk,
+        "ann_ivf_exact": A.ann_ivf_exact,
+        "kll_quantiles_exact": A.kll_quantiles_exact,
+        "fingerprint_distinctness": A.fingerprint_distinctness,
         "langid_predictions": A.langid_predictions,
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,
@@ -135,6 +139,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(qid AS BIGINT) AS query_id, "
             "CAST(doc_id AS BIGINT) AS match_id, round(j, 6) AS jaccard "
             "FROM ranked WHERE rn = 1 ORDER BY query_id"
+        ),
+        # same SQL as ann_brute_topk: at nprobe=nlist the IVF scan probes
+        # every bucket, degenerating to exact brute-force cosine top-k
+        "ann_ivf_exact": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 4), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS s FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, s, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn "
+            "FROM scored) "
+            "SELECT query_id, vec_id, round(s, 6) AS score FROM ranked "
+            "WHERE rn <= 10 ORDER BY query_id, vec_id"
+        ),
+        # exact lower quantile at rank ceil(q*n) — the definition KLL's
+        # weighted searchsorted computes when nothing ever compacts (k > n);
+        # VALUES literals are DECIMAL, so qq*n is exact arithmetic
+        "kll_quantiles_exact": (
+            "WITH s AS (SELECT n_chars, "
+            "row_number() OVER (ORDER BY n_chars) AS rn, "
+            "count(*) OVER () AS n FROM documents) "
+            "SELECT t.label AS q, CAST(s.n_chars AS DOUBLE) AS value "
+            "FROM (VALUES ('p01', 0.01), ('p25', 0.25), ('p50', 0.50), "
+            "('p75', 0.75), ('p99', 0.99)) AS t(label, qq) "
+            "JOIN s ON s.rn = GREATEST(1, CAST(ceil(t.qq * s.n) AS BIGINT)) "
+            "ORDER BY q"
+        ),
+        # fingerprint injectivity: distinct fingerprints == distinct texts
+        "fingerprint_distinctness": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_fingerprints, "
+            "CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts "
+            "FROM documents"
         ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
@@ -323,6 +361,26 @@ def oracle_sql() -> dict[str, str]:
         "lang_sources_matrix": (
             "SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
             "FROM documents GROUP BY lang"
+        ),
+        # exact char-3-gram Jaccard self-join; the CASE edges mirror
+        # char_shingles: len<n -> whole-text singleton set, empty -> empty
+        # set (two empties: 1.0). i/(na+nb-i) is the same IEEE expression
+        # the Ray verifier evaluates, so the >= 0.8 decision is identical.
+        "ngram_jaccard_pairs": (
+            "WITH g AS (SELECT doc_id, "
+            "CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(text) < 3 THEN [text] "
+            "ELSE list_distinct([substr(text, CAST(i AS INT), 3) "
+            "FOR i IN range(1, len(text)-1)]) END AS grams FROM documents), "
+            "p AS (SELECT a.doc_id AS la, b.doc_id AS rb, "
+            "len(list_intersect(a.grams, b.grams)) AS i, "
+            "len(a.grams) AS na, len(b.grams) AS nb "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id), "
+            "s AS (SELECT la, rb, CASE WHEN na + nb = 0 THEN 1.0 "
+            "ELSE CAST(i AS DOUBLE) / (na + nb - i) END AS j FROM p) "
+            "SELECT CAST(la AS BIGINT) AS left_id, CAST(rb AS BIGINT) AS right_id, "
+            "round(j, 6) AS jaccard FROM s WHERE j >= 0.8 "
+            "ORDER BY left_id, right_id"
         ),
         "exact_dup_pairs": (
             "SELECT CAST(a.doc_id AS BIGINT) AS left_id, "

@@ -248,11 +248,15 @@ def run_scaling() -> dict:
     runs ``trials`` times interleaved and the per-level MIN (standard
     noise-robust estimator) feeds the efficiency number."""
 
-    # scaling defaults: efficiency is a ratio, so it doesn't need the full
-    # 16M corpus — 4M rows keeps a 4-CPU trial in minutes; one timed trial
-    # per process (min is taken ACROSS interleaved processes); tiny warm-up
+    # scaling defaults: the FULL 16M headline corpus (the same job the
+    # headline times, and the driver has already built the corpus cache).
+    # Efficiency is a ratio but not scale-free: the merge-tree tail +
+    # planning are a ~2.5 s cluster-size-independent term, so a 4M-row
+    # job reads ~0.68 where the 16M job reads the engine's real ~0.85+
+    # (at 100 TB the fixed term vanishes entirely). One timed trial per
+    # process (min is taken ACROSS interleaved processes); tiny warm-up
     # (pool spawn + imports are what it pays for). All overridable via env.
-    rows = int(os.environ.get("SPROUT_BENCH_ROWS", "4000000"))
+    rows = int(os.environ.get("SPROUT_BENCH_ROWS", "16000000"))
 
     def sub(ncpu: int) -> float:
         env = dict(

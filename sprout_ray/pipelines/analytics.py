@@ -780,6 +780,52 @@ def quantile_sketches(sf_dir: str):
     )
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """EXACT char-3-gram Jaccard >= 0.8 duplicate pairs (AllPairs prefix
+    filter; no LSH) — the n-gram-Jaccard member of the dedup family, with a
+    full DuckDB twin (list_distinct 3-grams + list_intersect self-join).
+    A 0-row Dataset drops its schema on to_pandas, so the empty case
+    returns a schema-bearing Arrow table."""
+    from ..stages.dedup import ngram_jaccard_pairs_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs_distributed(ds, n=3, threshold=0.8).materialize()
+    if out.count() == 0:
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    return out.sort(["left_id", "right_id"])
+
+
+def kll_quantiles_exact(sf_dir: str):
+    """KLL in its provably-exact regime: with k > n the level-0 buffer never
+    reaches capacity, so no compaction ever fires — a distributed build
+    (per-block partials, merge = level-wise concatenation) retains every
+    value at weight 1 and ``quantile(q)`` returns the exact lower order
+    statistic at rank ceil(q*n). The SQL twin computes that same rank
+    explicitly (row_number over ORDER BY n_chars), making the whole
+    partial/merge/query path oracle-checked end to end — the same
+    degenerate-regime trick as kmv_*_exact / mg_event_type_exact."""
+    from .flagship import multi_sketch_build
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    built = multi_sketch_build(ds, {"kll": (SketchSpec.of("kll", 65536), "n_chars")})
+    kll = built["kll"]
+    assert kll.n < 65536, "exact regime requires k > n"
+    labels = ["p01", "p25", "p50", "p75", "p99"]
+    qs = [0.01, 0.25, 0.50, 0.75, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(labels, pa.string()),
+            "value": pa.array([float(x) for x in kll.quantile(qs)], pa.float64()),
+        }
+    )
+
+
 def minhash_neardup(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over documents.text."""
     from ..stages.dedup import minhash_dedup_pairs
@@ -1231,6 +1277,27 @@ def ann_ivf_topk(sf_dir: str):
     return ivf
 
 
+def ann_ivf_exact(sf_dir: str):
+    """IVF in its degenerate-exact regime: nprobe = nlist probes EVERY
+    bucket, so the bucketed scan equals brute force on the same dtype —
+    float64 here, giving oracle parity with DuckDB's double-precision
+    ``list_cosine_similarity`` (same rounding/tie rules as ann_brute_topk).
+    This oracle-checks the whole IVF path (train, assign, probe, per-block
+    top-k, merge); the approximation quality of the pruned regime is
+    separately evidenced by ann_ivf_topk's recall column."""
+    from ..stages.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").take(4)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    df = ivf_topk(ds, q, k=10, nlist=8, nprobe=8, concurrency=2, dtype="float64")
+    df["query_id"] = qids[df["query_id"].to_numpy()]
+    s = df["score"].to_numpy()
+    df["score"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def langid_predictions(sf_dir: str):
     """Heuristic language-ID counts over documents."""
     from ..stages.text import LangId
@@ -1250,6 +1317,29 @@ def doc_fingerprints(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
         ["doc_id", "fingerprint"]
+    )
+
+
+def fingerprint_distinctness(sf_dir: str):
+    """Fingerprint injectivity invariant, oracle-checked: the murmur3-64
+    content fingerprint must be deterministic (equal texts -> equal
+    fingerprints) and collision-free at corpus scale, i.e.
+    count(DISTINCT fingerprint) == count(DISTINCT text). The SQL twin
+    computes text-distinctness for both columns, so any collision or
+    nondeterminism in the distributed fingerprint stage hash-mismatches."""
+    from ..stages.text import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fp = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    n_docs = fp.count()
+    n_fp = fp.unique("fingerprint")
+    n_text = fp.unique("text")
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_distinct_fingerprints": pa.array([len(n_fp)], pa.int64()),
+            "n_distinct_texts": pa.array([len(n_text)], pa.int64()),
+        }
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray as _ray
 
 from ..functions.hashing import add_sha256
 from ..kernel.sketch import SketchSpec
@@ -29,6 +30,22 @@ def with_invariant(ds, content_col: str = "content"):
     )
 
 
+@_ray.remote(num_cpus=1)
+def _merge_partial_tables(spec_items: list, *tables: pa.Table) -> pa.Table:
+    """Merge fan_in one-row partial tables into one (a tree-reduce node).
+
+    Output partials ship raw ("R0"): they cross the object store exactly
+    once, and zlib on increasingly dense upper-level bitmaps costs more CPU
+    than the memcpy it saves."""
+    batch = pa.concat_tables(tables)
+    cols = {}
+    for name, spec in spec_items:
+        sk = merge_partials(batch[name].to_pylist(), spec)
+        cols[name] = pa.array([b"R0" + sk.to_bytes()], pa.large_binary())
+    cols["rows"] = pa.array([sum(batch["rows"].to_pylist())], pa.int64())
+    return pa.table(cols)
+
+
 def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) -> dict:
     """Build several sketches in ONE pass over the data.
 
@@ -37,13 +54,23 @@ def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) ->
     per block. One scan, N sketches — at 100 TB this halves-or-better the IO
     vs building each sketch separately.
 
-    The reduce is a DATASET-NATIVE tree: while more than ``driver_max``
-    partial rows remain, a map_batches(batch_size=fan_in) stage merges
-    fan_in rows into one IN PARALLEL on the workers; only the last
-    <= driver_max partials land on the driver. A 64-block build used to
-    decompress+OR ~4 GB of bloom partials serially on the driver (~10 s of
-    fixed, cluster-size-independent wall that capped scaling efficiency);
-    now that work rides the worker pool.
+    The reduce is a streaming tree of plain Ray tasks over the leaf stage's
+    block refs (``iter_internal_ref_bundles`` — refs only, no partial bytes
+    touch the driver): every ``fan_in`` leaf partials launch a merge task
+    the moment they exist, cascading level by level, so the reduce OVERLAPS
+    the scan and at most ``driver_max`` merged partials are ever fetched.
+
+    Why raw tasks instead of map_batches(merge, batch_size=fan_in) stages:
+    (a) chained merge stages FUSE into the leaf operator (observed via
+    ds.stats(): all MapBatches in one fused operator, 64 tasks -> 64
+    one-row blocks — each "merge" repacks a single partial and reduces
+    nothing); (b) with fusion blocked via distinct remote args, the
+    streaming executor's per-operator resource reservation starves the scan
+    at small CPU counts (measured 45% scan utilization at 4 CPUs — a
+    cluster-size-dependent penalty that corrupts scaling). An associative
+    sketch reduce is exactly the "Dataset API can't express it efficiently"
+    case; the partitioning assumption is only that partials are
+    sketch-sized (row-count-independent).
     """
     from ..stages.builder import pack_partial, update_chunked
 
@@ -67,41 +94,46 @@ def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) ->
             }
         )
 
-    def merge_rows(batch: pa.Table) -> pa.Table:
-        cols = {}
-        for name, (spec, _col) in items:
-            sk = merge_partials(batch[name].to_pylist(), spec)
-            # intermediates ship raw ("R0"): they cross the object store
-            # exactly once, and zlib on increasingly dense upper-level
-            # bitmaps costs more CPU than the memcpy it saves
-            cols[name] = pa.array([b"R0" + sk.to_bytes()], pa.large_binary())
-        total = sum(batch["rows"].to_pylist())
-        cols["rows"] = pa.array([total], pa.int64())
-        return pa.table(cols)
-
-    merged = ds.map_batches(
+    leaf_ds = ds.map_batches(
         per_block, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
-    # two LAZY tree levels (fan_in^2 reduction, 64x at the default) chained
-    # before any materialize: merge tasks start as soon as fan_in leaf
-    # partials exist, so the reduce OVERLAPS the scan instead of waiting on
-    # a barrier — the barrier version charged the whole merge tree as
-    # cluster-size-independent fixed wall, capping scaling efficiency.
-    for _ in range(2):
-        merged = merged.map_batches(
-            merge_rows, batch_format="pyarrow", batch_size=fan_in
-        )
-    merged = merged.materialize()
-    n = merged.count()
-    while n > driver_max:  # fallback for block counts beyond fan_in^2
-        merged = merged.map_batches(
-            merge_rows, batch_format="pyarrow", batch_size=fan_in
-        ).materialize()
-        new_n = merged.count()
-        if new_n >= n:  # batching didn't coalesce; fall back to driver merge
-            break
-        n = new_n
-    partial_rows = merged.take_all()
+
+    spec_items = [(name, spec) for name, (spec, _col) in items]
+    payload = _ray.put(spec_items)  # shipped once, not per merge task
+
+    # cascade: levels[i] accumulates refs awaiting the i-th merge level
+    levels: list[list] = []
+
+    def push(ref, lvl: int) -> None:
+        while len(levels) <= lvl:
+            levels.append([])
+        levels[lvl].append(ref)
+        if len(levels[lvl]) == fan_in:
+            refs, levels[lvl] = levels[lvl], []
+            push(_merge_partial_tables.remote(payload, *refs), lvl + 1)
+
+    for bundle in leaf_ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            push(block_ref, 0)
+    # flush the ragged tail bottom-up, then cascade until <= driver_max
+    tail = [r for lvl_refs in levels for r in lvl_refs]
+    while len(tail) > driver_max:
+        nxt = []
+        for i in range(0, len(tail), fan_in):
+            chunk = tail[i : i + fan_in]
+            nxt.append(
+                _merge_partial_tables.remote(payload, *chunk)
+                if len(chunk) > 1
+                else chunk[0]
+            )
+        tail = nxt
+    partial_rows = []
+    for tbl in _ray.get(tail):
+        partial_rows.extend(tbl.to_pylist())
+    if not partial_rows:  # empty input: every sketch is a fresh build
+        built = {name: spec.make() for name, (spec, _col) in items}
+        built["_rows"] = 0
+        return built
 
     # merge the kinds concurrently: zlib decompress + numpy merges release
     # the GIL, so threads parallelize the (small) driver-side reduce

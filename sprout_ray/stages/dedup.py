@@ -366,6 +366,66 @@ def hot_bucket_rows(rows_ds, count_ds=None, hot_max: int | None = None):
     )
 
 
+def dedupe_pair_stream(pairs, value_col: str | None = None, agg: str = "max"):
+    """One row per (left_id, right_id) from a bucket-expanded pair stream.
+
+    Ray Data's MULTI-column groupby is pathologically slow on exactly this
+    shape (measured 347 s vs 10.8 s for the same 508k-row pair dedup on 4
+    CPUs): when both ids fit in 31 bits — checked with a cheap native
+    min/max on the already-materialized stream — the pair packs into ONE
+    collision-free int64 key (left << 31 | right), grouped natively and
+    unpacked after; wider ids fall back to the 2-column groupby (correct,
+    slower, and unreachable for any corpus whose ids fit an int32).
+    ``value_col`` survives via ``agg`` (min/max — every colliding bucket
+    computes the same pair value, so either is "keep one")."""
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        return pairs.map_batches(
+            lambda t: t.select(["left_id", "right_id"] + ([value_col] if value_col else [])),
+            batch_format="pyarrow",
+        )
+    mn = pairs.min(["left_id", "right_id"])
+    mx = pairs.max(["left_id", "right_id"])
+    packable = (
+        min(mn["min(left_id)"], mn["min(right_id)"]) >= 0
+        and max(mx["max(left_id)"], mx["max(right_id)"]) < (1 << 31)
+    )
+    if not packable:
+        g = pairs.groupby(["left_id", "right_id"])
+        out = getattr(g, agg)(value_col) if value_col else g.count()
+        keep_cols = ["left_id", "right_id"] + ([value_col] if value_col else [])
+
+        def tidy(t: pa.Table) -> pa.Table:
+            return t.select(t.column_names[: len(keep_cols)]).rename_columns(keep_cols)
+
+        return out.map_batches(tidy, batch_format="pyarrow")
+
+    mask = (1 << 31) - 1
+
+    def pack(t: pa.Table) -> pa.Table:
+        pk = (t["left_id"].to_numpy() << 31) | t["right_id"].to_numpy()
+        cols = {"pk": pa.array(pk)}
+        if value_col:
+            cols[value_col] = t[value_col]
+        return pa.table(cols)
+
+    g = pairs.map_batches(pack, batch_format="pyarrow").groupby("pk")
+    out = getattr(g, agg)(value_col) if value_col else g.count()
+    vname = f"{agg}({value_col})" if value_col else None
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy()
+        cols = {
+            "left_id": pa.array(pk >> 31),
+            "right_id": pa.array(pk & mask),
+        }
+        if value_col:
+            cols[value_col] = t[vname]
+        return pa.table(cols)
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
 def lsh_candidate_pairs(
     band_ds,
     id_col: str = "doc_id",
@@ -413,7 +473,7 @@ def lsh_candidate_pairs(
         return pd.DataFrame({"left_id": ids[iu[0]], "right_id": ids[iu[1]]})
 
     cand = hot_rows.groupby("bucket_key").map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["left_id", "right_id"]).count()
+    return dedupe_pair_stream(cand)
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -428,6 +488,319 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _doc_gram_hashes(texts, n: int):
+    """Distinct char-n-gram hashes per doc, vectorized over the whole batch.
+
+    Grams are hashed over UTF-32 codepoint windows (CHARACTER semantics,
+    matching ``char_shingles``/DuckDB substr, not bytes). Returns
+    ``(h, d)``: uint64 gram hashes and their doc indices, deduplicated
+    per doc and sorted by (doc, hash)."""
+    if not 1 <= n <= 4:
+        raise ValueError("n must be in [1, 4] (4n bytes <= one murmur tail block)")
+    from ..kernel.murmur3 import murmur3_64_padded
+
+    bs = [(t or "").encode("utf-32-le") for t in texts]
+    lengths = np.array([len(b) // 4 for b in bs], dtype=np.int64)  # chars
+    wc = np.where(lengths == 0, 0, np.maximum(lengths - n + 1, 1))
+    total = int(wc.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+    rowstarts = np.concatenate([[0], np.cumsum(wc)])[:-1]
+    buf = np.frombuffer(b"".join(bs) + b"\0" * 16, dtype=np.uint8)
+    win16 = np.lib.stride_tricks.sliding_window_view(buf, 16)
+    cols16 = np.arange(16)[None, :]
+    hashes = np.empty(total, dtype=np.uint64)
+    di = np.empty(total, dtype=np.int64)
+    for r0 in range(0, total, 65536):  # bound the (chunk, 16) key matrix
+        r1 = min(r0 + 65536, total)
+        rows = np.arange(r0, r1)
+        d = np.searchsorted(rowstarts, rows, side="right") - 1
+        starts = offs[d] + (rows - rowstarts[d])
+        rlen = 4 * np.minimum(lengths[d], n)  # bytes; whole text when len<n
+        mat = win16[4 * starts]
+        mat[cols16 >= rlen[:, None]] = 0
+        hashes[r0:r1] = murmur3_64_padded(mat, rlen, 0)
+        di[r0:r1] = d
+    # distinct per doc, ascending hash inside each doc run
+    order = np.lexsort((hashes, di))
+    h, d = hashes[order], di[order]
+    keep = np.empty(h.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (h[1:] != h[:-1]) | (d[1:] != d[:-1])
+    return h[keep], d[keep]
+
+
+# Above this many distinct grams the document-frequency rank table is not
+# broadcast and prefix ordering falls back to hash order. Char-n-gram
+# alphabets are intrinsically bounded (|charset|^n; real text at n<=4 stays
+# in the low millions), so the fallback exists for adversarial inputs only.
+GRAM_RANK_MAX = 4_000_000
+
+
+def _gram_df_ranks(ds, text_col: str, n: int, max_grams: int = GRAM_RANK_MAX):
+    """Global document-frequency rank table for the AllPairs prefix order.
+
+    One count-aggregate pass: each doc's DISTINCT gram hashes count once,
+    so count == document frequency. Returns ``(lut_hashes, lut_ranks)``
+    (hash-sorted uint64 + each hash's position under the (df asc, hash asc)
+    total order) or ``None`` above ``max_grams``. Ordering prefixes
+    rarest-first is the published AllPairs/PPJoin heuristic: the filter is
+    exact under ANY common total order, but rare-gram prefixes collide far
+    less (measured 4.5x fewer candidate pairs on the test corpus, orders of
+    magnitude on natural text)."""
+
+    def distinct(t: pa.Table) -> pa.Table:
+        h, _d = _doc_gram_hashes(t[text_col].to_pylist(), n)
+        return pa.table({"gram": pa.array(h.view(np.int64))})
+
+    counts = (
+        ds.map_batches(distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .count()
+        .materialize()
+    )
+    if counts.count() > max_grams:
+        return None
+    rows = counts.take_all()
+    hashes = np.array([r["gram"] for r in rows], dtype=np.int64).view(np.uint64)
+    df = np.array([r["count()"] for r in rows], dtype=np.int64)
+    rank_order = np.lexsort((hashes, df))  # (df asc, hash asc)
+    ranks = np.empty(hashes.size, dtype=np.int64)
+    ranks[rank_order] = np.arange(hashes.size)
+    hash_order = np.argsort(hashes)
+    return hashes[hash_order], ranks[hash_order]
+
+
+def _char_gram_prefix_rows(
+    texts, ids, n: int, threshold: float, rank_lut=None
+) -> pa.Table:
+    """Vectorized AllPairs prefix rows for one batch.
+
+    Per-doc distinct gram hashes (:func:`_doc_gram_hashes`) are ordered by
+    the global df-rank when ``rank_lut`` is given (rarest first), else by
+    hash value — ANY total order common to all docs keeps the filter exact
+    — and the first ``|S| - ceil(t*|S|) + 1`` grams of each doc become
+    (bucket_key, doc_id) rows: two sets with Jaccard >= t MUST share a
+    prefix token under a common order (Chaudhuri/Bayardo AllPairs).
+    ``ceil`` is computed on ``t*s - 1e-9``: float error inflating ceil
+    would SHORTEN the prefix and silently drop candidates; the epsilon
+    biases toward a longer prefix, which only adds verify work."""
+    empty = pa.table(
+        {"bucket_key": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+    )
+    h, d = _doc_gram_hashes(texts, n)
+    if h.size == 0:
+        return empty
+    if rank_lut is not None:
+        lut_hashes, lut_ranks = rank_lut
+        pos_lut = np.minimum(
+            np.searchsorted(lut_hashes, h), lut_hashes.size - 1
+        )
+        # unseen hashes (rank table built on a different corpus snapshot)
+        # sort by their own value past the known ranks — still a total order
+        key = np.where(
+            lut_hashes[pos_lut] == h,
+            lut_ranks[pos_lut],
+            lut_hashes.size + h.view(np.int64) % (1 << 62),
+        )
+        order = np.lexsort((key, d))
+        h, d = h[order], d[order]
+    sizes = np.bincount(d, minlength=len(texts))
+    starts_u = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+    # d is sorted; position within each doc's run
+    pos = np.arange(h.size) - starts_u[d]
+    prefix_len = sizes - np.ceil(threshold * sizes - 1e-9).astype(np.int64) + 1
+    sel = pos < prefix_len[d]
+    ids = np.asarray(ids, dtype=np.int64)
+    return pa.table(
+        {
+            "bucket_key": pa.array(h[sel].view(np.int64)),
+            "doc_id": pa.array(ids[d[sel]]),
+        }
+    )
+
+
+class _NgramVerifier:
+    """Actor-pool exact-Jaccard verify: candidate texts are fetched ONCE per
+    actor and shingled into true char-n-gram sets ONCE per doc in
+    ``__init__`` — the naive per-pair re-shingle was the dominant cost of
+    the whole join (each doc appears in many candidate pairs)."""
+
+    def __init__(self, text_ref, n: int, threshold: float):
+        import ray
+
+        self.n = n
+        self.threshold = threshold
+        self.sets = {
+            i: set(char_shingles(t, n)) for i, t in ray.get(text_ref).items()
+        }
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        left = t["left_id"].to_pylist()
+        right = t["right_id"].to_pylist()
+        sets = self.sets
+        out = np.empty(len(left), dtype=np.float64)
+        for i, (a, b) in enumerate(zip(left, right)):
+            sa, sb = sets[a], sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 1.0
+        keep = out >= self.threshold
+        jr = np.floor(out * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "left_id": pa.array(np.asarray(left, np.int64)[keep]),
+                "right_id": pa.array(np.asarray(right, np.int64)[keep]),
+                "jaccard": pa.array(jr[keep], pa.float64()),
+            }
+        )
+
+
+def ngram_jaccard_pairs_distributed(
+    ds,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_max_ids: int = 500_000,
+    max_bucket: int = 4096,
+    freq_order: bool = True,
+):
+    """EXACT all-pairs char-n-gram Jaccard >= threshold — set-similarity
+    join via AllPairs prefix filtering (no LSH approximation).
+
+    Flow: a document-frequency count pass builds the global rarest-first
+    gram order (:func:`_gram_df_ranks`, broadcast once, size-guarded with
+    a hash-order fallback) -> one map_batches pass emits each doc's prefix
+    grams as (bucket_key, doc_id) rows -> the shared hot-bucket machinery
+    (:func:`hot_bucket_rows`, size-guarded broadcast/semi-join) finds grams
+    held by >= 2 docs -> pair expansion only there -> pair dedup -> exact
+    verify on the candidate pairs' TEXTS (true char sets built once per
+    doc per actor, no hashes, so the qualifying decision is
+    float-identical to a SQL twin computing i/(|A|+|B|-i)). Only prefix
+    rows shuffle; texts are fetched for the surviving candidate ids alone
+    — broadcast up to ``broadcast_max_ids``, distributed hash joins above.
+
+    The 64-bit gram hash is used only for candidate BLOCKING; a collision
+    could merge two grams and shorten a prefix (P ~ g^2/2^65 per doc,
+    ~1e-13 at 2k grams) — any such miss would surface as an oracle
+    mismatch rather than pass silently. ``max_bucket`` caps degenerate
+    buckets like the other pair enumerators (exactness requires it to
+    exceed the hottest prefix bucket; rarest-first ordering keeps real
+    buckets far below it)."""
+    import ray
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "left_id": pa.array([], pa.int64()),
+            "right_id": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    rank_ref = None
+    if freq_order:
+        lut = _gram_df_ranks(ds, text_col, n)
+        if lut is not None:
+            rank_ref = ray.put(lut)
+
+    def prefix_stage(t: pa.Table) -> pa.Table:
+        return _char_gram_prefix_rows(
+            t[text_col].to_pylist(),
+            t[id_col].to_numpy(zero_copy_only=False),
+            n,
+            threshold,
+            rank_lut=ray.get(rank_ref) if rank_ref is not None else None,
+        )
+
+    keyed = ds.map_batches(prefix_stage, batch_format="pyarrow", zero_copy_batch=True)
+    cand = lsh_candidate_pairs(keyed, max_bucket=max_bucket).materialize()
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    cand_ids = sorted(
+        {r["left_id"] for r in cand.select_columns(["left_id"]).take_all()}
+        | {r["right_id"] for r in cand.select_columns(["right_id"]).take_all()}
+    )
+    if len(cand_ids) <= broadcast_max_ids:
+        id_arr = pa.array(cand_ids, pa.int64())
+        text_rows = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)).select(
+                [id_col, text_col]
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        text_ref = ray.put({r[id_col]: r[text_col] for r in text_rows})
+        return cand.map_batches(
+            _NgramVerifier,
+            fn_constructor_kwargs={
+                "text_ref": text_ref,
+                "n": n,
+                "threshold": threshold,
+            },
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=(1, 8),
+        )
+
+    # distributed verify: hash-join the texts onto the pairs, one side at
+    # a time (both joins key on a single int64; pairs are the tiny stream)
+    parts = max(2, len(cand_ids) // 2_000_000)
+    docs = ds.select_columns([id_col, text_col])
+    left = cand.select_columns(["left_id", "right_id"]).join(
+        docs.map_batches(
+            lambda t: t.rename_columns(["left_id", "text_a"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("left_id",),
+    )
+    both = left.join(
+        docs.map_batches(
+            lambda t: t.rename_columns(["right_id", "text_b"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("right_id",),
+    )
+
+    def verify_joined(t: pa.Table) -> pa.Table:
+        # gram sets cached per doc id within the batch (the join key
+        # co-locates a doc's pairs, so reuse is high)
+        cache: dict = {}
+
+        def gs(i, txt):
+            s = cache.get(i)
+            if s is None:
+                s = set(char_shingles(txt, n))
+                cache[i] = s
+            return s
+
+        left = t["left_id"].to_pylist()
+        right = t["right_id"].to_pylist()
+        j = np.empty(len(left), dtype=np.float64)
+        for i, (a, b, ta, tb) in enumerate(
+            zip(left, right, t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ):
+            sa, sb = gs(a, ta), gs(b, tb)
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j[i] = inter / union if union else 1.0
+        keep = j >= threshold
+        jr = np.floor(j * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "left_id": t["left_id"].filter(pa.array(keep)),
+                "right_id": t["right_id"].filter(pa.array(keep)),
+                "jaccard": pa.array(jr[keep], pa.float64()),
+            }
+        )
+
+    return both.map_batches(verify_joined, batch_format="pyarrow")
 
 
 class _PairVerifier:
@@ -512,11 +885,7 @@ def minhash_pairs_distributed(
     pairs = hot_rows.groupby("bucket_key").map_groups(
         verify_bucket, batch_format="pyarrow"
     )
-    out = pairs.groupby(["left_id", "right_id"]).max("est_jaccard")
-    return out.map_batches(
-        lambda t: t.rename_columns(["left_id", "right_id", "est_jaccard"]),
-        batch_format="pyarrow",
-    )
+    return dedupe_pair_stream(pairs, "est_jaccard", "max")
 
 
 def minhash_dedup_pairs(
@@ -896,11 +1265,7 @@ def simhash_pairs_distributed(
     )
     # the same pair carries the same hamming in every colliding band; min()
     # is just the dedup that keeps one row per pair
-    out = pairs.groupby(["left_id", "right_id"]).min("hamming")
-    return out.map_batches(
-        lambda t: t.rename_columns(["left_id", "right_id", "hamming"]),
-        batch_format="pyarrow",
-    )
+    return dedupe_pair_stream(pairs, "hamming", "min")
 
 
 def simhash_signature_ds(ds, text_col: str = "text", id_col: str = "doc_id"):

@@ -187,18 +187,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     train_sample: int = 2048,
     concurrency: int = 2,
+    dtype: str = "float32",
 ):
     """Approximate cosine top-k scanning only ``nprobe`` IVF buckets per query.
 
     Recall < 1.0 by design (vectors in unprobed buckets are missed); raise
-    ``nprobe`` toward ``nlist`` to trade speed for exactness. Returns the
-    same (query_id, id, score) frame as :func:`ann_topk`."""
+    ``nprobe`` toward ``nlist`` to trade speed for exactness (at
+    nprobe=nlist every bucket is probed, so the result EQUALS brute force
+    on the same ``dtype`` — float64 there gives DuckDB-oracle parity).
+    Returns the same (query_id, id, score) frame as :func:`ann_topk`."""
     sample_rows = ds.limit(train_sample).take_all()
     sample = np.stack(
         [np.asarray(r[emb_col], dtype=np.float32) for r in sample_rows]
     )
     index = IVFIndex.train(sample, nlist=nlist)
-    q = np.asarray(queries, dtype=np.float32)
+    q = np.asarray(queries, dtype=np.dtype(dtype))
     probe = index.probe_lists(q, nprobe)  # (Q, nprobe)
     wanted = np.unique(probe)
     bucketed = add_ivf_bucket(ds, index, emb_col=emb_col)
@@ -218,6 +221,7 @@ def ivf_topk(
             "k": k,
             "emb_col": emb_col,
             "id_col": id_col,
+            "dtype": dtype,
         },
         batch_format="pyarrow",
         concurrency=concurrency,
@@ -239,15 +243,16 @@ class _IVFTopK:
     """Per-block top-k where each query only scores rows in ITS probed
     buckets (the per-query mask rides with the stage, not the driver)."""
 
-    def __init__(self, queries_ref, probe_ref, k, emb_col, id_col):
-        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float32))
+    def __init__(self, queries_ref, probe_ref, k, emb_col, id_col, dtype="float32"):
+        self.dtype = np.dtype(dtype)
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=self.dtype))
         self.probe = [set(row.tolist()) for row in ray.get(probe_ref)]
         self.k = k
         self.emb_col = emb_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch[self.emb_col]))
+        emb = _normalize(_emb_matrix(batch[self.emb_col], dtype=self.dtype))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         buckets = batch["ivf_bucket"].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
@@ -392,11 +397,9 @@ def embedding_near_dup_pairs(
     pairs = hot_rows.groupby("bucket_key").map_groups(
         verify_bucket, batch_format="pyarrow"
     )
-    out = pairs.groupby(["left_id", "right_id"]).max("cosine")
-    return out.map_batches(
-        lambda t: t.rename_columns(["left_id", "right_id", "cosine"]),
-        batch_format="pyarrow",
-    )
+    from .dedup import dedupe_pair_stream
+
+    return dedupe_pair_stream(pairs, "cosine", "max")
 
 
 def _empty_cosine_table() -> pa.Table:

@@ -389,3 +389,81 @@ def test_kmv_sources_by_lang_exact():
     ).df()
     con.close()
     pd.testing.assert_frame_equal(out.astype({"n_sources": "int64"}), want)
+
+
+def test_ngram_jaccard_pairs_vs_duckdb():
+    """AllPairs prefix-filter set-similarity join == DuckDB 3-gram twin."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    out = _pd(A.ngram_jaccard_pairs(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.oracle_sql()["ngram_jaccard_pairs"]).df()
+    con.close()
+    assert out.shape == want.shape
+    if len(out):
+        pd.testing.assert_frame_equal(
+            out.astype({"left_id": "int64", "right_id": "int64"}), want
+        )
+
+
+def test_ngram_jaccard_verify_paths_agree():
+    """Broadcast and distributed-join verify tiers return identical pairs,
+    including planted exact dups (J=1.0 must always survive the prefix
+    filter)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    from sprout_ray.stages.dedup import ngram_jaccard_pairs_distributed
+
+    base = _pd(rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"]))
+    planted = base.head(5).copy()
+    planted["doc_id"] = planted["doc_id"] + 1_000_000
+    corpus = rd.from_arrow(pa.Table.from_pandas(pd.concat([base, planted]), preserve_index=False))
+    a = (
+        _pd(ngram_jaccard_pairs_distributed(corpus, n=3, threshold=0.8))
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        _pd(
+            ngram_jaccard_pairs_distributed(
+                corpus, n=3, threshold=0.8, broadcast_max_ids=0
+            )
+        )[a.columns]
+        .sort_values(["left_id", "right_id"])
+        .reset_index(drop=True)
+    )
+    planted_pairs = set(zip(planted["doc_id"] - 1_000_000, planted["doc_id"]))
+    got = set(zip(a["left_id"], a["right_id"]))
+    assert planted_pairs <= got
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_kll_exact_regime_is_order_statistic():
+    """k > n: distributed KLL build == exact lower quantile at rank ceil(q*n)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    out = _pd(A.kll_quantiles_exact(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.oracle_sql()["kll_quantiles_exact"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_ann_ivf_exact_equals_brute():
+    """nprobe=nlist IVF == brute-force top-k (same float64 path + rounding)."""
+    ivf = _pd(A.ann_ivf_exact(SF)).reset_index(drop=True)
+    brute = _pd(A.ann_brute_topk(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(ivf, brute)
+
+
+def test_fingerprint_distinctness_invariant():
+    out = _pd(A.fingerprint_distinctness(SF))
+    assert out["n_distinct_fingerprints"][0] == out["n_distinct_texts"][0]
+    assert out["n_docs"][0] >= out["n_distinct_texts"][0]
