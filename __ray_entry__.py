@@ -106,6 +106,25 @@ _PLANTED_DUP_PAIRS_SQL = (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the reference's parameter derivation (bloom.go:100-114) as a
+        # closed form of count(*): capacity = max(int(n*1.2), 11),
+        # k = ceil(log2(1/eps)), M = int(cap*|ln eps|/ln(2)^2), m = M//k,
+        # size = M//8+8 — all IEEE-double expressions evaluated with the
+        # same literals/grouping as the Python build, so the distributed
+        # build's stats row hash-matches SQL deriving it independently
+        "bloom_build_stats": (
+            "WITH n AS (SELECT count(*) AS n FROM documents), "
+            "p AS (SELECT n, GREATEST(CAST(trunc(n * CAST(1.2 AS DOUBLE)) "
+            "AS BIGINT), 11) AS capacity FROM n), "
+            "d AS (SELECT n, capacity, "
+            "CAST(ceil(log2(1.0 / CAST(0.001 AS DOUBLE))) AS BIGINT) AS k, "
+            "CAST(trunc(capacity * abs(ln(CAST(0.001 AS DOUBLE))) / "
+            "(ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)))) AS BIGINT) "
+            "AS m_bits FROM p) "
+            "SELECT capacity, CAST(n AS BIGINT) AS count, "
+            "m_bits // 8 + 8 AS size, m_bits // k AS m, k, "
+            "CAST(0.001 AS DOUBLE) AS prob FROM d"
+        ),
         "curation_survivors": (
             "WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY text), "

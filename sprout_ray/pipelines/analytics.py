@@ -10,6 +10,8 @@ check; their accuracy is separately gated by pytest bound tests.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -575,9 +577,13 @@ def hll_cardinalities(sf_dir: str):
 
 
 def hll_by_lang(sf_dir: str):
-    """Grouped HLL: distinct sources per lang (twin: lang_sources_matrix)."""
+    """Grouped HLL: distinct sources per lang, with SELF-EVIDENCE columns —
+    the exact per-lang distinct count (the distributed pair-dedupe shape of
+    lang_sources_matrix), the relative error, and the 3-sigma bound check
+    (3 * 1.04 / sqrt(2^p), the published HLL standard error) — so the
+    driver's rows-only record carries the accuracy claim in-band."""
     ds = _read(sf_dir, "documents", ["lang", "source"])
-    return build_grouped(
+    est = build_grouped(
         ds,
         SketchSpec.of("hll", 14),
         on="source",
@@ -585,18 +591,42 @@ def hll_by_lang(sf_dir: str):
         finalizer=lambda s: float(s.estimate()),
         alias="est_sources",
     )
+    exact = {
+        r["lang"]: r["n_sources"]
+        for r in lang_sources_matrix(sf_dir).take_all()
+    }
+    df = est.to_pandas().sort_values("lang").reset_index(drop=True)
+    ex = np.array([exact[l] for l in df["lang"]], dtype=np.float64)
+    rel = np.abs(df["est_sources"].to_numpy() - ex) / np.maximum(ex, 1.0)
+    bound = 3.0 * 1.04 / math.sqrt(2**14)
+    df["exact_sources"] = ex.astype(np.int64)
+    df["rel_err"] = np.floor(rel * 1e6 + 0.5) / 1e6
+    df["within_bound"] = rel <= bound
+    return df
 
 
 def cms_heavy_hitters(sf_dir: str):
-    """CMS frequency estimates for every event_type (twin: exact counts)."""
+    """CMS frequency estimates for every event_type, with SELF-EVIDENCE
+    columns: the exact count (one native distributed groupby), the
+    overcount (CMS never undercounts, so over >= 0 always), and the
+    epsilon*N guarantee check — the published count-min bounds, carried
+    in-band so the driver's rows-only record shows them holding."""
     ds = _read(sf_dir, "events", ["event_type"])
     cms = build_sketch(ds, SketchSpec.of("cms", 0.001, 0.01), on="event_type")
-    types = sorted(ds.unique("event_type"))
-    est = cms.query_batch([t.encode() for t in types])
+    exact_rows = ds.groupby("event_type").count().take_all()
+    exact = {r["event_type"]: r["count()"] for r in exact_rows}
+    types = sorted(exact)
+    n_total = sum(exact.values())
+    est = cms.query_batch([t.encode() for t in types]).astype(np.int64)
+    ex = np.array([exact[t] for t in types], dtype=np.int64)
+    over = est - ex
     return pa.table(
         {
             "event_type": pa.array(types, pa.string()),
-            "est_n": pa.array(est.astype(np.int64)),
+            "est_n": pa.array(est),
+            "exact_n": pa.array(ex),
+            "overcount": pa.array(over),
+            "within_bound": pa.array((over >= 0) & (over <= 0.001 * n_total)),
         }
     )
 
@@ -1000,15 +1030,24 @@ def clicks_last_purchase(sf_dir: str):
 def revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shaped multi-join: lineitem revenue rolled up to nation.
 
-    Scale shape: TWO distributed hash joins between corpus-scaled tables
+    Scale shape: TWO size-guarded joins between corpus-scaled tables
     (orders x customer on custkey, then lineitem x the nation-tagged orders
-    on orderkey) — customer is a fact-scaled table (millions to billions of
-    rows at target scale) so it is never broadcast. Only the 25-row nation
-    dimension is broadcast (``ray.put`` of a sorted key->name lookup), with
-    a membership check so a non-FK-clean corpus errors instead of silently
-    attributing revenue to the wrong nation. Money in integer centi-cents
-    end to end (see q1_pricing_summary)."""
+    on orderkey) via :func:`stages.joins.broadcast_lookup_join` — the
+    standard small-side rule: a key-unique right side at or under the
+    broadcast budget ships once via ``ray.put`` and resolves map-side
+    (zero shuffle; what this sf actually executes), while a fact-scaled
+    side above it takes the distributed hash join with volume-clamped
+    partitions (what a 100 TB run executes — customer is millions to
+    billions of rows there). Both physical plans are tested equal
+    (test_revenue_by_nation_join_paths_agree). The guard counts come from
+    parquet metadata / pre-join upper bounds, never an extra execution.
+    The 25-row nation dimension is always broadcast, with a membership
+    check so a non-FK-clean corpus errors instead of silently attributing
+    revenue to the wrong nation. Money in integer centi-cents end to end
+    (see q1_pricing_summary)."""
     import ray
+
+    from ..stages.joins import broadcast_lookup_join
 
     nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
     nkeys = np.array([r["n_nationkey"] for r in nat_rows], dtype=np.int64)
@@ -1022,11 +1061,9 @@ def revenue_by_nation(sf_dir: str):
         batch_format="pyarrow",
     )
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    # hash-join partition actors cost ~0.5-1 s fixed each (CLAUDE.md), so
-    # partition counts scale with row volume (~2M rows/partition), floor 2
-    n_orders = orders.count()  # parquet metadata, no scan
-    parts = max(2, n_orders // 2_000_000)
-    ordersn = orders.join(cust, join_type="inner", num_partitions=parts, on=("o_custkey",))
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # metadata, no scan
+    n_orders = orders.count()
+    ordersn = broadcast_lookup_join(orders, cust, on="o_custkey", right_count=n_cust)
 
     def attach_nation(t: pa.Table) -> pa.Table:
         keys, names = ray.get(nat_ref)
@@ -1049,8 +1086,9 @@ def revenue_by_nation(sf_dir: str):
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(prep_li, batch_format="pyarrow")
-    li_parts = max(2, _read(sf_dir, "lineitem", ["l_orderkey"]).count() // 2_000_000)
-    joined = li.join(ordersn, join_type="inner", num_partitions=li_parts, on=("l_orderkey",))
+    # ordersn row count <= n_orders (customer is custkey-unique), so the
+    # pre-join count is a sound guard bound without executing the pipeline
+    joined = broadcast_lookup_join(li, ordersn, on="l_orderkey", right_count=n_orders)
 
     from ray.data.aggregate import Count, Sum
 

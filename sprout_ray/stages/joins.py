@@ -290,3 +290,71 @@ def windowed_range_count(
         return pa.table({anchor_id: t[anchor_id], out_col: n})
 
     return out.map_batches(coalesce, batch_format="pyarrow")
+
+
+# Broadcast-vs-hash join selection budget (rows). A 4M-row int64-keyed
+# dimension with a few narrow payload columns is ~100-200 MB in the object
+# store — comfortably a broadcast on any worker; beyond it the join must
+# shuffle. The standard small-side rule (Spark's broadcast-hash-join
+# threshold, here in rows because callers know row counts from parquet
+# metadata without a scan).
+DIM_BROADCAST_MAX = 4_000_000
+
+
+def broadcast_lookup_join(
+    left,
+    right,
+    on: str,
+    right_count: int | None = None,
+    broadcast_max: int | None = None,
+    partition_rows: int = 2_000_000,
+):
+    """Inner equi-join against a KEY-UNIQUE right side (dimension/lookup),
+    with size-guarded physical plan selection.
+
+    Up to ``broadcast_max`` right rows (``right_count`` lets callers pass a
+    parquet-metadata count or a cheap upper bound — e.g. the pre-join row
+    count of a previously joined side — so the guard never forces an extra
+    execution), the right table is fetched once, key-sorted, ``ray.put``
+    once, and every left batch resolves map-side via ``np.searchsorted`` +
+    ``pa.Table.take`` — zero shuffle, unmatched left rows dropped (inner
+    semantics). Above the budget it is a distributed hash join with
+    partition count clamped to row volume (``Dataset.join`` costs ~0.5-1 s
+    FIXED per partition actor — CLAUDE.md).
+
+    The right side MUST be unique on ``on`` (asserted on the broadcast
+    path); duplicate right keys would need the hash join's row expansion,
+    which searchsorted cannot express."""
+    import ray
+
+    if broadcast_max is None:
+        broadcast_max = DIM_BROADCAST_MAX  # resolved at call time (testable)
+    if right_count is None:
+        right_count = right.count()
+    if right_count <= broadcast_max:
+        tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        keys = tbl[on].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        if keys.size > 1 and not (keys[order][1:] > keys[order][:-1]).all():
+            raise ValueError(f"broadcast_lookup_join: right side not unique on {on!r}")
+        tbl_ref = ray.put(tbl.take(pa.array(order)).combine_chunks())
+        payload_cols = [c for c in tbl.column_names if c != on]
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            rt = ray.get(tbl_ref)
+            rkeys = rt[on].to_numpy(zero_copy_only=False)
+            lk = batch[on].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(rkeys, lk)
+            posc = np.minimum(pos, max(rkeys.size - 1, 0))
+            ok = (pos < rkeys.size) & (rkeys[posc] == lk) if rkeys.size else np.zeros(len(lk), bool)
+            kept = batch.filter(pa.array(ok))
+            taken = rt.take(pa.array(posc[ok]))
+            cols = {c: kept[c] for c in batch.column_names}
+            for c in payload_cols:
+                cols[c] = taken[c]
+            return pa.table(cols)
+
+        return left.map_batches(lookup, batch_format="pyarrow")
+
+    parts = max(2, int(right_count) // partition_rows)
+    return left.join(right, join_type="inner", num_partitions=parts, on=(on,))

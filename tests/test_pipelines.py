@@ -467,3 +467,57 @@ def test_fingerprint_distinctness_invariant():
     out = _pd(A.fingerprint_distinctness(SF))
     assert out["n_distinct_fingerprints"][0] == out["n_distinct_texts"][0]
     assert out["n_docs"][0] >= out["n_distinct_texts"][0]
+
+
+def test_revenue_by_nation_join_paths_agree(monkeypatch):
+    """Broadcast-lookup and distributed-hash physical plans of the Q5-shaped
+    multi-join return identical revenue rollups (the size guard only picks
+    the plan, never the answer)."""
+    import sprout_ray.stages.joins as J
+
+    a = _pd(A.revenue_by_nation(SF)).reset_index(drop=True)
+    monkeypatch.setattr(J, "DIM_BROADCAST_MAX", 0)  # force hash joins
+    b = _pd(A.revenue_by_nation(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 1 and {"nation", "revenue_centicents", "n_items"} <= set(a.columns)
+
+
+def test_broadcast_lookup_join_rejects_dup_keys():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sprout_ray.stages.joins import broadcast_lookup_join
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array([3, 4], pa.int64())})
+    )
+    with pytest.raises(Exception, match="not unique"):
+        broadcast_lookup_join(left, right, on="k").materialize()
+
+
+def test_bloom_build_stats_vs_oracle():
+    """Distributed bloom build's stats row == SQL deriving the reference's
+    parameter formulas (bloom.go:100-114) from count(*)."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    out = _pd(A.bloom_build_stats(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    want = con.execute(E.oracle_sql()["bloom_build_stats"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_sketch_self_evidence_columns():
+    """hll_by_lang / cms_heavy_hitters carry in-band accuracy evidence."""
+    hll = _pd(A.hll_by_lang(SF))
+    assert {"est_sources", "exact_sources", "rel_err", "within_bound"} <= set(hll.columns)
+    assert hll["within_bound"].all()
+    cms = _pd(A.cms_heavy_hitters(SF))
+    assert {"est_n", "exact_n", "overcount", "within_bound"} <= set(cms.columns)
+    assert (cms["overcount"] >= 0).all() and cms["within_bound"].all()
