@@ -561,19 +561,32 @@ def bloom_probe_prune(sf_dir: str):
 
 def hll_cardinalities(sf_dir: str):
     """HLL estimates for documents' source/lang/text cardinalities — all
-    three sketches built in ONE scan via multi_sketch_build."""
+    three sketches built in ONE scan via multi_sketch_build — with
+    SELF-EVIDENCE columns: the exact distinct count per column (a
+    distributed groupby whose group COUNT is read, never its values),
+    relative error, and the 3-sigma 3*1.04/sqrt(2^p) bound check."""
     from .flagship import multi_sketch_build
 
     ds = _read(sf_dir, "documents", ["source", "lang", "text"])
     built = multi_sketch_build(
         ds, {c: (SketchSpec.of("hll", 14), c) for c in ("source", "lang", "text")}
     )
-    return pa.Table.from_pylist(
-        [
-            {"column": c, "estimate": float(built[c].estimate())}
-            for c in ("source", "lang", "text")
-        ]
-    )
+    bound = 3.0 * 1.04 / math.sqrt(2**14)
+    rows = []
+    for c in ("source", "lang", "text"):
+        est = float(built[c].estimate())
+        exact = ds.select_columns([c]).groupby(c).count().count()
+        rel = abs(est - exact) / max(exact, 1)
+        rows.append(
+            {
+                "column": c,
+                "estimate": est,
+                "exact": exact,
+                "rel_err": float(np.floor(rel * 1e6 + 0.5) / 1e6),
+                "within_bound": rel <= bound,
+            }
+        )
+    return pa.Table.from_pylist(rows)
 
 
 def hll_by_lang(sf_dir: str):
@@ -728,12 +741,61 @@ def kmv_user_overlap(sf_dir: str):
         else:
             union_est = (a.k - 1) / ((float(union_minima[-1]) + 1.0) / float(2**64))
         inter_est = j * union_est
+
+    # SELF-EVIDENCE: the exact overlap from ONE distributed pass — flag
+    # each event, groupby user_id with two max-aggregates, count the flag
+    # combinations per block and sum the O(blocks) partial rows. The
+    # bottom-k Jaccard estimator's 3-sigma binomial bound is
+    # 3*sqrt(J(1-J)/k) (Beyer et al. 2007), checked in-band.
+    from ray.data.aggregate import Max
+
+    def flag(t: pa.Table) -> pa.Table:
+        et = t["event_type"]
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "c": pc.cast(pc.equal(et, "click"), pa.int8()),
+                "p": pc.cast(pc.equal(et, "purchase"), pa.int8()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(flag, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+    def tally(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(bool)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "n_union": pa.array([int((c | p).sum())], pa.int64()),
+                "n_inter": pa.array([int((c & p).sum())], pa.int64()),
+            }
+        )
+
+    tot = (
+        per_user.map_batches(tally, batch_format="pyarrow")
+        .sum(["n_union", "n_inter"])
+    )
+    exact_union = int(tot["sum(n_union)"])
+    exact_inter = int(tot["sum(n_inter)"])
+    exact_j = exact_inter / max(exact_union, 1)
+    bound = 3.0 * math.sqrt(max(exact_j * (1.0 - exact_j), 1e-6) / a.k)
     return pa.table(
         {
             "jaccard": pa.array([j], pa.float64()),
             "union_est": pa.array([union_est], pa.float64()),
             "inter_est": pa.array([inter_est], pa.float64()),
             "exact": pa.array([exact]),
+            "exact_jaccard": pa.array(
+                [np.floor(exact_j * 1e6 + 0.5) / 1e6], pa.float64()
+            ),
+            "j_abs_err": pa.array(
+                [np.floor(abs(j - exact_j) * 1e6 + 0.5) / 1e6], pa.float64()
+            ),
+            "within_bound": pa.array([abs(j - exact_j) <= bound]),
         }
     )
 

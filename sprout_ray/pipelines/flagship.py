@@ -12,6 +12,8 @@ sketches (one per block) and the final stats rows.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray as _ray
@@ -46,7 +48,7 @@ def _merge_partial_tables(spec_items: list, *tables: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) -> dict:
+def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 8) -> dict:
     """Build several sketches in ONE pass over the data.
 
     ``specs``: name -> (SketchSpec, column). A single map_batches stage
@@ -59,6 +61,12 @@ def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) ->
     touch the driver): every ``fan_in`` leaf partials launch a merge task
     the moment they exist, cascading level by level, so the reduce OVERLAPS
     the scan and at most ``driver_max`` merged partials are ever fetched.
+    Levels above the leaves fire at 2x the fan-in (``SPROUT_TREE_TOP_MULT``)
+    so a geometry that would funnel everything through ONE top-level task
+    (64 leaves -> 8 -> 1: every kind ORed serially, post-scan, cluster-size
+    independent) instead leaves <= driver_max partials for the driver's
+    threaded per-kind merge (numpy ORs release the GIL, one thread per
+    kind, fetched zero-copy from the object store).
 
     Why raw tasks instead of map_batches(merge, batch_size=fan_in) stages:
     (a) chained merge stages FUSE into the leaf operator (observed via
@@ -104,11 +112,21 @@ def multi_sketch_build(ds, specs: dict, fan_in: int = 8, driver_max: int = 4) ->
     # cascade: levels[i] accumulates refs awaiting the i-th merge level
     levels: list[list] = []
 
+    # Levels >= 1 fire at 2*fan_in, not fan_in: a level that would produce
+    # exactly ONE top table (e.g. 64 leaves -> 8 L1 -> 1 L2) serializes all
+    # kinds through a single post-scan task — pure cluster-size-independent
+    # tail wall. Holding up to 2*fan_in merged partials instead lets the
+    # DRIVER's threaded per-kind merge (GIL-releasing numpy ORs, one thread
+    # per kind) absorb the top level in parallel; deeper cascades still
+    # fire (and overlap the scan) for large block counts.
+    top_mult = int(os.environ.get("SPROUT_TREE_TOP_MULT", "2"))
+    driver_max = int(os.environ.get("SPROUT_TREE_DRIVER_MAX", str(driver_max)))
+
     def push(ref, lvl: int) -> None:
         while len(levels) <= lvl:
             levels.append([])
         levels[lvl].append(ref)
-        if len(levels[lvl]) == fan_in:
+        if len(levels[lvl]) == (fan_in if lvl == 0 else top_mult * fan_in):
             refs, levels[lvl] = levels[lvl], []
             push(_merge_partial_tables.remote(payload, *refs), lvl + 1)
 

@@ -521,3 +521,20 @@ def test_sketch_self_evidence_columns():
     cms = _pd(A.cms_heavy_hitters(SF))
     assert {"est_n", "exact_n", "overcount", "within_bound"} <= set(cms.columns)
     assert (cms["overcount"] >= 0).all() and cms["within_bound"].all()
+
+
+def test_overlap_and_cardinality_self_evidence():
+    """kmv_user_overlap / hll_cardinalities carry in-band exactness
+    evidence from distributed passes."""
+    ov = _pd(A.kmv_user_overlap(SF))
+    assert {"exact_jaccard", "j_abs_err", "within_bound"} <= set(ov.columns)
+    assert bool(ov["within_bound"][0])
+    if bool(ov["exact"][0]):  # exact regime: readout IS the exact overlap
+        assert float(ov["j_abs_err"][0]) == 0.0
+    hc = _pd(A.hll_cardinalities(SF)).set_index("column")
+    assert hc["within_bound"].all()
+    import duckdb
+    exact_lang = duckdb.sql(
+        f"SELECT count(DISTINCT lang) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert int(hc.loc["lang", "exact"]) == exact_lang
