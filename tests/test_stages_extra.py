@@ -480,3 +480,42 @@ class TestCLITopk:
         assert rec["kind"] == "mg" and len(rec["topk"]) == 2
         assert rec["err_bound"] == 0  # below capacity -> exact intervals
         assert rec["topk"][0]["lower"] == rec["topk"][0]["upper"]
+
+
+class TestBroadcastLookupJoin:
+    """broadcast_lookup_join == pandas inner merge on randomized inputs,
+    through BOTH physical plans."""
+
+    def test_randomized_vs_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import broadcast_lookup_join
+
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            left = pd.DataFrame(
+                {
+                    "k": rng.integers(0, 50, 200),
+                    "lv": rng.integers(0, 1000, 200),
+                }
+            )
+            rkeys = rng.choice(60, size=40, replace=False)  # unique, some miss
+            right = pd.DataFrame({"k": rkeys, "rv": rng.integers(0, 1000, 40)})
+            want = (
+                left.merge(right, on="k", how="inner")
+                .sort_values(["k", "lv", "rv"])
+                .reset_index(drop=True)
+            )
+            lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+            rds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+            for bmax in (10_000, 0):  # broadcast tier / hash-join tier
+                got = (
+                    broadcast_lookup_join(lds, rds, on="k", broadcast_max=bmax)
+                    .to_pandas()[["k", "lv", "rv"]]
+                    .sort_values(["k", "lv", "rv"])
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(
+                    got.astype(want.dtypes.to_dict()), want
+                )
