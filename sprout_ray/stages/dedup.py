@@ -366,6 +366,23 @@ def hot_bucket_rows(rows_ds, count_ds=None, hot_max: int | None = None):
     )
 
 
+
+def _collect_table(ds, schema: pa.Schema):
+    """Driver-side Arrow-native collect: concat a Dataset's blocks, skipping
+    0-row blocks (Ray can emit them with degenerate/empty schemas that break
+    concat_tables) and casting to the expected schema. Never row dicts."""
+    import ray
+
+    tbls = [
+        t.select(schema.names).cast(schema)
+        for t in ray.get(ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tbls:
+        return schema.empty_table()
+    return pa.concat_tables(tbls)
+
+
 def dedupe_pair_stream(pairs, value_col: str | None = None, agg: str = "max"):
     """One row per (left_id, right_id) from a bucket-expanded pair stream.
 
@@ -564,9 +581,12 @@ def _gram_df_ranks(ds, text_col: str, n: int, max_grams: int = GRAM_RANK_MAX):
     )
     if counts.count() > max_grams:
         return None
-    import ray
-
-    tbl = pa.concat_tables(ray.get(counts.to_arrow_refs()))  # no row dicts
+    tbl = _collect_table(
+        counts,
+        pa.schema([("gram", pa.int64()), ("count()", pa.int64())]),
+    )
+    if tbl.num_rows == 0:
+        return None
     hashes = tbl["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
     df = tbl["count()"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     rank_order = np.lexsort((hashes, df))  # (df asc, hash asc)
@@ -704,6 +724,46 @@ def ngram_jaccard_pairs_distributed(
         }
     )
 
+    # Two EMPTY gram sets have Jaccard 1.0 (the SQL twin's "two empties"
+    # CASE), but empty-text docs emit no prefix rows and can never collide
+    # in a bucket — their clique is added explicitly. Non-null empty
+    # strings only (SQL: len(NULL) is NULL, so null texts never qualify
+    # there either). A corpus where empties are numerous makes the clique
+    # quadratic by DEFINITION of the join — error out rather than emit
+    # billions of rows.
+    def empty_ids_block(t: pa.Table) -> pa.Table:
+        is_empty = pc.equal(pc.utf8_length(t[text_col]), 0)
+        return pa.table(
+            {"id": pc.cast(t[id_col].filter(is_empty), pa.int64())}
+        )
+
+    empty_ids = np.sort(
+        _collect_table(
+            ds.map_batches(empty_ids_block, batch_format="pyarrow"),
+            pa.schema([("id", pa.int64())]),
+        )["id"].to_numpy(zero_copy_only=False)
+    )
+    if empty_ids.size > 100_000:
+        raise ValueError(
+            f"{empty_ids.size} empty-text docs form a quadratic J=1.0 "
+            "clique; run exact_dedup on the empties first"
+        )
+    clique = None
+    if empty_ids.size >= 2 and threshold <= 1.0:
+        iu = np.triu_indices(empty_ids.size, k=1)
+        clique = pa.table(
+            {
+                "left_id": pa.array(empty_ids[iu[0]]),
+                "right_id": pa.array(empty_ids[iu[1]]),
+                "jaccard": pa.array(
+                    np.ones(iu[0].size, dtype=np.float64), pa.float64()
+                ),
+            }
+        )
+
+    def with_clique(out_ds):
+        return out_ds.union(rd.from_arrow(clique)) if clique is not None else out_ds
+
     rank_ref = None
     if freq_order:
         lut = _gram_df_ranks(ds, text_col, n)
@@ -722,7 +782,7 @@ def ngram_jaccard_pairs_distributed(
     keyed = ds.map_batches(prefix_stage, batch_format="pyarrow", zero_copy_batch=True)
     cand = lsh_candidate_pairs(keyed, max_bucket=max_bucket).materialize()
     if cand.count() == 0:
-        return rd.from_arrow(empty)
+        return with_clique(rd.from_arrow(empty))
 
     # distinct candidate ids, Arrow-native end to end: per-block unique
     # inside map_batches (the pair stream can be millions of rows — row
@@ -736,11 +796,12 @@ def ngram_jaccard_pairs_distributed(
                     t["right_id"].to_numpy(zero_copy_only=False),
                 ]
             )
-        )
+        ).astype(np.int64, copy=False)
         return pa.table({"id": pa.array(u)})
 
-    id_tbl = pa.concat_tables(
-        ray.get(cand.map_batches(block_ids, batch_format="pyarrow").to_arrow_refs())
+    id_tbl = _collect_table(
+        cand.map_batches(block_ids, batch_format="pyarrow"),
+        pa.schema([("id", pa.int64())]),
     )
     cand_ids = np.unique(id_tbl["id"].to_numpy(zero_copy_only=False)).tolist()
     if len(cand_ids) <= broadcast_max_ids:
@@ -752,16 +813,18 @@ def ngram_jaccard_pairs_distributed(
             batch_format="pyarrow",
         ).take_all()
         text_ref = ray.put({r[id_col]: r[text_col] for r in text_rows})
-        return cand.map_batches(
-            _NgramVerifier,
-            fn_constructor_kwargs={
-                "text_ref": text_ref,
-                "n": n,
-                "threshold": threshold,
-            },
-            batch_format="pyarrow",
-            batch_size=65536,
-            concurrency=(1, 8),
+        return with_clique(
+            cand.map_batches(
+                _NgramVerifier,
+                fn_constructor_kwargs={
+                    "text_ref": text_ref,
+                    "n": n,
+                    "threshold": threshold,
+                },
+                batch_format="pyarrow",
+                batch_size=65536,
+                concurrency=(1, 8),
+            )
         )
 
     # distributed verify: hash-join the texts onto the pairs, one side at
@@ -817,7 +880,7 @@ def ngram_jaccard_pairs_distributed(
             }
         )
 
-    return both.map_batches(verify_joined, batch_format="pyarrow")
+    return with_clique(both.map_batches(verify_joined, batch_format="pyarrow"))
 
 
 class _PairVerifier:

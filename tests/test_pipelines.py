@@ -538,3 +538,47 @@ def test_overlap_and_cardinality_self_evidence():
         f"SELECT count(DISTINCT lang) FROM read_parquet('{SF}/documents.parquet')"
     ).fetchone()[0]
     assert int(hc.loc["lang", "exact"]) == exact_lang
+
+
+def test_ngram_jaccard_planted_edges_vs_duckdb(tmp_path):
+    """Planted edge cases — empty-empty clique (SQL's two-empties CASE gives
+    J=1.0 but empties emit no prefix rows), len<n singleton sets, near-dups
+    — match the DuckDB twin through BOTH verify tiers."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from sprout_ray.stages.dedup import ngram_jaccard_pairs_distributed
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "", "", "", "ab", "ab", "x",
+                "hello world hello", "hello world hello",
+                "hello world hellp", "completely different text",
+                "abcabcabc", "abcabcabcd",
+            ],
+        }
+    )
+    import pyarrow as pa
+
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["ngram_jaccard_pairs"]).df()
+    con.close()
+    assert len(want) == 7  # 3 empty-clique + short-dup + 3 near-dup rows
+    ds = rd.read_parquet(path)
+    for bmax in (500_000, 0):
+        got = (
+            ngram_jaccard_pairs_distributed(
+                ds, n=3, threshold=0.8, broadcast_max_ids=bmax
+            )
+            .to_pandas()[["left_id", "right_id", "jaccard"]]
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
