@@ -582,3 +582,30 @@ def test_ngram_jaccard_planted_edges_vs_duckdb(tmp_path):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_ngram_fused_and_allpairs_paths_agree():
+    """The fused matmul bucket-verify (dense regime) and the AllPairs
+    per-pair expansion return identical oracle-exact results."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sprout_ray.stages.dedup import ngram_jaccard_pairs_distributed
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    cols = ["left_id", "right_id", "jaccard"]
+    a = (
+        _pd(ngram_jaccard_pairs_distributed(ds, n=3, threshold=0.8))[cols]
+        .sort_values(cols[:2])
+        .reset_index(drop=True)
+    )
+    b = (
+        _pd(
+            ngram_jaccard_pairs_distributed(
+                ds, n=3, threshold=0.8, fused_incidence_max=0
+            )
+        )[cols]
+        .sort_values(cols[:2])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
