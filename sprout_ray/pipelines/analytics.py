@@ -315,8 +315,12 @@ def orders_semi_join(sf_dir: str, broadcast_max: int = 4_000_000):
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     pruned = probe_filter(li, bf, on="l_orderkey", mode="maybe", concurrency=2)
     if n_hot <= broadcast_max:
+        from ..stages.dedup import _collect_table
+
         key_ref = ray.put(
-            pa.array([r["o_orderkey"] for r in hot.take_all()])
+            _collect_table(hot, pa.schema([("o_orderkey", pa.int64())]))[
+                "o_orderkey"
+            ].combine_chunks()
         )
 
         def verify(t: pa.Table) -> pa.Table:

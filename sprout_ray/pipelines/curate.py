@@ -57,10 +57,12 @@ def curate_corpus(
     n_winners = winners_ds.count()
 
     if n_winners <= broadcast_max:
+        from ..stages.dedup import _collect_table
+
         winners = np.sort(
-            np.array(
-                [r[id_col] for r in winners_ds.take_all()], dtype=np.int64
-            )
+            _collect_table(winners_ds, pa.schema([(id_col, pa.int64())]))[
+                id_col
+            ].to_numpy(zero_copy_only=False)
         )
         winners_ref = ray.put(winners)
 

@@ -62,8 +62,9 @@ def exact_dedup(
     survivors = keep.select_columns([id_col]).materialize()
     n = survivors.count()
     if n <= broadcast_max:
+        id_type = survivors.schema().base_schema.field(id_col).type
         ids_ref = ray.put(
-            pa.array([r[id_col] for r in survivors.take_all()])
+            _collect_table(survivors, pa.schema([(id_col, id_type)]))[id_col]
         )
 
         def keep_rows(batch: pa.Table) -> pa.Table:
@@ -350,7 +351,9 @@ def hot_bucket_rows(rows_ds, count_ds=None, hot_max: int | None = None):
         return None, 0
     if n <= hot_max:
         hot = np.sort(
-            np.array([r["bucket_key"] for r in hot_ds.take_all()], dtype=np.int64)
+            _collect_table(hot_ds, pa.schema([("bucket_key", pa.int64())]))[
+                "bucket_key"
+            ].to_numpy(zero_copy_only=False)
         )
         hot_ref = ray.put(hot)
 
