@@ -472,14 +472,20 @@ def exact_cosine_pairs(
     Returns (id_a, id_b, score) with id_a < id_b, every pair exactly once
     (the id-ordering mask makes block overlap with the broadcast side safe).
     """
-    rows = ds.select_columns([id_col, emb_col]).take_all()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
-    if len(rows) == 0:
+    # Arrow-native collect (no row dicts of float lists): concat blocks,
+    # then one vectorized list-column -> matrix conversion per chunk
+    tbls = [
+        t
+        for t in ray.get(ds.select_columns([id_col, emb_col]).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tbls:
+        ids = np.empty(0, dtype=np.int64)
         mat = np.empty((0, 0), dtype=np.dtype(dtype))
     else:
-        mat = _normalize(
-            np.stack([np.asarray(r[emb_col], dtype=np.dtype(dtype)) for r in rows])
-        )
+        tbl = pa.concat_tables(tbls)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        mat = _normalize(_emb_matrix(tbl[emb_col], dtype=np.dtype(dtype)))
     if mat.nbytes > max_broadcast_bytes:
         raise ValueError(
             f"corpus matrix {mat.nbytes}B exceeds max_broadcast_bytes="
