@@ -579,7 +579,16 @@ def hll_cardinalities(sf_dir: str):
     rows = []
     for c in ("source", "lang", "text"):
         est = float(built[c].estimate())
-        exact = ds.select_columns([c]).groupby(c).count().count()
+        # exact distinct: nulls dropped (the sketch build drops them too),
+        # values pre-deduped PER BLOCK with one Arrow group_by so the
+        # distributed groupby shuffles at most one row per (value, block)
+        # instead of the whole raw column (load-bearing for text)
+        thinned = ds.map_batches(
+            lambda t, col=c: t.select([col]).drop_null().group_by([col]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        exact = thinned.groupby(c).count().count()
         rel = abs(est - exact) / max(exact, 1)
         rows.append(
             {
@@ -1129,7 +1138,9 @@ def revenue_by_nation(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # metadata, no scan
     n_orders = orders.count()
-    ordersn = broadcast_lookup_join(orders, cust, on="o_custkey", right_count=n_cust)
+    ordersn = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_count=n_cust, left_count=n_orders
+    )
 
     def attach_nation(t: pa.Table) -> pa.Table:
         keys, names = ray.get(nat_ref)
@@ -1154,7 +1165,10 @@ def revenue_by_nation(sf_dir: str):
     ).map_batches(prep_li, batch_format="pyarrow")
     # ordersn row count <= n_orders (customer is custkey-unique), so the
     # pre-join count is a sound guard bound without executing the pipeline
-    joined = broadcast_lookup_join(li, ordersn, on="l_orderkey", right_count=n_orders)
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()  # metadata
+    joined = broadcast_lookup_join(
+        li, ordersn, on="l_orderkey", right_count=n_orders, left_count=n_li
+    )
 
     from ray.data.aggregate import Count, Sum
 

@@ -609,9 +609,16 @@ GRAM_BROADCAST_INCIDENCE_MAX = 32_000_000
 
 
 def _doc_gram_payload_ref(ds, text_col: str, id_col: str, n: int):
-    """Broadcast {doc_id: sorted uint64 gram-hash array} for the whole
-    corpus — ONE map_batches pass (per-doc byte-packing, no per-gram
-    Python), collected Arrow-native. Caller gates on total incidence."""
+    """Broadcast the whole corpus's per-doc distinct gram-hash sets as THREE
+    flat arrays ``(ids_sorted, offsets, flat_hashes)`` — not a dict: every
+    ``ray.get`` of a dict re-unpickles O(n_docs) Python objects per call
+    (and map_groups calls the consumer once PER BUCKET), while bare numpy
+    arrays come back zero-copy from the object store every time. One
+    map_batches pass (per-doc byte-packing into a large_binary column, no
+    per-gram Python), one Arrow-native collect, one vectorized ragged
+    gather into id order. Caller gates on total incidence; doc-count
+    blow-up (empty docs contribute rows but no grams) is pre-bounded by
+    the empty-clique guard upstream."""
     import ray
 
     def gram_rows(t: pa.Table) -> pa.Table:
@@ -629,11 +636,34 @@ def _doc_gram_payload_ref(ds, text_col: str, id_col: str, n: int):
         ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True),
         pa.schema([("id", pa.int64()), ("grams", pa.large_binary())]),
     )
-    lut = {
-        i: np.frombuffer(b, dtype=np.uint64)
-        for i, b in zip(tbl["id"].to_pylist(), tbl["grams"].to_pylist())
-    }
-    return ray.put(lut)
+    ids = tbl["id"].to_numpy(zero_copy_only=False)
+    col = tbl["grams"].combine_chunks()
+    # large_binary layout: buffers()[1] = int64 offsets, buffers()[2] = data
+    raw_offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data_buf = col.buffers()[2]
+    flat_all = (
+        np.frombuffer(data_buf, dtype=np.uint64)
+        if data_buf is not None and len(data_buf)
+        else np.empty(0, dtype=np.uint64)
+    )
+    lens = (raw_offs[1:] - raw_offs[:-1]) // 8
+    starts = raw_offs[:-1] // 8
+    order = np.argsort(ids, kind="stable")
+    out_lens = lens[order]
+    out_offs = np.concatenate([[0], np.cumsum(out_lens)])
+    total = int(out_offs[-1])
+    if total:
+        # vectorized ragged gather: flat indices for each doc's run
+        gidx = (
+            np.repeat(starts[order] - out_offs[:-1], out_lens)
+            + np.arange(total)
+        )
+        flat_sorted = flat_all[gidx]
+    else:
+        flat_sorted = np.empty(0, dtype=np.uint64)
+    return ray.put((ids[order], out_offs, flat_sorted))
 
 
 def _matmul_bucket_pairs(
@@ -673,10 +703,17 @@ def _matmul_bucket_pairs(
         b = ids.size
         if b < 2:
             return empty
-        grams = ray.get(gram_ref)
-        arrs = [grams[i] for i in ids.tolist()]
-        lens = np.array([a.size for a in arrs], dtype=np.int64)
-        concat = np.concatenate(arrs)
+        lut_ids, lut_offs, lut_flat = ray.get(gram_ref)  # zero-copy arrays
+        pos = np.searchsorted(lut_ids, ids)
+        if not (lut_ids[np.minimum(pos, lut_ids.size - 1)] == ids).all():
+            raise KeyError("bucket doc_id missing from gram payload")
+        lens = lut_offs[pos + 1] - lut_offs[pos]
+        total = int(lens.sum())
+        gidx = (
+            np.repeat(lut_offs[pos] - np.concatenate([[0], np.cumsum(lens)])[:-1], lens)
+            + np.arange(total)
+        )
+        concat = lut_flat[gidx]
         g_local, cols = np.unique(concat, return_inverse=True)
         rows = np.repeat(np.arange(b), lens)
         order = np.argsort(cols, kind="stable")
@@ -855,7 +892,10 @@ def ngram_jaccard_pairs_distributed(
             pa.schema([("id", pa.int64())]),
         )["id"].to_numpy(zero_copy_only=False)
     )
-    if empty_ids.size > 100_000:
+    # 10k empties -> ~50M clique pairs (~1.2 GB of output rows) is the most
+    # any caller plausibly wants materialized; beyond that the clique IS
+    # the quadratic blow-up this guard exists to refuse
+    if empty_ids.size > 10_000:
         raise ValueError(
             f"{empty_ids.size} empty-text docs form a quadratic J=1.0 "
             "clique; run exact_dedup on the empties first"
@@ -932,13 +972,18 @@ def ngram_jaccard_pairs_distributed(
     cand_ids = np.unique(id_tbl["id"].to_numpy(zero_copy_only=False)).tolist()
     if len(cand_ids) <= broadcast_max_ids:
         id_arr = pa.array(cand_ids, pa.int64())
-        text_rows = ds.map_batches(
-            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)).select(
-                [id_col, text_col]
+        text_tbl = _collect_table(
+            ds.map_batches(
+                lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)).select(
+                    [id_col, text_col]
+                ),
+                batch_format="pyarrow",
             ),
-            batch_format="pyarrow",
-        ).take_all()
-        text_ref = ray.put({r[id_col]: r[text_col] for r in text_rows})
+            pa.schema([(id_col, pa.int64()), (text_col, pa.large_string())]),
+        )
+        text_ref = ray.put(
+            dict(zip(text_tbl[id_col].to_pylist(), text_tbl[text_col].to_pylist()))
+        )
         return with_clique(
             cand.map_batches(
                 _NgramVerifier,

@@ -308,6 +308,7 @@ def broadcast_lookup_join(
     right_count: int | None = None,
     broadcast_max: int | None = None,
     partition_rows: int = 2_000_000,
+    left_count: int | None = None,
 ):
     """Inner equi-join against a KEY-UNIQUE right side (dimension/lookup),
     with size-guarded physical plan selection.
@@ -332,7 +333,15 @@ def broadcast_lookup_join(
     if right_count is None:
         right_count = right.count()
     if right_count <= broadcast_max:
-        tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        # 0-row-block-safe collect (Ray can emit degenerate empty blocks
+        # whose schemas break a bare concat_tables)
+        schema = right.schema().base_schema
+        tbls = [
+            t.select(schema.names).cast(schema)
+            for t in ray.get(right.to_arrow_refs())
+            if t.num_rows
+        ]
+        tbl = pa.concat_tables(tbls) if tbls else schema.empty_table()
         keys = tbl[on].to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
         if keys.size > 1 and not (keys[order][1:] > keys[order][:-1]).all():
@@ -356,5 +365,8 @@ def broadcast_lookup_join(
 
         return left.map_batches(lookup, batch_format="pyarrow")
 
-    parts = max(2, int(right_count) // partition_rows)
+    # partitions sized to the LARGER side: the probe stream's volume, not
+    # just the build side's, determines per-partition-actor memory
+    vol = max(int(right_count), int(left_count or 0))
+    parts = max(2, vol // partition_rows)
     return left.join(right, join_type="inner", num_partitions=parts, on=(on,))
