@@ -519,3 +519,79 @@ class TestBroadcastLookupJoin:
                 pd.testing.assert_frame_equal(
                     got.astype(want.dtypes.to_dict()), want
                 )
+
+
+class TestPairStreamAndGramLut:
+    def test_dedupe_pair_stream_packed_equals_fallback(self, ray_session):
+        """Packed-int64-key dedup == 2-column-groupby fallback, with and
+        without a value column (fallback forced via ids >= 2^31)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import dedupe_pair_stream
+
+        rng = np.random.default_rng(3)
+        left = rng.integers(0, 40, 500)
+        right = rng.integers(0, 40, 500) + 100
+        val = rng.random(500)
+        # same pair must carry the same value for the agg to be a pure dedup
+        val = pd.Series(val).groupby([left, right]).transform("max").to_numpy()
+        big = np.int64(1) << 32  # pushes ids past the packable bound
+
+        def run(shift):
+            ds = rd.from_arrow(
+                pa.table(
+                    {
+                        "left_id": pa.array(left + shift),
+                        "right_id": pa.array(right + shift),
+                        "v": pa.array(val),
+                    }
+                )
+            )
+            out = (
+                dedupe_pair_stream(ds, "v", "max")
+                .to_pandas()
+                .sort_values(["left_id", "right_id"])
+                .reset_index(drop=True)
+            )
+            out["left_id"] -= shift
+            out["right_id"] -= shift
+            return out
+
+        packed, fallback = run(np.int64(0)), run(big)
+        pd.testing.assert_frame_equal(
+            packed, fallback.astype(packed.dtypes.to_dict())
+        )
+        want = (
+            pd.DataFrame({"left_id": left, "right_id": right, "v": val})
+            .groupby(["left_id", "right_id"], as_index=False)["v"]
+            .max()
+        )
+        pd.testing.assert_frame_equal(
+            packed.astype(want.dtypes.to_dict()), want
+        )
+
+    def test_doc_gram_payload_matches_per_doc_hashes(self, ray_session):
+        """The broadcast (ids, offsets, flat) LUT reproduces each doc's
+        distinct gram-hash set exactly, across multiple blocks."""
+        import ray
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import _doc_gram_hashes, _doc_gram_payload_ref
+
+        texts = ["", "a", "ab", "abcabc", "hello world", "xyzxyzxyz", "abc"] * 3
+        ids = np.arange(len(texts), dtype=np.int64)[::-1].copy()  # unsorted ids
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        ).repartition(4)
+        lut_ids, offs, flat = ray.get(
+            _doc_gram_payload_ref(ds, "text", "doc_id", 3)
+        )
+        assert (lut_ids[1:] > lut_ids[:-1]).all()
+        got = {
+            int(lut_ids[i]): flat[offs[i] : offs[i + 1]]
+            for i in range(lut_ids.size)
+        }
+        for i, t in zip(ids.tolist(), texts):
+            h, d = _doc_gram_hashes([t], 3)
+            np.testing.assert_array_equal(got[i], h)
