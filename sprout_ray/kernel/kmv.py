@@ -132,6 +132,12 @@ class KMVSketch:
     def from_bytes(cls, buf: bytes) -> "KMVSketch":
         mlen = int.from_bytes(buf[:4], "little")
         meta = json.loads(buf[4 : 4 + mlen].decode())
+        if meta.get("v") != 2:
+            raise ValueError(
+                f"unsupported KMV wire format v={meta.get('v', 1)} "
+                "(v1 blobs predate per-key is-str flags and would "
+                "deserialize misaligned; rebuild the checkpoint)"
+            )
         sk = cls(k=meta["k"])
         off = 4 + mlen
         n = int.from_bytes(buf[off : off + 4], "little")

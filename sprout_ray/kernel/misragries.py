@@ -142,6 +142,12 @@ class MisraGries:
     def from_bytes(cls, buf: bytes) -> "MisraGries":
         mlen = int.from_bytes(buf[:4], "little")
         meta = json.loads(buf[4 : 4 + mlen].decode())
+        if meta.get("v") != 2:
+            raise ValueError(
+                f"unsupported MG wire format v={meta.get('v', 1)} "
+                "(v1 blobs predate per-key is-str flags and would "
+                "deserialize misaligned; rebuild the checkpoint)"
+            )
         sk = cls(m=meta["m"])
         sk.total = meta["total"]
         sk.err_bound = meta["err_bound"]

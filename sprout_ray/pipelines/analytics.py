@@ -918,9 +918,19 @@ def kll_quantiles_exact(sf_dir: str):
     from .flagship import multi_sketch_build
 
     ds = _read(sf_dir, "documents", ["n_chars"])
-    built = multi_sketch_build(ds, {"kll": (SketchSpec.of("kll", 65536), "n_chars")})
+    n = ds.count()  # parquet metadata, no scan
+    if n >= 4_000_000:
+        raise ValueError(
+            f"kll_quantiles_exact is a VERIFICATION-scale query: the exact "
+            f"regime needs k > n, and k={n + 1} rows of uncompacted driver "
+            "state at this corpus size is not a sketch any more — use "
+            "quantile_sketches for the approximate answer"
+        )
+    k = max(65536, n + 1)
+    built = multi_sketch_build(ds, {"kll": (SketchSpec.of("kll", k), "n_chars")})
     kll = built["kll"]
-    assert kll.n < 65536, "exact regime requires k > n"
+    if kll.n >= k:
+        raise RuntimeError("exact regime violated: k <= n after build")
     labels = ["p01", "p25", "p50", "p75", "p99"]
     qs = [0.01, 0.25, 0.50, 0.75, 0.99]
     return pa.table(
@@ -974,25 +984,45 @@ def _verify_pairs_exact_text(pairs_ds, corpus_ds, id_col: str = "doc_id"):
 
     from ..functions.hashing import murmur_column
 
+    ids_tbl = pa.concat_tables(
+        [
+            t
+            for t in ray.get(
+                pairs_ds.select_columns(["left_id", "right_id"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        or [pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64())})]
+    )
     cand_ids = pa.array(
-        sorted(
-            {r["left_id"] for r in pairs_ds.select_columns(["left_id"]).take_all()}
-            | {r["right_id"] for r in pairs_ds.select_columns(["right_id"]).take_all()}
-        ),
-        pa.int64(),
+        np.unique(
+            np.concatenate(
+                [
+                    ids_tbl["left_id"].to_numpy(zero_copy_only=False),
+                    ids_tbl["right_id"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            if ids_tbl.num_rows
+            else np.empty(0, np.int64)
+        ).astype(np.int64, copy=False)
     )
     if len(cand_ids) == 0:
         return pairs_ds
-    fp_rows = corpus_ds.map_batches(
-        lambda t: pa.table(
+
+    def fp_block(t: pa.Table) -> pa.Table:
+        # filter FIRST: hashing every corpus row to keep ~hundreds of
+        # candidates did two full murmur passes over the whole corpus
+        sub = t.filter(pc.is_in(t[id_col], value_set=cand_ids))
+        return pa.table(
             {
-                id_col: t[id_col],
-                "h0": pa.array(murmur_column(t["text"], 0).view(np.int64)),
-                "h1": pa.array(murmur_column(t["text"], 1).view(np.int64)),
+                id_col: sub[id_col],
+                "h0": pa.array(murmur_column(sub["text"], 0).view(np.int64)),
+                "h1": pa.array(murmur_column(sub["text"], 1).view(np.int64)),
             }
-        ).filter(pc.is_in(t[id_col], value_set=cand_ids)),
-        batch_format="pyarrow",
-    ).take_all()
+        )
+
+    fp_rows = corpus_ds.map_batches(fp_block, batch_format="pyarrow").take_all()
     fp_ref = ray.put({r[id_col]: (r["h0"], r["h1"]) for r in fp_rows})
 
     def verify(t: pa.Table) -> pa.Table:
@@ -1021,9 +1051,13 @@ def minhash_neardup_exact(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
     corpus = _planted_dup_docs(sf_dir)
-    pairs = minhash_dedup_pairs(corpus, threshold=1.0, concurrency=2).select_columns(
-        ["left_id", "right_id"]
-    )
+    # EXACTNESS PRECONDITION: max_bucket must exceed the largest dup
+    # clique (every member of an exact-dup clique shares every bucket) —
+    # the default 64 would silently drop pairs of a >64-way clique that
+    # the SQL self-join keeps
+    pairs = minhash_dedup_pairs(
+        corpus, threshold=1.0, concurrency=2, max_bucket=100_000
+    ).select_columns(["left_id", "right_id"])
     out = _verify_pairs_exact_text(pairs, corpus).sort(["left_id", "right_id"])
     if out.count() == 0:
         return _empty_id_pairs()
@@ -1039,9 +1073,11 @@ def simhash_neardup_exact(sf_dir: str):
     from ..stages.dedup import simhash_candidates
 
     corpus = _planted_dup_docs(sf_dir)
-    pairs = simhash_candidates(corpus, max_hamming=0).select_columns(
-        ["left_id", "right_id"]
-    )
+    # same exactness precondition as minhash_neardup_exact: bucket cap
+    # must exceed the largest identical-simhash clique
+    pairs = simhash_candidates(
+        corpus, max_hamming=0, max_bucket=100_000
+    ).select_columns(["left_id", "right_id"])
     out = _verify_pairs_exact_text(pairs, corpus).sort(["left_id", "right_id"])
     if out.count() == 0:
         return _empty_id_pairs()
@@ -1386,8 +1422,15 @@ def ann_ivf_topk(sf_dir: str):
     ivf = ivf_topk(ds, q, k=10, nlist=8, nprobe=4, concurrency=2)
     brute = ann_topk(ds, q, k=10, concurrency=2)
     brute_ids = brute.groupby("query_id")["vec_id"].apply(set).to_dict()
+    # recall@k divides by the BRUTE top-k size, not the IVF group size —
+    # the latter is precision and overstates quality exactly when IVF's
+    # probed buckets hold fewer than k vectors
     recall = {
-        qi: round(len(set(g["vec_id"]) & brute_ids.get(qi, set())) / max(len(g), 1), 4)
+        qi: round(
+            len(set(g["vec_id"]) & brute_ids.get(qi, set()))
+            / max(len(brute_ids.get(qi, set())), 1),
+            4,
+        )
         for qi, g in ivf.groupby("query_id")
     }
     ivf = ivf.copy()
@@ -1448,15 +1491,27 @@ def fingerprint_distinctness(sf_dir: str):
     from ..stages.text import add_fingerprint
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    fp = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    fp = ds.map_batches(add_fingerprint, batch_format="pyarrow").materialize()
     n_docs = fp.count()
-    n_fp = fp.unique("fingerprint")
-    n_text = fp.unique("text")
+
+    def distinct_count(col: str) -> int:
+        # per-block Arrow pre-dedup, then a distributed groupby whose
+        # group COUNT is read — no value list ever lands on the driver
+        # (Dataset.unique materializes every distinct value driver-side)
+        thinned = fp.map_batches(
+            lambda t, c=col: t.select([c]).group_by([c]).aggregate([]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return thinned.groupby(col).count().count()
+
     return pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),
-            "n_distinct_fingerprints": pa.array([len(n_fp)], pa.int64()),
-            "n_distinct_texts": pa.array([len(n_text)], pa.int64()),
+            "n_distinct_fingerprints": pa.array(
+                [distinct_count("fingerprint")], pa.int64()
+            ),
+            "n_distinct_texts": pa.array([distinct_count("text")], pa.int64()),
         }
     )
 

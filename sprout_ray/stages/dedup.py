@@ -404,11 +404,16 @@ def dedupe_pair_stream(pairs, value_col: str | None = None, agg: str = "max"):
             lambda t: t.select(["left_id", "right_id"] + ([value_col] if value_col else [])),
             batch_format="pyarrow",
         )
-    mn = pairs.min(["left_id", "right_id"])
-    mx = pairs.max(["left_id", "right_id"])
+    from ray.data.aggregate import Max, Min
+
+    # ONE aggregate job for all four bounds (separate min()/max() calls
+    # each pay a full pass + per-partition actor setup over the stream)
+    ext = pairs.aggregate(
+        Min("left_id"), Min("right_id"), Max("left_id"), Max("right_id")
+    )
     packable = (
-        min(mn["min(left_id)"], mn["min(right_id)"]) >= 0
-        and max(mx["max(left_id)"], mx["max(right_id)"]) < (1 << 31)
+        min(ext["min(left_id)"], ext["min(right_id)"]) >= 0
+        and max(ext["max(left_id)"], ext["max(right_id)"]) < (1 << 31)
     )
     if not packable:
         g = pairs.groupby(["left_id", "right_id"])
@@ -1149,6 +1154,7 @@ def minhash_dedup_pairs(
     concurrency: int = 4,
     driver_side: bool = False,
     hot_max: int | None = None,
+    max_bucket: int = 64,
 ):
     """Full near-dup pipeline: signatures (distributed actor pool) -> bands
     -> hot buckets -> in-bucket signature-Jaccard verify >= threshold.
@@ -1175,7 +1181,12 @@ def minhash_dedup_pairs(
     )
     if not driver_side:
         return minhash_pairs_distributed(
-            sig_ds, bands=bands, threshold=threshold, id_col=id_col, hot_max=hot_max
+            sig_ds,
+            bands=bands,
+            threshold=threshold,
+            id_col=id_col,
+            hot_max=hot_max,
+            max_bucket=max_bucket,
         )
     sig_rows = sig_ds.take_all()
     if not sig_rows:

@@ -16,8 +16,10 @@ Parquet KV:
   layout via refformat). ``n_buckets`` auto-scales with row count
   (~1M rows/bucket, capped 4096) so bucket size stays bounded as the
   corpus grows. A failed build reruns cheaply: the data write is one
-  retryable Ray job and the bloom pass skips buckets whose filter file
-  already exists.
+  retryable Ray job, and the per-bucket bloom tasks rebuild from the
+  written bucket files — filters are DERIVED state and are never reused
+  across a data rewrite (the data pass is mode="overwrite", so a stale
+  filter could silently miss keys).
 - ``KVStore.get``: groups probe keys by bucket; buckets whose filter says
   "definitely not" for all their keys cost ZERO IO; otherwise only that
   bucket's files are read, filtered to the maybe-keys. No false negatives;
@@ -60,7 +62,19 @@ def _bucket_bloom(files: list, key_col: str, err_rate: float, out_path: str) -> 
 class KVStore:
     """Bloom-guarded, hash-bucketed Parquet KV (open via :meth:`open`)."""
 
+    # data layouts this reader understands; the manifest records which one
+    # the build wrote, so a layout change can never be read misaligned
+    SUPPORTED_LAYOUTS = ("hive",)
+
     def __init__(self, path: str, manifest: dict):
+        layout = manifest.get("layout")
+        if layout not in self.SUPPORTED_LAYOUTS:
+            raise ValueError(
+                f"KV store at {path!r} has layout={layout!r}; this reader "
+                f"supports {self.SUPPORTED_LAYOUTS} — rebuild with "
+                "KVStore.build (pre-hive flat-file stores predate the "
+                "layout field)"
+            )
         self.path = path
         self.manifest = manifest
         self.n_buckets = manifest["n_buckets"]
