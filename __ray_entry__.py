@@ -89,6 +89,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,
         "media_dedup": A.media_dedup,
+        # corpus composition + inverted index
+        "corpus_mix_quota": A.corpus_mix_quota,
+        "corpus_split_mod_exact": A.corpus_split_mod_exact,
+        "corpus_split_hash": A.corpus_split_hash,
+        "token_df_top": A.token_df_top,
+        "cms_event_type_exact": A.cms_event_type_exact,
     }
 
 
@@ -428,5 +434,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT) AS cluster "
             "FROM documents"
+        ),
+        # per-lang quota mixing: quota = 30 * (1 + len(lang) % 3), smallest
+        # doc_id first — the row_number twin of stages/sampling.take_per_group
+        "corpus_mix_quota": (
+            "SELECT lang, CAST(doc_id AS BIGINT) AS doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER "
+            "(PARTITION BY lang ORDER BY doc_id) AS rn FROM documents) "
+            "WHERE rn <= 30 * (1 + length(lang) % 3) "
+            "ORDER BY lang, doc_id"
+        ),
+        # mod-bucket split: 0.8/0.1/0.1 over 10 buckets quantizes to cut
+        # list [8, 9, 10] (stages/sampling.split_cuts)
+        "corpus_split_mod_exact": (
+            "SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' "
+            "WHEN doc_id % 10 = 8 THEN 'val' ELSE 'test' END AS split, "
+            "lang, CAST(count(*) AS BIGINT) AS n FROM documents "
+            "GROUP BY split, lang ORDER BY split, lang"
+        ),
+        "token_df_top": (
+            "WITH toks AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
+            "CAST(count(*) AS BIGINT) AS tf FROM toks WHERE token <> '' "
+            "GROUP BY token ORDER BY df DESC, token LIMIT 20"
+        ),
+        # CMS in its provably-exact regime (collision_free certificate over
+        # the key universe) == plain GROUP BY counts
+        "cms_event_type_exact": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "GROUP BY event_type ORDER BY event_type"
         ),
     }

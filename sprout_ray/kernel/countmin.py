@@ -70,6 +70,32 @@ class CountMinSketch:
     def query(self, key) -> int:
         return int(self.query_batch([key])[0])
 
+    def collision_free(self, universe) -> np.ndarray:
+        """Per-key exactness certificate over a COMPLETE key universe.
+
+        If ``universe`` contains every distinct key ever fed to
+        ``update_batch`` (across all merged partials — the geometry and
+        seeds are spec-frozen, so indices agree), then for any key whose
+        bucket is unoccupied by every other universe key in at least one
+        row, the min-over-rows estimate equals the true count exactly:
+        that row's counter only ever received this key's increments.
+        Returns one bool per universe key; ``all()`` upgrades the sketch's
+        ``<= eps*N`` overcount bound to provable exactness (the degenerate
+        regime used by the oracle-checked twin, mirroring Misra-Gries'
+        ``err_bound == 0``)."""
+        mat, lengths = _as_matrix(universe)
+        n = mat.shape[0]
+        ok = np.zeros(n, dtype=bool)
+        if n == 0:
+            return ok
+        idx = self._row_indices(mat, lengths)
+        for i in range(self.d):
+            _, inv, cnt = np.unique(
+                idx[i], return_inverse=True, return_counts=True
+            )
+            ok |= cnt[inv] == 1
+        return ok
+
     def merge(self, other: "CountMinSketch") -> None:
         if self.w != other.w or self.d != other.d:
             raise ValueError("CountMinSketch geometry mismatch")

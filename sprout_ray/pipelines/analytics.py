@@ -1516,6 +1516,156 @@ def fingerprint_distinctness(sf_dir: str):
     )
 
 
+# --------------------------------------------------------------------------
+# Corpus composition: quota mixing, deterministic splits, inverted index
+# --------------------------------------------------------------------------
+
+
+def _mix_quota(lang: str) -> int:
+    # deterministic per-stratum quota, SQL-expressible for the oracle twin:
+    # 30 * (1 + len(lang) % 3)
+    return 30 * (1 + len(lang) % 3)
+
+
+def corpus_mix_quota(sf_dir: str):
+    """Weighted corpus mixing: per-language quota of documents, smallest
+    doc_id first (the deterministic 'take the first N of each stratum'
+    composition step of a training-data mix). Shuffle-free: per-block
+    partial quotas + one tiny final reduce (stages/sampling.take_per_group);
+    the SQL twin is row_number() OVER (PARTITION BY lang ORDER BY doc_id)."""
+    from ..stages.sampling import take_per_group
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"])
+    return take_per_group(ds, key="lang", order_col="doc_id", quota=_mix_quota)
+
+
+_SPLIT_FRACTIONS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def _split_counts(ds, key_col: str, method: str, buckets: int):
+    """assign_split -> per-block (split, lang) pre-agg -> native sum."""
+    from ..stages.sampling import assign_split
+
+    tagged = assign_split(
+        ds, key_col, _SPLIT_FRACTIONS, method=method, buckets=buckets
+    )
+    part = tagged.map_batches(
+        lambda t: t.select(["split", "lang"])
+        .group_by(["split", "lang"])
+        .aggregate([("lang", "count")])
+        .rename_columns(["split", "lang", "n_part"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = part.groupby(["split", "lang"]).sum("n_part").take_all()
+    rows.sort(key=lambda r: (r["split"], r["lang"]))
+    return rows
+
+
+def corpus_split_mod_exact(sf_dir: str):
+    """Deterministic train/val/test split, oracle-checked: bucket =
+    doc_id % 10 through the same assign_split stage as the hash split
+    (method='mod' is the SQL-expressible bucketer). 0.8/0.1/0.1 on 10
+    buckets quantizes exactly, so counts match CASE WHEN doc_id % 10 ..."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    rows = _split_counts(ds, "doc_id", method="mod", buckets=10)
+    return pa.table(
+        {
+            "split": pa.array([r["split"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "n": pa.array([r["sum(n_part)"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def corpus_split_hash(sf_dir: str):
+    """Murmur-hash train/val/test split (the production bucketer: stable
+    under reshuffles, any key dtype) with SELF-EVIDENCE columns: observed
+    vs expected fraction per split and a tolerance check (5-sigma binomial
+    + 1/buckets quantization slack), so the rows-only driver record
+    carries the proportion claim in-band."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    rows = _split_counts(ds, "doc_id", method="hash", buckets=10_000)
+    frac = dict(_SPLIT_FRACTIONS)
+    total = sum(r["sum(n_part)"] for r in rows)
+    # the proportion claim is a per-SPLIT property (summed over langs)
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["sum(n_part)"]
+    out = []
+    for r in rows:
+        exp = frac[r["split"]]
+        obs = by_split[r["split"]] / total
+        tol = 5.0 * math.sqrt(exp * (1 - exp) / total) + 1e-4
+        out.append(
+            {
+                "split": r["split"],
+                "lang": r["lang"],
+                "n": r["sum(n_part)"],
+                "expected_frac": exp,
+                "observed_frac": float(np.floor(obs * 1e6 + 0.5) / 1e6),
+                "within_tol": bool(abs(obs - exp) <= tol),
+            }
+        )
+    return pa.Table.from_pylist(out)
+
+
+def token_df_top(sf_dir: str):
+    """Inverted-index statistics: top-20 tokens by document frequency.
+
+    The index-build shape: per-block explode to (token, df, tf) partials
+    (stages/text.token_df_batch — the shuffle carries one row per
+    (token, block), never the raw token stream), a native distributed
+    groupby-sum over the vocabulary, then sort + limit. Oracle twin:
+    unnest(string_split_regex(...)) GROUP BY token in DuckDB."""
+    from ..stages.text import token_df_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    parts = ds.map_batches(
+        token_df_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = (
+        parts.groupby("token")
+        .sum(["df", "tf"])
+        .sort(key=["sum(df)", "token"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "token": pa.array([r["token"] for r in top], pa.string()),
+            "df": pa.array([r["sum(df)"] for r in top], pa.int64()),
+            "tf": pa.array([r["sum(tf)"] for r in top], pa.int64()),
+        }
+    )
+
+
+def cms_event_type_exact(sf_dir: str):
+    """CMS degenerates to EXACT grouped counts when every key owns an
+    uncontended counter in some row: the collision_free certificate
+    (kernel/countmin.py) proves it from the key universe alone — no exact
+    counts consulted — so this distributed sketch build is oracle-checkable
+    against plain GROUP BY counts, mirroring mg_event_type_exact."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    cms = build_sketch(ds, SketchSpec.of("cms", 0.001, 0.01), on="event_type")
+    types = sorted(
+        r["event_type"] for r in ds.groupby("event_type").count().take_all()
+    )
+    cert = cms.collision_free([t.encode() for t in types])
+    if not cert.all():
+        raise AssertionError(
+            f"CMS w={cms.w} not collision-free over {len(types)} keys — "
+            "widen eps for the exact-regime query"
+        )
+    est = cms.query_batch([t.encode() for t in types]).astype(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(est),
+        }
+    )
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media table -> actor-pool fake decode."""
     import ray.data as rd

@@ -1,0 +1,158 @@
+"""Corpus-composition stages: quota mixing and deterministic splits.
+
+Training-data pipelines compose corpora by *quota* (take N docs per
+language/domain, ordered deterministically) and carve *splits*
+(train/val/test) that must be stable across reruns and machines. Both are
+embarrassingly parallel in Ray Data:
+
+- :func:`take_per_group` — per-block partial top-``quota`` rows per group
+  (smallest ``order_col`` first), then one final reduce over the tiny
+  partial union. The shuffle-free twin of ``row_number() OVER (PARTITION BY
+  key ORDER BY order_col) <= quota``.
+- :func:`assign_split` — a pure ``map_batches`` column append: bucket the
+  key (seeded murmur3 or integer modulo), map bucket ranges to named
+  splits by cumulative fraction. No shuffle, no state, rerun-stable.
+
+No reference twin (dsa0x/sprout is a sketch library); these are the
+driver-spec'd training-data operators built on the same hash kernel
+(kernel/murmur3.py) as the sketch family.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import murmur_column
+
+
+def _take_batch(
+    t: pa.Table,
+    key: str,
+    order_col: str,
+    quota_of: Callable,
+    columns: list[str],
+) -> pa.Table:
+    """Keep the ``quota_of(key)`` rows with smallest ``order_col`` per group.
+
+    Stable mergesort + per-group cumcount: O(n log n) pandas C kernels, no
+    Python per-row work. Applied per block AND as the final reduce (the
+    operation is idempotent on its own output, so partial-then-final is
+    exact)."""
+    import pandas as pd
+
+    if t.num_rows == 0:
+        return t.select(columns)
+    df = pd.DataFrame(
+        {
+            "k": t[key].to_numpy(zero_copy_only=False),
+            "o": t[order_col].to_numpy(zero_copy_only=False),
+        }
+    )
+    order = df.sort_values(["k", "o"], kind="mergesort").index
+    ranked = df.loc[order]
+    rank = ranked.groupby("k", sort=False).cumcount().to_numpy()
+    quotas = ranked["k"].map(quota_of).to_numpy()
+    keep = order.to_numpy()[rank < quotas]
+    keep.sort()
+    return t.take(pa.array(keep)).select(columns)
+
+
+def take_per_group(ds, key: str, order_col: str, quota, columns=None):
+    """Deterministic per-group quota sample: for each value of ``key`` keep
+    the ``quota`` rows with the smallest ``order_col``.
+
+    ``quota`` is an int (flat), a dict ``{key_value: n}``, or a callable
+    ``key_value -> n``. Returns a pyarrow Table sorted by (key, order_col).
+
+    Scale shape: one streaming pass emits per-block partials of at most
+    ``quota`` rows per group; the driver reduce sees ``O(blocks x strata x
+    quota)`` rows — independent of corpus size. Assumes bounded strata
+    cardinality (languages/domains/sources), which is what corpus mixing
+    means; for unbounded strata use a groupby path instead."""
+    import ray
+
+    if callable(quota):
+        quota_of = quota
+    elif isinstance(quota, dict):
+        quota_of = dict(quota).__getitem__
+    else:
+        flat = int(quota)
+        quota_of = lambda _k, _n=flat: _n  # noqa: E731
+
+    cols = list(columns) if columns else [key, order_col]
+    part = ds.map_batches(
+        lambda t: _take_batch(t, key, order_col, quota_of, cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # partials are tiny by construction — Arrow-native driver collect;
+    # empty blocks are kept so a 0-row result still carries its schema
+    tables = ray.get(part.to_arrow_refs())
+    merged = pa.concat_tables(tables, promote_options="default")
+    final = _take_batch(merged, key, order_col, quota_of, cols)
+    return final.sort_by([(key, "ascending"), (order_col, "ascending")])
+
+
+def split_cuts(fractions: list[tuple[str, float]], buckets: int) -> np.ndarray:
+    """Right-open integer bucket boundaries for cumulative fractions.
+
+    ``cut[i] = round(cum_i * buckets)``; the last cut is forced to
+    ``buckets`` so every bucket lands in a split. Fractions must sum to 1
+    (validated to 1e-9) — quantization error per split is < 1/buckets."""
+    weights = np.array([w for _, w in fractions], dtype=np.float64)
+    if weights.min() < 0 or abs(weights.sum() - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be >=0 and sum to 1, got {fractions}")
+    cuts = np.floor(np.cumsum(weights) * buckets + 0.5).astype(np.int64)
+    cuts[-1] = buckets
+    if (np.diff(np.concatenate([[0], cuts])) < 0).any():
+        raise ValueError(f"fractions quantize to a non-monotone cut list: {cuts}")
+    return cuts
+
+
+def assign_split(
+    ds,
+    key_col: str,
+    fractions: list[tuple[str, float]],
+    method: str = "hash",
+    buckets: int = 10_000,
+    seed: int = 0,
+    out: str = "split",
+):
+    """Append a deterministic ``split`` column partitioning rows by key.
+
+    ``method="hash"``: bucket = murmur3_64(key, seed) % buckets — stable
+    under reshuffles/reruns, independent of row order, any key dtype.
+    ``method="mod"``: bucket = key % buckets for integer keys — the
+    SQL-expressible twin (oracle-checkable; same code path otherwise).
+
+    Pure per-batch map: no shuffle, no state, each row decided from its own
+    key — the 100 TB shape for split assignment."""
+    if method not in ("hash", "mod"):
+        raise ValueError(f"method must be 'hash' or 'mod', got {method!r}")
+    cuts = split_cuts(fractions, buckets)
+    names = np.array([n for n, _ in fractions])
+
+    def add_split(t: pa.Table) -> pa.Table:
+        if method == "hash":
+            col = t[key_col]
+            if not (pa.types.is_string(col.type) or pa.types.is_binary(col.type)
+                    or pa.types.is_large_string(col.type)
+                    or pa.types.is_large_binary(col.type)):
+                # canonical decimal-string key bytes: dtype-independent and
+                # stable across int32/int64 readers of the same data
+                col = pc.cast(col, pa.string())
+            b = murmur_column(col, seed) % np.uint64(buckets)
+            b = b.view(np.int64)  # values < buckets: view is exact
+        else:
+            keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if (keys < 0).any():
+                raise ValueError("mod split requires non-negative integer keys")
+            b = keys % buckets
+        idx = np.searchsorted(cuts, b, side="right")
+        return t.append_column(out, pa.array(names[idx], pa.string()))
+
+    return ds.map_batches(add_split, batch_format="pyarrow", zero_copy_batch=True)

@@ -148,5 +148,43 @@ def add_fingerprint(batch: pa.Table, col: str = "text", out: str = "fingerprint"
     return batch.append_column(out, pa.array(h.view(np.int64)))
 
 
+def token_df_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-block inverted-index statistics partial: (token, df, tf).
+
+    Tokenization contract shared with the DuckDB oracle
+    (``string_split_regex(lower(trim(text)), '\\s+')``, empty tokens
+    dropped). ``tf`` counts every occurrence; ``df`` counts distinct docs.
+    Each document is exactly one input row, so it lives wholly inside one
+    block — per-block df partials SUM to the global document frequency
+    (a doc contributes at most once per token per block, and appears in
+    exactly one block). The downstream ``groupby(token).sum`` shuffles one
+    row per (token, block), never the exploded token stream."""
+    import pandas as pd
+
+    texts = pc.utf8_lower(pc.utf8_trim_whitespace(t[text_col]))
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    pairs = pa.table({"token": flat, "parent": parents}).filter(
+        pc.not_equal(flat, "")
+    )
+    tf = pairs.group_by(["token"]).aggregate([("parent", "count")])
+    dd = pairs.group_by(["token", "parent"]).aggregate([])
+    df_ = dd.group_by(["token"]).aggregate([("parent", "count")])
+    merged = pd.merge(
+        tf.rename_columns(["token", "tf"]).to_pandas(),
+        df_.rename_columns(["token", "df"]).to_pandas(),
+        on="token",
+        how="inner",
+    )
+    return pa.table(
+        {
+            "token": pa.array(merged["token"], pa.string()),
+            "df": pa.array(merged["df"].to_numpy(), pa.int64()),
+            "tf": pa.array(merged["tf"].to_numpy(), pa.int64()),
+        }
+    )
+
+
 # SimHash lives in stages.dedup (simhash_signatures), vectorized over whole
 # batches with a single murmur pass + segment reduce.

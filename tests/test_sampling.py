@@ -1,0 +1,202 @@
+"""Tests for corpus-composition stages (sampling.py), the inverted-index
+partial (text.token_df_batch), and the CMS exactness certificate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table(n=1000, seed=7):
+    rng = np.random.default_rng(seed)
+    langs = np.array(["en", "de", "fr", "es", "zh"])[rng.integers(0, 5, n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array(langs.tolist(), pa.string()),
+        }
+    )
+
+
+class TestTakePerGroup:
+    def test_matches_row_number_reference(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import take_per_group
+
+        t = _docs_table()
+        ds = rd.from_arrow(t).repartition(7)  # force multi-block partials
+        got = take_per_group(ds, "lang", "doc_id", quota=13).to_pandas()
+
+        df = t.to_pandas().sort_values(["lang", "doc_id"])
+        df["rn"] = df.groupby("lang").cumcount()
+        want = df[df["rn"] < 13][["lang", "doc_id"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_dict_and_callable_quotas_agree(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import take_per_group
+
+        ds = rd.from_arrow(_docs_table()).repartition(5)
+        q = {"en": 3, "de": 0, "fr": 10, "es": 1, "zh": 5}
+        a = take_per_group(ds, "lang", "doc_id", quota=q)
+        b = take_per_group(ds, "lang", "doc_id", quota=lambda k: q[k])
+        assert a.equals(b)
+        counts = {
+            k: v
+            for k, v in zip(*np.unique(a["lang"].to_numpy(zero_copy_only=False), return_counts=True))
+        }
+        assert counts == {k: v for k, v in q.items() if v > 0}
+
+    def test_quota_larger_than_group(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import take_per_group
+
+        t = pa.table(
+            {"lang": pa.array(["en", "en", "de"]), "doc_id": pa.array([2, 1, 9], pa.int64())}
+        )
+        got = take_per_group(rd.from_arrow(t), "lang", "doc_id", quota=100)
+        assert got["doc_id"].to_pylist() == [9, 1, 2]  # sorted by (lang, id)
+
+
+class TestAssignSplit:
+    FR = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+    def test_split_cuts_quantization(self):
+        from sprout_ray.stages.sampling import split_cuts
+
+        assert split_cuts(self.FR, 10).tolist() == [8, 9, 10]
+        assert split_cuts([("a", 0.5), ("b", 0.5)], 7).tolist() == [4, 7]
+        with pytest.raises(ValueError):
+            split_cuts([("a", 0.6), ("b", 0.6)], 10)
+        with pytest.raises(ValueError):
+            split_cuts([("a", -0.1), ("b", 1.1)], 10)
+
+    def test_total_deterministic_and_blockcount_invariant(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import assign_split
+
+        t = _docs_table(2000)
+        a = assign_split(rd.from_arrow(t).repartition(3), "doc_id", self.FR).to_pandas()
+        b = assign_split(rd.from_arrow(t).repartition(11), "doc_id", self.FR).to_pandas()
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        assert (a["split"] == b["split"]).all()  # block-count invariant
+        assert len(a) == 2000 and set(a["split"]) == {"train", "val", "test"}
+        # proportions within 5-sigma binomial + quantization slack
+        for name, frac in self.FR:
+            obs = (a["split"] == name).mean()
+            tol = 5 * np.sqrt(frac * (1 - frac) / 2000) + 1e-4
+            assert abs(obs - frac) <= tol, (name, obs, frac)
+
+    def test_mod_split_matches_case_expression(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import assign_split
+
+        t = _docs_table(500)
+        got = (
+            assign_split(rd.from_arrow(t), "doc_id", self.FR, method="mod", buckets=10)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        mod = got["doc_id"].to_numpy() % 10
+        want = np.where(mod < 8, "train", np.where(mod == 8, "val", "test"))
+        assert (got["split"].to_numpy() == want).all()
+
+    def test_string_key_hash_split(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import assign_split
+
+        t = _docs_table(300)
+        out = assign_split(rd.from_arrow(t), "lang", self.FR).to_pandas()
+        # same key -> same split, always
+        assert out.groupby("lang")["split"].nunique().max() == 1
+
+    def test_bad_method_rejected(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import assign_split
+
+        with pytest.raises(ValueError):
+            assign_split(rd.from_arrow(_docs_table(5)), "doc_id", self.FR, method="nope")
+
+
+class TestTokenDF:
+    def test_partial_matches_pandas_reference(self):
+        from sprout_ray.stages.text import token_df_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a b a", "  b  c ", "", "A a\tb"]),
+            }
+        )
+        got = token_df_batch(t).to_pandas().set_index("token").sort_index()
+        # tokens: doc0 {a:2, b:1}; doc1 {b:1, c:1}; doc2 {}; doc3 {a:2, b:1}
+        assert got.loc["a", "tf"] == 4 and got.loc["a", "df"] == 2
+        assert got.loc["b", "tf"] == 3 and got.loc["b", "df"] == 3
+        assert got.loc["c", "tf"] == 1 and got.loc["c", "df"] == 1
+        assert len(got) == 3  # empty doc contributes nothing
+
+    def test_block_partials_sum_to_global(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from sprout_ray.stages.text import token_df_batch
+
+        rng = np.random.default_rng(3)
+        words = np.array(["alpha", "beta", "gamma", "delta", "epsilon"])
+        texts = [" ".join(words[rng.integers(0, 5, rng.integers(1, 12))]) for _ in range(400)]
+        t = pa.table(
+            {"doc_id": pa.array(np.arange(400, dtype=np.int64)), "text": pa.array(texts)}
+        )
+        parts = rd.from_arrow(t).repartition(9).map_batches(
+            token_df_batch, batch_format="pyarrow"
+        )
+        got = (
+            parts.groupby("token").sum(["df", "tf"]).to_pandas()
+            .rename(columns={"sum(df)": "df", "sum(tf)": "tf"})
+            .sort_values("token").reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "FROM t) SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf "
+            "FROM toks WHERE token <> '' GROUP BY token ORDER BY token"
+        ).df()
+        assert got["token"].tolist() == want["token"].tolist()
+        assert (got["df"].to_numpy() == want["df"].to_numpy()).all()
+        assert (got["tf"].to_numpy() == want["tf"].to_numpy()).all()
+
+
+class TestCMSCertificate:
+    def test_certificate_implies_exact(self):
+        from sprout_ray.kernel.countmin import CountMinSketch
+
+        rng = np.random.default_rng(11)
+        keys = [f"key-{i}".encode() for i in range(40)]
+        counts = rng.integers(1, 1000, 40)
+        cms = CountMinSketch(eps=0.001, delta=0.01)
+        cms.update_batch(keys, counts)
+        cert = cms.collision_free(keys)
+        assert cert.all()  # w=2719, 40 keys: uncontended row certain
+        est = cms.query_batch(keys)
+        assert (est == counts.astype(np.uint64)).all()
+
+    def test_certificate_fails_under_crowding(self):
+        from sprout_ray.kernel.countmin import CountMinSketch
+
+        cms = CountMinSketch(eps=0.5, delta=0.5)  # w=6, d=1
+        keys = [f"k{i}".encode() for i in range(50)]
+        cert = cms.collision_free(keys)
+        assert not cert.all()  # 50 keys into 6 buckets must collide
+
+    def test_empty_universe(self):
+        from sprout_ray.kernel.countmin import CountMinSketch
+
+        cms = CountMinSketch()
+        assert cms.collision_free([]).shape == (0,)
