@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_split_hash": A.corpus_split_hash,
         "token_df_top": A.token_df_top,
         "cms_event_type_exact": A.cms_event_type_exact,
+        "doc_top_term": A.doc_top_term,
+        "kll_by_lang_exact": A.kll_by_lang_exact,
     }
 
 
@@ -465,5 +467,32 @@ def oracle_sql() -> dict[str, str]:
         "cms_event_type_exact": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events "
             "GROUP BY event_type ORDER BY event_type"
+        ),
+        # rarest-token keyword extraction: per-doc argmin of global document
+        # frequency (tie: token; DuckDB binary collation == UTF-8 byte min)
+        "doc_top_term": (
+            "WITH raw AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "FROM documents), "
+            "toks AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''), "
+            "df AS (SELECT token, count(*) AS df FROM toks GROUP BY token), "
+            "j AS (SELECT t.doc_id, t.token, d.df FROM toks t "
+            "JOIN df d USING (token)), "
+            "r AS (SELECT doc_id, token, df, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY df, token) AS rn FROM j) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, token AS rarest_token, "
+            "CAST(df AS BIGINT) AS df FROM r WHERE rn = 1 ORDER BY doc_id"
+        ),
+        # grouped KLL in its exact regime: lower order statistic at rank
+        # ceil(q * n_lang) per lang (see kll_quantiles_exact)
+        "kll_by_lang_exact": (
+            "WITH s AS (SELECT lang, n_chars, "
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT s.lang, t.label AS q, CAST(s.n_chars AS DOUBLE) AS value "
+            "FROM (VALUES ('p25', 0.25), ('p50', 0.50), ('p75', 0.75)) "
+            "AS t(label, qq) "
+            "JOIN s ON s.rn = GREATEST(1, CAST(ceil(t.qq * s.n) AS BIGINT)) "
+            "ORDER BY lang, q"
         ),
     }

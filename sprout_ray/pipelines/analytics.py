@@ -1640,6 +1640,115 @@ def token_df_top(sf_dir: str):
     )
 
 
+def doc_top_term(sf_dir: str):
+    """Keyword extraction, the TF-IDF shape: each doc's RAREST token
+    (smallest global document frequency, token as tie-break) — exact and
+    oracle-checked, unlike a float tf-idf score whose log() would be a
+    cross-engine FP footgun.
+
+    Scale shape: (1) per-block distinct (doc_id, token) explode; (2) global
+    df via the token_df_batch partial sum (one row per (token, block)
+    crosses the exchange); (3) size-guarded join of the pair stream against
+    the df table (broadcast under the dim budget, distributed hash join
+    above — stages/joins.broadcast_lookup_join); (4) per-doc argmin WITHOUT
+    a per-group Python pass: the (df, token) order is packed into one
+    zero-padded sortable string so a NATIVE per-block pre-agg + groupby-min
+    computes the argmin (UTF-8 bytewise min == (df, token) lexicographic
+    order; DuckDB's binary collation agrees)."""
+    from ..stages.joins import broadcast_lookup_join
+    from ..stages.similarity import _token_explode
+    from ..stages.text import token_df_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = docs.map_batches(
+        lambda t: _token_explode(t, "text", "doc_id")
+        .select(["doc_id", "tok"])
+        .rename_columns(["doc_id", "token"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    df_ds = (
+        docs.map_batches(token_df_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("df")
+        .map_batches(
+            lambda t: t.rename_columns(["token", "df"]), batch_format="pyarrow"
+        )
+        .materialize()  # vocabulary-sized; consumed by count + join
+    )
+    joined = broadcast_lookup_join(pairs, df_ds, on="token", right_count=df_ds.count())
+
+    def pack_rank(t: pa.Table) -> pa.Table:
+        # 14 digits covers df up to 10^14-1 docs; equal-width padding makes
+        # bytewise string order == numeric order, '\x1f' splits off the
+        # token tie-break (never compared against digits: widths are fixed)
+        key = pc.binary_join_element_wise(
+            pc.utf8_lpad(pc.cast(t["df"], pa.string()), 14, "0"),
+            t["token"],
+            "\x1f",
+        )
+        part = pa.table({"doc_id": t["doc_id"], "rk": key})
+        return part.group_by(["doc_id"]).aggregate([("rk", "min")]).rename_columns(
+            ["doc_id", "rk"]
+        )
+
+    mins = joined.map_batches(pack_rank, batch_format="pyarrow").groupby(
+        "doc_id"
+    ).min("rk")
+
+    def unpack(t: pa.Table) -> pa.Table:
+        rk = t["min(rk)"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "rarest_token": pc.utf8_slice_codeunits(rk, 15, 2**30),
+                "df": pc.cast(pc.utf8_slice_codeunits(rk, 0, 14), pa.int64()),
+            }
+        )
+
+    return mins.map_batches(unpack, batch_format="pyarrow").sort("doc_id")
+
+
+def kll_by_lang_exact(sf_dir: str):
+    """GROUPED quantile sketches in the provably-exact regime: one KLL per
+    lang via groupby-aggregate (per-(block, lang) partials merged inside
+    the exchange — stages/builder.build_grouped), k > n so no compaction
+    ever fires and quantile(q) is the exact lower order statistic at rank
+    ceil(q * n_lang). The grouped twin of kll_quantiles_exact; the SQL twin
+    computes the same rank per lang with a partitioned row_number."""
+    from ..kernel.sketch import sketch_from_bytes
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    n = ds.count()  # parquet metadata, no scan
+    if n >= 4_000_000:
+        raise ValueError(
+            "kll_by_lang_exact is a VERIFICATION-scale query (k > n state); "
+            "use grouped approximate sketches at corpus scale"
+        )
+    k = max(65536, n + 1)
+    est = build_grouped(
+        ds, SketchSpec.of("kll", k), on="n_chars", key="lang", alias="kll"
+    )
+    labels = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75)]
+    out = {"lang": [], "q": [], "value": []}
+    for r in sorted(est.take_all(), key=lambda r: r["lang"]):
+        sk = sketch_from_bytes(r["kll"])
+        if sk.n >= k:
+            raise RuntimeError("exact regime violated: k <= n_lang after build")
+        vals = sk.quantile([q for _, q in labels])
+        for (lab, _), v in zip(labels, vals):
+            out["lang"].append(r["lang"])
+            out["q"].append(lab)
+            out["value"].append(float(v))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "q": pa.array(out["q"], pa.string()),
+            "value": pa.array(out["value"], pa.float64()),
+        }
+    )
+
+
 def cms_event_type_exact(sf_dir: str):
     """CMS degenerates to EXACT grouped counts when every key owns an
     uncontended counter in some row: the collision_free certificate

@@ -609,3 +609,59 @@ def test_ngram_fused_and_allpairs_paths_agree():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_top_term_planted(tmp_path, ray_session):
+    """Planted corpus with hand-computable rarest tokens, incl. the
+    lexicographic tie-break when several tokens share the minimum df."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "xray common",      # df: xray=1, common=3 -> xray
+                    "yankee common",    # -> yankee
+                    "common common",    # only common -> common
+                    "bb aa",            # both df=1 -> tie-break: aa
+                ]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = _pd(A.doc_top_term(str(tmp_path)))
+    assert out["rarest_token"].tolist() == ["xray", "yankee", "common", "aa"]
+    assert out["df"].tolist() == [1, 1, 3, 1]
+
+
+def test_doc_top_term_join_paths_agree(monkeypatch):
+    import sprout_ray.stages.joins as J
+
+    a = _pd(A.doc_top_term(SF)).reset_index(drop=True)
+    monkeypatch.setattr(J, "DIM_BROADCAST_MAX", 0)  # force the hash join
+    b = _pd(A.doc_top_term(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 1
+
+
+def test_kll_by_lang_exact_vs_sql():
+    import duckdb
+
+    got = _pd(A.kll_by_lang_exact(SF))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.sql(
+        "WITH s AS (SELECT lang, n_chars, "
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        "SELECT s.lang, t.label AS q, CAST(s.n_chars AS DOUBLE) AS value "
+        "FROM (VALUES ('p25', 0.25), ('p50', 0.50), ('p75', 0.75)) AS t(label, qq) "
+        "JOIN s ON s.rn = GREATEST(1, CAST(ceil(t.qq * s.n) AS BIGINT)) "
+        "ORDER BY lang, q"
+    ).df()
+    con.close()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
