@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_event_type_exact": A.cms_event_type_exact,
         "doc_top_term": A.doc_top_term,
         "kll_by_lang_exact": A.kll_by_lang_exact,
+        "clicks_next_purchase": A.clicks_next_purchase,
     }
 
 
@@ -222,6 +223,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type='click') l "
             "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "ORDER BY l.event_id"
+        ),
+        # forward as-of: next purchase at-or-after each click
+        "clicks_next_purchase": (
+            "SELECT l.user_id, l.event_id, "
+            "CAST(epoch_us(l.ts) AS BIGINT) AS ts_us, "
+            "CAST(r.event_id AS DOUBLE) AS purchase_event_id, "
+            "CAST(epoch_us(r.ts) AS DOUBLE) AS purchase_ts_us, "
+            "CAST(r.value AS DOUBLE) AS purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type='click') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') r "
+            "ON l.user_id = r.user_id AND l.ts <= r.ts "
             "ORDER BY l.event_id"
         ),
         "revenue_by_nation": (

@@ -1138,6 +1138,31 @@ def clicks_last_purchase(sf_dir: str):
     return out.sort("event_id")
 
 
+def clicks_next_purchase(sf_dir: str):
+    """FORWARD as-of join: each click event + the same user's next purchase
+    at-or-after it (the attribution-window twin of clicks_last_purchase).
+    Runs the backward machinery under time reversal
+    (stages/joins.asof_join_forward); oracle-checked against DuckDB's
+    ASOF LEFT JOIN with l.ts <= r.ts."""
+    from ..stages.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    out = asof_join_forward(
+        ev.filter(expr="event_type == 'click'"),
+        ev.filter(expr="event_type == 'purchase'"),
+        key="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        right_payload={
+            "event_id": "purchase_event_id",
+            "ts": "purchase_ts_us",
+            "value": "purchase_value",
+        },
+        left_id_out="event_id",
+    )
+    return out.sort("event_id")
+
+
 def revenue_by_nation(sf_dir: str):
     """TPC-H Q5-shaped multi-join: lineitem revenue rolled up to nation.
 

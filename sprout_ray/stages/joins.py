@@ -195,6 +195,58 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str,
+    tie_col: str,
+    right_payload: dict[str, str],
+    left_id_out: str = "left_id",
+    ts_out: str = "ts_us",
+):
+    """Forward as-of join: each left row gets the right row with the
+    SMALLEST right.ts >= left.ts for the same key (SQL: ``ASOF LEFT JOIN
+    ... ON l.key = r.key AND l.ts <= r.ts``).
+
+    Time-reversal reduction onto :func:`asof_join`: negate int64 timestamps
+    on both sides, run the backward join, negate back. The inclusive bound
+    is preserved under negation (largest -ts <= -t <=> smallest ts >= t),
+    so all the backward machinery — one sort, block-local LOCF, O(blocks)
+    carry chain — is reused untouched. Among several right rows at the same
+    eligible timestamp the largest ``tie_col`` wins (the backward join's
+    tie rule under reversal); like the backward join, callers needing a
+    deterministic oracle twin should have no (key, ts) right-side ties."""
+
+    def negate_ts(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(ts_col)
+        return t.set_column(
+            i, ts_col, pc.negate_checked(pc.cast(t[ts_col], pa.int64()))
+        )
+
+    out = asof_join(
+        left_ds.map_batches(negate_ts, batch_format="pyarrow"),
+        right_ds.map_batches(negate_ts, batch_format="pyarrow"),
+        key=key,
+        ts_col=ts_col,
+        tie_col=tie_col,
+        right_payload=right_payload,
+        left_id_out=left_id_out,
+        ts_out=ts_out,
+    )
+    ts_payloads = [name for src, name in right_payload.items() if src == ts_col]
+
+    def unnegate(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(ts_out)
+        t = t.set_column(i, ts_out, pc.negate_checked(t[ts_out]))
+        for name in ts_payloads:
+            j = t.schema.get_field_index(name)
+            t = t.set_column(j, name, pc.negate_checked(t[name]))
+        return t
+
+    return out.map_batches(unnegate, batch_format="pyarrow")
+
+
 def windowed_range_count(
     anchor_ds,
     event_ds,

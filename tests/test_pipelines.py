@@ -665,3 +665,50 @@ def test_kll_by_lang_exact_vs_sql():
     ).df()
     con.close()
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_asof_join_forward_planted(ray_session):
+    """Forward as-of: inclusive equal-ts match, no-future-match -> null,
+    and key isolation — hand-checkable planted frame."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sprout_ray.stages.joins import asof_join_forward
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], pa.int64()),
+                "ts": pa.array([10, 20, 31, 10], pa.int64()),
+                "eid": pa.array([100, 101, 102, 103], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "ts": pa.array([20, 30, 5], pa.int64()),
+                "eid": pa.array([200, 201, 202], pa.int64()),
+                "v": pa.array([1.5, 2.5, 3.5], pa.float64()),
+            }
+        )
+    )
+    out = (
+        asof_join_forward(
+            left, right, key="k", ts_col="ts", tie_col="eid",
+            right_payload={"eid": "m_eid", "ts": "m_ts", "v": "m_v"},
+            left_id_out="eid",
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    assert out["eid"].tolist() == [100, 101, 102, 103]
+    # ts=10 -> next right at 20; ts=20 -> INCLUSIVE match at 20;
+    # ts=31 -> nothing after 30 -> null; key 2: right at 5 < 10 -> null
+    assert out["m_eid"].tolist()[:2] == [200.0, 200.0]
+    assert out["m_ts"].tolist()[:2] == [20.0, 20.0]
+    assert out["m_v"].tolist()[:2] == [1.5, 1.5]
+    assert out["m_eid"].isna().tolist() == [False, False, True, True]
+    assert out["ts_us"].tolist() == [10, 20, 31, 10]  # un-negated left ts
