@@ -204,6 +204,10 @@ def query_suite(sf_dir: str) -> dict:
         # exact set-similarity join inherently DENSE at sf0.1; the fused
         # matmul bucket-verify handles that regime (390 s -> ~10 s)
         ("ngram_jaccard_pairs", A.ngram_jaccard_pairs),
+        ("token_df_top", A.token_df_top),
+        ("doc_top_term", A.doc_top_term),
+        ("clicks_next_purchase", A.clicks_next_purchase),
+        ("corpus_mix_quota", A.corpus_mix_quota),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
