@@ -35,9 +35,17 @@ def curate_corpus(
     max_punct: float = 0.3,
     files_per_partition: int = 1,
     broadcast_max: int = 4_000_000,
+    split_fractions: list | None = None,
 ) -> dict:
     """Write the curated corpus under ``out_dir`` (resumable); returns the
-    sink metrics plus the number of winner ids."""
+    sink metrics plus the number of winner ids.
+
+    ``split_fractions`` (e.g. ``[("train", .8), ("val", .1), ("test", .1)]``)
+    appends a deterministic seeded-murmur ``split`` column per surviving doc
+    (stages/sampling.assign_split — shuffle-free, rerun-stable, so resumed
+    and fresh runs assign identically), completing the end-to-end
+    training-data flow: dedup -> quality gate -> split -> partitioned
+    shards."""
     import ray
     import ray.data as rd
 
@@ -92,14 +100,19 @@ def curate_corpus(
             )
 
     def transform(shard_ds):
-        return winner_filter(
+        kept = winner_filter(
             shard_ds.map_batches(
                 QualityScorer, batch_format="pyarrow", concurrency=2,
                 batch_size=256,
             ).filter(
                 expr=f"token_count >= {min_tokens} and punct_ratio <= {max_punct}"
             )
-        ).sort(id_col)  # deterministic shard content on either filter path
+        )
+        if split_fractions is not None:
+            from ..stages.sampling import assign_split
+
+            kept = assign_split(kept, id_col, split_fractions)
+        return kept.sort(id_col)  # deterministic shard content on either path
 
     metrics = resumable_transform_write(
         input_files, out_dir, transform=transform,

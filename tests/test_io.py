@@ -138,3 +138,45 @@ def test_curate_corpus_resumable_write(ray_session, tmp_path):
     a = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = got2.to_pandas()[a.columns].sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_curate_corpus_with_splits(ray_session, tmp_path):
+    """End-to-end training-data flow: dedup + quality gate + deterministic
+    split column. Split assignment must be identical between a fresh run
+    and a rerun (hash of doc_id, not row position), and survivors must be
+    the same set as the split-less run."""
+    import glob as g
+
+    import pyarrow.parquet as pq_mod
+
+    from sprout_ray.pipelines.curate import curate_corpus
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = str(tmp_path / "curated_split")
+    m = curate_corpus([src], out, split_fractions=fr)
+    assert m["written"] == 1
+
+    got = pq_mod.read_table(
+        sorted(g.glob(f"{out}/part=*/**/*.parquet", recursive=True))
+    ).to_pandas()
+    assert set(got["split"]) <= {"train", "val", "test"}
+    assert (got.groupby("doc_id")["split"].nunique() == 1).all()
+
+    # identical doc -> split mapping on an independent second run
+    out2 = str(tmp_path / "curated_split2")
+    curate_corpus([src], out2, split_fractions=fr)
+    got2 = pq_mod.read_table(
+        sorted(g.glob(f"{out2}/part=*/**/*.parquet", recursive=True))
+    ).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = got2[got.columns].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # same survivor ids as the split-less pipeline
+    out3 = str(tmp_path / "curated_nosplit")
+    curate_corpus([src], out3)
+    got3 = pq_mod.read_table(
+        sorted(g.glob(f"{out3}/part=*/**/*.parquet", recursive=True))
+    )
+    assert sorted(got3["doc_id"].to_pylist()) == sorted(got["doc_id"].tolist())
