@@ -225,6 +225,31 @@ def oracle_sql() -> dict[str, str]:
             "ON l.user_id = r.user_id AND l.ts >= r.ts "
             "ORDER BY l.event_id"
         ),
+        # language-ID heuristic is SQL-expressible because BOTH engines run
+        # RE2 (pyarrow count_substring_regex / duckdb regexp_extract_all):
+        # same marker alternations (sorted, as stages/text.LangId builds
+        # them), same non-overlapping match counts; argmax tie-break is
+        # first-wins in [en, de, fr, es] order (np.argmax), replicated by
+        # the >= CASE chain; all-zero hits -> 'unknown'
+        "langid_predictions": (
+            "WITH s AS (SELECT lang, "
+            "len(regexp_extract_all(text, "
+            "'\\b(and|for|in|is|of|that|the|to|was|with)\\b', 0, 'i')) AS s_en, "
+            "len(regexp_extract_all(text, "
+            "'\\b(auf|das|der|die|ein|ist|mit|nicht|sich|und)\\b', 0, 'i')) AS s_de, "
+            "len(regexp_extract_all(text, "
+            "'\\b(dans|des|est|et|la|le|les|pour|que|une)\\b', 0, 'i')) AS s_fr, "
+            "len(regexp_extract_all(text, "
+            "'\\b(con|de|el|en|la|los|por|que|un|y)\\b', 0, 'i')) AS s_es "
+            "FROM documents), "
+            "p AS (SELECT lang, CASE "
+            "WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown' "
+            "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+            "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+            "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred FROM s) "
+            "SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n FROM p "
+            "GROUP BY lang, lang_pred ORDER BY lang, lang_pred"
+        ),
         # forward as-of: next purchase at-or-after each click
         "clicks_next_purchase": (
             "SELECT l.user_id, l.event_id, "

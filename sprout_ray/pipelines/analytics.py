@@ -1485,14 +1485,33 @@ def ann_ivf_exact(sf_dir: str):
 
 
 def langid_predictions(sf_dir: str):
-    """Heuristic language-ID counts over documents."""
+    """Heuristic language-ID confusion matrix (corpus lang x predicted lang).
+
+    ORACLE-EXACT despite being a heuristic: both engines run RE2
+    (pyarrow count_substring_regex / DuckDB regexp_extract_all), so the
+    marker counts, the first-wins argmax and the all-zero 'unknown' are
+    reproduced in SQL (see __ray_entry__.oracle_sql)."""
     from ..stages.text import LangId
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
-    res = out.groupby("lang_pred").count()
-    return res.map_batches(
-        lambda t: t.rename_columns(["lang_pred", "n"]), batch_format="pyarrow"
+    # per-block pre-agg so the exchange carries (lang, pred, n) partials
+    part = out.map_batches(
+        lambda t: t.select(["lang", "lang_pred"])
+        .group_by(["lang", "lang_pred"])
+        .aggregate([("lang", "count")])
+        .rename_columns(["lang", "lang_pred", "n_part"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rows = part.groupby(["lang", "lang_pred"]).sum("n_part").take_all()
+    rows.sort(key=lambda r: (r["lang"], r["lang_pred"]))
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "lang_pred": pa.array([r["lang_pred"] for r in rows], pa.string()),
+            "n": pa.array([r["sum(n_part)"] for r in rows], pa.int64()),
+        }
     )
 
 
