@@ -1493,7 +1493,7 @@ def langid_predictions(sf_dir: str):
     reproduced in SQL (see __ray_entry__.oracle_sql)."""
     from ..stages.text import LangId
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    ds = _read(sf_dir, "documents", ["lang", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
     # per-block pre-agg so the exchange carries (lang, pred, n) partials
     part = out.map_batches(
@@ -1651,7 +1651,17 @@ def corpus_split_hash(sf_dir: str):
                 "within_tol": bool(abs(obs - exp) <= tol),
             }
         )
-    return pa.Table.from_pylist(out)
+    # explicit types: a 0-row result must still carry its schema (CLAUDE.md)
+    return pa.table(
+        {
+            "split": pa.array([o["split"] for o in out], pa.string()),
+            "lang": pa.array([o["lang"] for o in out], pa.string()),
+            "n": pa.array([o["n"] for o in out], pa.int64()),
+            "expected_frac": pa.array([o["expected_frac"] for o in out], pa.float64()),
+            "observed_frac": pa.array([o["observed_frac"] for o in out], pa.float64()),
+            "within_tol": pa.array([o["within_tol"] for o in out], pa.bool_()),
+        }
+    )
 
 
 def token_df_top(sf_dir: str):
@@ -1701,18 +1711,27 @@ def doc_top_term(sf_dir: str):
     order; DuckDB's binary collation agrees)."""
     from ..stages.joins import broadcast_lookup_join
     from ..stages.similarity import _token_explode
-    from ..stages.text import token_df_batch
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # ONE tokenization pass: the distinct-pair stream is materialized and
+    # feeds both the df aggregation and the join probe side. Pairs are
+    # globally distinct (per-doc dedupe, one doc per input row), so df is
+    # simply the pair-row count per token — block-boundary independent.
     pairs = docs.map_batches(
         lambda t: _token_explode(t, "text", "doc_id")
         .select(["doc_id", "tok"])
         .rename_columns(["doc_id", "token"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
     df_ds = (
-        docs.map_batches(token_df_batch, batch_format="pyarrow", zero_copy_batch=True)
+        pairs.map_batches(
+            lambda t: t.group_by(["token"])
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["token", "df"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("token")
         .sum("df")
         .map_batches(

@@ -55,7 +55,10 @@ def _take_batch(
     order = df.sort_values(["k", "o"], kind="mergesort").index
     ranked = df.loc[order]
     rank = ranked.groupby("k", sort=False).cumcount().to_numpy()
-    quotas = ranked["k"].map(quota_of).to_numpy()
+    # quota_of is called once per UNIQUE key (strata are bounded), never
+    # per row — the per-row map stays a vectorized dict lookup
+    qmap = {k: quota_of(k) for k in ranked["k"].unique()}
+    quotas = ranked["k"].map(qmap).to_numpy()
     keep = order.to_numpy()[rank < quotas]
     keep.sort()
     return t.take(pa.array(keep)).select(columns)
@@ -65,7 +68,8 @@ def take_per_group(ds, key: str, order_col: str, quota, columns=None):
     """Deterministic per-group quota sample: for each value of ``key`` keep
     the ``quota`` rows with the smallest ``order_col``.
 
-    ``quota`` is an int (flat), a dict ``{key_value: n}``, or a callable
+    ``quota`` is an int (flat), a dict ``{key_value: n}`` (strata absent
+    from the dict get quota 0, i.e. are dropped), or a callable
     ``key_value -> n``. Returns a pyarrow Table sorted by (key, order_col).
 
     Scale shape: one streaming pass emits per-block partials of at most
@@ -78,7 +82,7 @@ def take_per_group(ds, key: str, order_col: str, quota, columns=None):
     if callable(quota):
         quota_of = quota
     elif isinstance(quota, dict):
-        quota_of = dict(quota).__getitem__
+        quota_of = lambda k, _d=dict(quota): _d.get(k, 0)  # noqa: E731
     else:
         flat = int(quota)
         quota_of = lambda _k, _n=flat: _n  # noqa: E731

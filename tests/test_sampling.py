@@ -43,6 +43,9 @@ class TestTakePerGroup:
         a = take_per_group(ds, "lang", "doc_id", quota=q)
         b = take_per_group(ds, "lang", "doc_id", quota=lambda k: q[k])
         assert a.equals(b)
+        # a stratum absent from the dict is dropped (quota 0), not an error
+        c = take_per_group(ds, "lang", "doc_id", quota={"en": 3})
+        assert set(c["lang"].to_pylist()) == {"en"} and c.num_rows == 3
         counts = {
             k: v
             for k, v in zip(*np.unique(a["lang"].to_numpy(zero_copy_only=False), return_counts=True))
