@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_term": A.doc_top_term,
         "kll_by_lang_exact": A.kll_by_lang_exact,
         "clicks_next_purchase": A.clicks_next_purchase,
+        "events_window_dedup": A.events_window_dedup,
     }
 
 
@@ -384,6 +385,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM e, LATERAL unnest(generate_series("
             "(us - 3600000000) // 900000000 + 1, us // 900000000)) AS t(w) "
             "GROUP BY event_type, w"
+        ),
+        # window-scoped idempotency dedup: distinct (user, type) per hour
+        "events_window_dedup": (
+            "WITH e AS (SELECT epoch_us(ts) // 3600000000 AS w, "
+            "user_id, event_type FROM events), "
+            "d AS (SELECT w, count(*) AS n_unique FROM "
+            "(SELECT DISTINCT w, user_id, event_type FROM e) GROUP BY w), "
+            "t AS (SELECT w, count(*) AS n_events FROM e GROUP BY w) "
+            "SELECT CAST(t.w AS BIGINT) AS window, "
+            "CAST(d.n_unique AS BIGINT) AS n_unique, "
+            "CAST(t.n_events AS BIGINT) AS n_events "
+            'FROM t JOIN d USING (w) ORDER BY "window"'
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -279,6 +279,73 @@ def hourly_active_users(sf_dir: str):
     return out.sort("window")
 
 
+def events_window_dedup(sf_dir: str):
+    """Window-scoped exact dedup (streaming idempotency dedup): per tumbling
+    hour, how many distinct (user_id, event_type) combinations fired vs raw
+    event rows — the dedup-before-aggregate step every at-least-once event
+    pipeline needs.
+
+    Scale shape (the hourly_active_users pattern widened to a composite
+    key): per-block numpy dedupe of (window, user, type) triples, then one
+    native groupby over the thinned triple stream; raw counts ride a
+    separate per-block count partial. The shuffle carries at most one row
+    per (triple, block), never one per event."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def triple_dedupe(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = us // 3_600_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # dictionary-encode event_type so the lexsort stays numeric
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        code = et.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((code, uid, win))
+        w, u, c = win[order], uid[order], code[order]
+        keep = np.ones(len(w), dtype=bool)
+        keep[1:] = (w[1:] != w[:-1]) | (u[1:] != u[:-1]) | (c[1:] != c[:-1])
+        types = et.dictionary.take(pa.array(c[keep]))
+        return pa.table(
+            {
+                "window": pa.array(w[keep]),
+                "user_id": pa.array(u[keep]),
+                "event_type": types,
+            }
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    pairs = ds.map_batches(triple_dedupe, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["window", "user_id", "event_type"]).aggregate(
+        Count(alias_name="_n")
+    )
+    uniq = (
+        distinct.select_columns(["window"])
+        .groupby("window")
+        .aggregate(Count(alias_name="n_unique"))
+    )
+
+    def raw_counts(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win, n = np.unique(us // 3_600_000_000, return_counts=True)
+        return pa.table({"window": pa.array(win), "n_part": pa.array(n)})
+
+    raw = (
+        ds.map_batches(raw_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window")
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+    u = {r["window"]: r["n_unique"] for r in uniq.take_all()}
+    r_ = {r["window"]: r["n_events"] for r in raw.take_all()}
+    wins = sorted(u)
+    return pa.table(
+        {
+            "window": pa.array(wins, pa.int64()),
+            "n_unique": pa.array([u[w] for w in wins], pa.int64()),
+            "n_events": pa.array([r_[w] for w in wins], pa.int64()),
+        }
+    )
+
+
 def user_sessions(sf_dir: str):
     """Gap-based session windows (30 min) per user over the events log."""
     from ..stages.windows import sessionize

@@ -712,3 +712,24 @@ def test_asof_join_forward_planted(ray_session):
     assert out["m_v"].tolist()[:2] == [1.5, 1.5]
     assert out["m_eid"].isna().tolist() == [False, False, True, True]
     assert out["ts_us"].tolist() == [10, 20, 31, 10]  # un-negated left ts
+
+
+def test_events_window_dedup_planted(tmp_path, ray_session):
+    """In-window duplicate (user, type) collapses to one; the same pair in
+    the next hour counts again; raw counts are untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    H = 3_600_000_000
+    t = pa.table(
+        {
+            "ts": pa.array([0, 1, 2, H, H + 5], pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "event_type": pa.array(["click", "click", "view", "click", "click"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = _pd(A.events_window_dedup(str(tmp_path)))
+    assert out["window"].tolist() == [0, 1]
+    assert out["n_unique"].tolist() == [2, 2]  # (7,click),(7,view) | (7,click),(9,click)
+    assert out["n_events"].tolist() == [3, 2]
