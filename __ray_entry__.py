@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,
         "media_dedup": A.media_dedup,
+        "media_resize": A.media_resize,
+        "media_frames": A.media_frames,
         # corpus composition + inverted index
         "corpus_mix_quota": A.corpus_mix_quota,
         "corpus_split_mod_exact": A.corpus_split_mod_exact,

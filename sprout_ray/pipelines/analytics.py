@@ -1915,6 +1915,45 @@ def media_features(sf_dir: str):
     return decode_features(ds, fake=True, concurrency=2)
 
 
+def media_resize(sf_dir: str):
+    """Multimodal resize stage: nearest-neighbor thumbnail of every image
+    row (audio rows pass through), payload dropped after a sha256 so only
+    digests + metadata flow downstream. Deterministic end to end."""
+    import ray.data as rd
+
+    from ..stages.multimodal import resize_media, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(200, seed=42))
+    out = resize_media(ds, out_w=16, out_h=16)
+    return out.map_batches(
+        lambda t: add_sha256(t, column="payload", out="payload_sha").drop_columns(
+            ["payload"]
+        ),
+        batch_format="pyarrow",
+        batch_size=64,
+    ).sort("media_id")
+
+
+def media_frames(sf_dir: str):
+    """Multimodal frame sampling: each synthetic raw video expands to 4
+    uniformly-spaced frame rows (media_id, frame_idx, frame_sha) — the
+    flat-map ingest shape of video pretraining, with frames digested so
+    the binary payloads never cross the final exchange."""
+    import ray.data as rd
+
+    from ..stages.multimodal import sample_frames, synth_video_table
+
+    ds = rd.from_arrow(synth_video_table(100, seed=7))
+    out = sample_frames(ds, n_sample=4)
+    return out.map_batches(
+        lambda t: add_sha256(t, column="frame", out="frame_sha").drop_columns(
+            ["frame"]
+        ),
+        batch_format="pyarrow",
+        batch_size=128,
+    ).sort(["media_id", "frame_idx"])
+
+
 def media_dedup(sf_dir: str):
     """Exact dedup over binary media payloads (deterministic planted dups:
     rows 10,20,...,190 repeat earlier payloads, so 200 rows -> 181 kept)."""

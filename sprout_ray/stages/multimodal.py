@@ -100,6 +100,139 @@ def decode_features(ds, fake: bool = True, concurrency: int = 2, batch_size: int
     )
 
 
+class ResizeStage:
+    """Actor-pool nearest-neighbor resize over raw grayscale frames.
+
+    The RESAMPLE math is real (integer-grid nearest-neighbor over the
+    (height, width) byte array — what a thumbnail stage computes after
+    decode); only the codec step is elided because the synthetic payloads
+    are already raw. Non-image rows pass through untouched. Output rows
+    carry the resized payload and updated width/height metadata, so the
+    stage composes with dedup/feature stages downstream."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32):
+        self.out_w = int(out_w)
+        self.out_h = int(out_h)
+
+    def _resize(self, payload: bytes, w: int, h: int) -> bytes:
+        arr = np.frombuffer(payload, dtype=np.uint8)[: w * h].reshape(h, w)
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        return arr[rows][:, cols].tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        types = batch["media_type"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for p, t, w, h in zip(payloads, types, ws, hs):
+            if t.startswith("image/") and w > 0 and h > 0:
+                out_p.append(self._resize(p, w, h))
+                out_w.append(self.out_w)
+                out_h.append(self.out_h)
+            else:
+                out_p.append(p)
+                out_w.append(w)
+                out_h.append(h)
+        batch = batch.set_column(
+            batch.schema.get_field_index("payload"),
+            "payload",
+            pa.array(out_p, pa.large_binary()),
+        )
+        batch = batch.set_column(
+            batch.schema.get_field_index("width"), "width", pa.array(out_w, pa.int32())
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("height"), "height", pa.array(out_h, pa.int32())
+        )
+
+
+def resize_media(ds, out_w: int = 32, out_h: int = 32, concurrency: int = 2,
+                 batch_size: int = 64):
+    """Actor-pool resize stage (small batches — payload-bound, like decode)."""
+    return ds.map_batches(
+        ResizeStage,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("payload", pa.large_binary()),
+        ("frame_bytes", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def synth_video_table(n: int, seed: int = 42, frame_bytes: int = 1024) -> pa.Table:
+    """Deterministic fake raw-video rows: payload = n_frames x frame_bytes."""
+    rng = np.random.default_rng(seed)
+    n_frames = rng.integers(8, 33, n)
+    payloads = [
+        rng.integers(0, 256, int(f) * frame_bytes, dtype=np.uint8).tobytes()
+        for f in n_frames
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array(["video/raw"] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "frame_bytes": pa.array(np.full(n, frame_bytes, np.int32)),
+            "n_frames": pa.array(n_frames.astype(np.int32)),
+        }
+    )
+
+
+class FrameSampleStage:
+    """Actor-pool uniform frame sampler: each video row EXPANDS to
+    ``n_sample`` frame rows (media_id, frame_idx, frame payload) — the
+    flat-map shape of a video-pretraining ingest. Frame slicing is real
+    byte math (frame i = payload[i*fb : (i+1)*fb]); sampled indices are the
+    uniform grid ``(j * n_frames) // n_sample``, deterministic per row."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = int(n_sample)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, p, fb, nf in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["frame_bytes"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            take = (np.arange(self.n_sample) * nf) // self.n_sample
+            for j in np.unique(take):
+                ids.append(mid)
+                idxs.append(int(j))
+                frames.append(p[j * fb : (j + 1) * fb])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def sample_frames(ds, n_sample: int = 4, concurrency: int = 2, batch_size: int = 32):
+    """Uniform frame sampling over a video dataset (row-expanding stage)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"n_sample": n_sample},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def synth_media_with_dups(n: int, dup_every: int = 10, seed: int = 42) -> pa.Table:
     """Media table where every ``dup_every``-th row repeats an earlier
     payload byte-for-byte (planted exact duplicates for dedup tests)."""

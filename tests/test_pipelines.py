@@ -733,3 +733,61 @@ def test_events_window_dedup_planted(tmp_path, ray_session):
     assert out["window"].tolist() == [0, 1]
     assert out["n_unique"].tolist() == [2, 2]  # (7,click),(7,view) | (7,click),(9,click)
     assert out["n_events"].tolist() == [3, 2]
+
+
+def test_resize_stage_nearest_neighbor_exact():
+    """Hand-checkable 4x4 -> 2x2 nearest-neighbor grid; audio passthrough."""
+    import pyarrow as pa
+
+    from sprout_ray.stages.multimodal import ResizeStage
+
+    img = np.arange(16, dtype=np.uint8).tobytes()
+    batch = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media_type": pa.array(["image/png", "audio/wav"]),
+            "payload": pa.array([img, b"\x01\x02\x03"], pa.large_binary()),
+            "width": pa.array([4, 0], pa.int32()),
+            "height": pa.array([4, 0], pa.int32()),
+            "sample_rate": pa.array([0, 16000], pa.int32()),
+        }
+    )
+    out = ResizeStage(out_w=2, out_h=2)(batch)
+    got = np.frombuffer(out["payload"][0].as_py(), dtype=np.uint8)
+    # rows sampled at (j*4)//2 = [0, 2]; cols likewise -> values 0,2,8,10
+    assert got.tolist() == [0, 2, 8, 10]
+    assert out["width"][0].as_py() == 2 and out["height"][0].as_py() == 2
+    assert out["payload"][1].as_py() == b"\x01\x02\x03"  # audio untouched
+    assert out["width"][1].as_py() == 0
+
+
+def test_frame_sample_uniform_grid():
+    import pyarrow as pa
+
+    from sprout_ray.stages.multimodal import FrameSampleStage, synth_video_table
+
+    t = synth_video_table(3, seed=1, frame_bytes=16)
+    out = FrameSampleStage(n_sample=4)(t)
+    nf = t["n_frames"].to_pylist()
+    p = t["payload"].to_pylist()
+    rows = out.to_pylist()
+    for mid in range(3):
+        mine = [r for r in rows if r["media_id"] == mid]
+        want_idx = sorted(set((np.arange(4) * nf[mid]) // 4))
+        assert [r["frame_idx"] for r in mine] == [int(i) for i in want_idx]
+        for r in mine:
+            j = r["frame_idx"]
+            assert r["frame"] == p[mid][j * 16 : (j + 1) * 16]
+
+
+def test_media_resize_and_frames_queries(ray_session):
+    a = _pd(A.media_resize(SF))
+    assert len(a) == 200 and "payload" not in a.columns
+    imgs = a[a["media_type"] == "image/png"]
+    assert (imgs["width"] == 16).all() and (imgs["height"] == 16).all()
+    b = _pd(A.media_frames(SF))
+    assert set(b.columns) == {"media_id", "frame_idx", "frame_sha"}
+    assert b["media_id"].nunique() == 100 and len(b) == 400
+    # determinism across runs
+    b2 = _pd(A.media_frames(SF))
+    assert b.equals(b2)
