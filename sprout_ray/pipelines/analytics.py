@@ -570,12 +570,23 @@ def sbf_build_stats(sf_dir: str):
         ds, SketchSpec.of("sbf", 0.001, max(n // 8, 11)), on="sha256"
     )
     s = sbf.stats()
+    # in-band self-evidence: growth actually fired (initial capacity is
+    # n//8, so a correct build MUST have grown), the compound FPR bound
+    # stays near the configured eps (1 - prod(1 - eps*r^i) < eps/(1-r)),
+    # and count survived the distributed merge exactly.
+    # NOTE: no SQL oracle by design — stage count depends on per-partial
+    # row volumes (merge aligns levels), which SQL cannot see.
     return pa.table(
         {
             "capacity": pa.array([s.capacity], pa.int64()),
             "count": pa.array([s.count], pa.int64()),
             "stages": pa.array([len(sbf.filters)], pa.int64()),
             "prob_bound": pa.array([s.prob], pa.float64()),
+            "count_exact": pa.array([s.count == n]),
+            "grew": pa.array([len(sbf.filters) > 1]),
+            "bound_below_compound_limit": pa.array(
+                [s.prob < 0.001 / (1.0 - 0.9)]
+            ),
         }
     )
 
@@ -620,12 +631,22 @@ def bloom_probe_prune(sf_dir: str):
         .take_all()
     )
     by_flag = {r["is_member"]: r["count()"] for r in kept}
+    # in-band self-evidence: the two reference guarantees the driver's
+    # rows-only record should carry — zero false negatives (bloom.go's
+    # Contains contract) and measured FPR within the configured epsilon
+    # (3-sigma binomial slack on 10k probes)
+    fpr = by_flag.get(0, 0) / 10_000
+    eps = bf.stats().prob
     return pa.table(
         {
             "members": pa.array([n], pa.int64()),
             "members_kept": pa.array([by_flag.get(1, 0)], pa.int64()),
             "foreign_probes": pa.array([10_000], pa.int64()),
             "foreign_kept": pa.array([by_flag.get(0, 0)], pa.int64()),
+            "no_false_negatives": pa.array([by_flag.get(1, 0) == n]),
+            "fpr_within_eps": pa.array(
+                [fpr <= eps + 3.0 * math.sqrt(eps * (1 - eps) / 10_000)]
+            ),
         }
     )
 
