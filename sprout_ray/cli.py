@@ -270,6 +270,36 @@ def cmd_kv_get(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """End-to-end curation write path: exact dedup -> quality gate ->
+    optional train/val/test split -> resumable partitioned shards
+    (pipelines/curate.curate_corpus)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.curate import curate_corpus
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    fractions = None
+    if args.splits:
+        fractions = []
+        for part in args.splits.split(","):
+            name, frac = part.split("=")
+            fractions.append((name, float(frac)))
+    metrics = curate_corpus(
+        files,
+        args.out,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_tokens=args.min_tokens,
+        max_punct=args.max_punct,
+        files_per_partition=args.files_per_partition,
+        split_fractions=fractions,
+    )
+    print(json.dumps({"out": args.out, "metrics": metrics}))
+    return 0
+
+
 def main(argv=None) -> int:
     apply_malloc_tuning()
     from .tuning import quiet_cosmetic_ray_warnings
@@ -384,6 +414,25 @@ def main(argv=None) -> int:
     kg.add_argument("--keys", nargs="+", required=True)
     common(kg)
     kg.set_defaults(fn=cmd_kv_get)
+
+    cu = sub.add_parser(
+        "curate",
+        help="dedup + quality gate + optional split -> resumable shards",
+    )
+    cu.add_argument("--input", required=True, help="parquet file/dir/glob")
+    cu.add_argument("--out", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--min-tokens", type=int, default=30)
+    cu.add_argument("--max-punct", type=float, default=0.3)
+    cu.add_argument("--files-per-partition", type=int, default=1)
+    cu.add_argument(
+        "--splits",
+        default=None,
+        help="comma list name=frac, e.g. train=0.9,val=0.1 (must sum to 1)",
+    )
+    common(cu)
+    cu.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -99,11 +99,18 @@ def curate_corpus(
                 on=(id_col,),
             )
 
+    # size the scorer actor pool to leave CPU headroom for the read/filter/
+    # sort TASKS sharing the cluster — concurrency == num_cpus deadlocks the
+    # streaming executor ("cluster does not have any available CPUs") on
+    # small clusters
+    cpus = int(ray.cluster_resources().get("CPU", 2))
+    scorer_conc = max(1, min(4, cpus // 2))
+
     def transform(shard_ds):
         kept = winner_filter(
             shard_ds.map_batches(
-                QualityScorer, batch_format="pyarrow", concurrency=2,
-                batch_size=256,
+                QualityScorer, batch_format="pyarrow",
+                concurrency=scorer_conc, batch_size=256,
             ).filter(
                 expr=f"token_count >= {min_tokens} and punct_ratio <= {max_punct}"
             )

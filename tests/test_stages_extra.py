@@ -595,3 +595,42 @@ class TestPairStreamAndGramLut:
         for i, t in zip(ids.tolist(), texts):
             h, d = _doc_gram_hashes([t], 3)
             np.testing.assert_array_equal(got[i], h)
+
+
+class TestCurateCLI:
+    def test_curate_cli_with_splits(self, tmp_path):
+        import json as j
+        import subprocess as sp
+
+        out = str(tmp_path / "curated")
+        r = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "curate",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--out", out, "--splits", "train=0.9,val=0.1",
+                "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        m = j.loads(r.stdout.strip().splitlines()[-1])
+        assert m["metrics"]["written"] == 1 and m["metrics"]["winners"] > 0
+
+        import glob as g
+
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(sorted(g.glob(f"{out}/part=*/**/*.parquet", recursive=True)))
+        assert set(t["split"].to_pylist()) <= {"train", "val"}
+        # rerun resumes
+        r2 = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "curate",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--out", out, "--splits", "train=0.9,val=0.1",
+                "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        m2 = j.loads(r2.stdout.strip().splitlines()[-1])
+        assert m2["metrics"]["resumed"] == 1 and m2["metrics"]["written"] == 0
