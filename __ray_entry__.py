@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_by_lang_exact": A.kll_by_lang_exact,
         "clicks_next_purchase": A.clicks_next_purchase,
         "events_window_dedup": A.events_window_dedup,
+        "benchmark_contamination": A.benchmark_contamination,
+        "decontaminated_ids": A.decontaminated_ids,
     }
 
 
@@ -399,6 +401,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(d.n_unique AS BIGINT) AS n_unique, "
             "CAST(t.n_events AS BIGINT) AS n_events "
             'FROM t JOIN d USING (w) ORDER BY "window"'
+        ),
+        # word-4-gram decontamination: bench = doc_id % 20 == 0; the Ray
+        # side is bloom-pruned + exact-verified, so counts are exact
+        "benchmark_contamination": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string("
+            "toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+3], ' ') AS gram "
+            "FROM w, UNNEST(range(1, len(toks) - 2)) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0), "
+            "corp AS (SELECT DISTINCT doc_id, gram FROM g "
+            "WHERE doc_id % 20 <> 0) "
+            "SELECT CAST(c.doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS shared_grams "
+            "FROM corp c JOIN bench USING (gram) "
+            "GROUP BY c.doc_id ORDER BY doc_id"
+        ),
+        "decontaminated_ids": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string("
+            "toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+3], ' ') AS gram "
+            "FROM w, UNNEST(range(1, len(toks) - 2)) AS t(i)), "
+            "bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0), "
+            "bad AS (SELECT DISTINCT doc_id FROM g "
+            "WHERE doc_id % 20 <> 0 AND gram IN (SELECT gram FROM bench)) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
+            "WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad) "
+            "ORDER BY doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -1984,3 +1984,52 @@ def media_dedup(sf_dir: str):
 
     ds = rd.from_arrow(synth_media_with_dups(200, dup_every=10, seed=42))
     return media_exact_dedup(ds)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (stages/decontam.py)
+# --------------------------------------------------------------------------
+
+
+def _contamination_sides(sf_dir: str):
+    """documents split into a deterministic 5% 'benchmark' (doc_id % 20 == 0)
+    and the remaining 'corpus' — the in-repo stand-in for an eval set."""
+
+    def side(want_bench):
+        def mask(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if want_bench else (ids % 20 != 0)
+            return t.filter(pa.array(m))
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            mask, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return side(False), side(True)
+
+
+def benchmark_contamination(sf_dir: str):
+    """Per-doc count of distinct word-4-grams shared with the benchmark set.
+
+    The reference's Contains-before-store guard (bloom.go:220-236) as a
+    corpus-hygiene operator: benchmark grams build one broadcast Bloom
+    filter, the corpus gram stream is losslessly pruned by it, survivors
+    exact-join the distinct benchmark grams (size-guarded plan). Exact
+    despite the sketch tier, so DuckDB-oracle-checked."""
+    from ..stages.decontam import contamination_counts
+
+    corpus, bench = _contamination_sides(sf_dir)
+    return contamination_counts(corpus, bench, n=4)
+
+
+def decontaminated_ids(sf_dir: str):
+    """Clean-corpus ids after dropping every benchmark-contaminated doc
+    (>= 1 shared word-4-gram) — the write-side decontamination twin."""
+    from ..stages.decontam import decontaminate
+
+    corpus, bench = _contamination_sides(sf_dir)
+    return (
+        decontaminate(corpus, bench, n=4)
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
