@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": A.events_window_dedup,
         "benchmark_contamination": A.benchmark_contamination,
         "decontaminated_ids": A.decontaminated_ids,
+        "sequence_packing": A.sequence_packing,
     }
 
 
@@ -430,6 +431,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents "
             "WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad) "
             "ORDER BY doc_id"
+        ),
+        # concatenate-and-cut packing: bin = exclusive token prefix // 512
+        "sequence_packing": (
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS tok FROM documents), "
+            "s AS (SELECT doc_id, tok, COALESCE(sum(tok) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
+            "PRECEDING), 0) AS bef FROM t) "
+            "SELECT CAST(bef // 512 AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(tok) AS BIGINT) AS sum_tokens "
+            "FROM s GROUP BY bin ORDER BY bin"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

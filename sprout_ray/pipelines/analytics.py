@@ -2033,3 +2033,37 @@ def decontaminated_ids(sf_dir: str):
         .select_columns(["doc_id"])
         .sort("doc_id")
     )
+
+
+def sequence_packing(sf_dir: str):
+    """Concatenate-and-cut sequence packing summary: docs are packed into
+    512-token training sequences in doc_id order (bin = exclusive token
+    prefix-sum // 512, stages/sampling.pack_sequences — a distributed scan
+    with O(blocks) driver rows); reports (bin, n_docs, sum_tokens)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.sampling import pack_sequences
+    from ..stages.text import add_token_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: add_token_count(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    packed = pack_sequences(docs, capacity=512)
+    out = (
+        packed.groupby("bin")
+        .aggregate(Count(), Sum("token_count"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "bin": t["bin"],
+                    "n_docs": t["count()"],
+                    "sum_tokens": t["sum(token_count)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("bin")
+    )
+    return out

@@ -160,3 +160,77 @@ def assign_split(
         return t.append_column(out, pa.array(names[idx], pa.string()))
 
     return ds.map_batches(add_split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(
+    ds,
+    capacity: int,
+    id_col: str = "doc_id",
+    token_col: str = "token_count",
+    bin_col: str = "bin",
+):
+    """Concatenate-and-cut sequence packing: assign each doc to the training
+    sequence (bin) its first token lands in.
+
+    The GPT-style pretraining pack — concatenate all docs in ``id_col``
+    order into one token stream, cut every ``capacity`` tokens —
+    expressed as ``bin = exclusive_prefix_sum(token_col) // capacity``,
+    i.e. the SQL window ``sum(tok) OVER (ORDER BY id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``.
+
+    Scale shape (distributed scan): one range sort by ``id_col``, then a
+    two-pass prefix sum — pass 1 emits one ``(block_min_id, block_sum)``
+    summary row per sorted block (O(blocks) driver rows, 16 bytes each —
+    ~12 MB for 100 TB at 128 MiB blocks); the driver turns them into
+    exclusive block offsets, broadcast once; pass 2 adds the local
+    exclusive cumsum to the block's offset. Blocks own disjoint id ranges
+    after the sort, so a block's min id uniquely keys its offset.
+
+    Returns ``ds`` (sorted by id) with ``bin_col`` appended. Requires
+    unique, non-null ``id_col`` and a non-negative ``token_col``.
+    """
+    import ray
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    sorted_ds = ds.sort(id_col).materialize()  # consumed twice
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"_min_id": pa.array([], pa.int64()),
+                 "_sum": pa.array([], pa.int64())}
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tok = t[token_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "_min_id": pa.array([int(ids.min())], pa.int64()),
+                "_sum": pa.array([int(tok.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        sorted_ds.map_batches(
+            summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+        )
+        .sort("_min_id")
+        .to_pandas()  # O(blocks) rows — the only driver materialization
+    )
+    min_ids = parts["_min_id"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(parts["_sum"].to_numpy())[:-1]])
+    scan_ref = ray.put((min_ids, offsets))
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(bin_col, pa.array([], pa.int64()))
+        mids, offs = ray.get(scan_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        tok = t[token_col].to_numpy(zero_copy_only=False)
+        base = offs[np.searchsorted(mids, ids.min(), side="right") - 1]
+        before = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return t.append_column(bin_col, pa.array(before // capacity, pa.int64()))
+
+    return sorted_ds.map_batches(
+        add_bin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
