@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": A.benchmark_contamination,
         "decontaminated_ids": A.decontaminated_ids,
         "sequence_packing": A.sequence_packing,
+        "repetition_stats": A.repetition_stats,
     }
 
 
@@ -444,6 +445,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(sum(tok) AS BIGINT) AS sum_tokens "
             "FROM s GROUP BY bin ORDER BY bin"
+        ),
+        # within-doc repetition signals as exact integers
+        "repetition_stats": (
+            "WITH d AS (SELECT doc_id, trim(text) AS tt FROM documents), "
+            "tok AS (SELECT doc_id, unnest(string_split_regex(tt, '\\s+')) "
+            "AS t FROM d WHERE tt <> ''), "
+            "c AS (SELECT doc_id, t, count(*) AS c FROM tok "
+            "GROUP BY doc_id, t), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS distinct_tokens, "
+            "CAST(max(c) AS BIGINT) AS top_token_count FROM c "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, "
+            "COALESCE(distinct_tokens, 0) AS distinct_tokens, "
+            "COALESCE(top_token_count, 0) AS top_token_count "
+            "FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -2067,3 +2067,20 @@ def sequence_packing(sf_dir: str):
         .sort("bin")
     )
     return out
+
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition quality signals (Gopher-style): whitespace token
+    total, distinct-token count and most-repeated-token count — exact
+    integers (stages/text.add_repetition_stats), oracle-checked."""
+    from ..stages.text import add_repetition_stats
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: add_repetition_stats(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("doc_id")
+    )

@@ -188,3 +188,60 @@ def token_df_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") 
 
 # SimHash lives in stages.dedup (simhash_signatures), vectorized over whole
 # batches with a single murmur pass + segment reduce.
+
+
+def add_repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Within-doc repetition statistics — the Gopher-style quality signals
+    (distinct-token ratio, most-repeated-token mass) as exact integers:
+    ``n_tokens``, ``distinct_tokens``, ``top_token_count`` per doc.
+
+    Tokenization matches :func:`token_count_column` (whitespace split of
+    the trimmed text; blank docs -> all zeros). Token identity is the
+    repo's 128-bit two-seed murmur fingerprint (collision odds negligible,
+    the stages/dedup.py exactness convention), so distinct counts are
+    DuckDB-oracle-checkable. One murmur pass per seed over the flattened
+    token array + a lexsort — no per-row Python."""
+    import numpy as np
+
+    from ..kernel.murmur3 import murmur_hash_column
+
+    texts = batch[col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    blank = np.asarray(pc.equal(trimmed, "")) | np.asarray(pc.is_null(trimmed))
+    n_docs = len(counts)
+
+    n_tokens = np.where(blank, 0, counts)
+    distinct = np.zeros(n_docs, np.int64)
+    top = np.zeros(n_docs, np.int64)
+    flat = toks.flatten()
+    if len(flat):
+        h1 = murmur_hash_column(flat, seed=0x7A3D)
+        h2 = murmur_hash_column(flat, seed=0x1C95)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((h2, h1, doc_of))
+        d, a, b = doc_of[order], h1[order], h2[order]
+        new_run = np.ones(d.size, bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, d.size))
+        run_doc = d[run_starts]
+        distinct = np.bincount(run_doc, minlength=n_docs).astype(np.int64)
+        doc_starts = np.flatnonzero(
+            np.concatenate([[True], run_doc[1:] != run_doc[:-1]])
+        )
+        per_doc_top = np.maximum.reduceat(run_lens, doc_starts)
+        top[run_doc[doc_starts]] = per_doc_top
+        distinct[blank] = 0
+        top[blank] = 0
+
+    return (
+        batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        .append_column("distinct_tokens", pa.array(distinct, pa.int64()))
+        .append_column("top_token_count", pa.array(top, pa.int64()))
+    )

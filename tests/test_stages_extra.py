@@ -634,3 +634,37 @@ class TestCurateCLI:
         )
         m2 = j.loads(r2.stdout.strip().splitlines()[-1])
         assert m2["metrics"]["resumed"] == 1 and m2["metrics"]["written"] == 0
+
+
+class TestRepetitionStats:
+    def test_exact_counts_and_blanks(self):
+        from sprout_ray.stages.text import add_repetition_stats
+
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": ["a b a b a", "x y z", "", "  ", None],
+            }
+        )
+        out = add_repetition_stats(t)
+        assert out["n_tokens"].to_pylist() == [5, 3, 0, 0, 0]
+        assert out["distinct_tokens"].to_pylist() == [2, 3, 0, 0, 0]
+        assert out["top_token_count"].to_pylist() == [3, 1, 0, 0, 0]
+
+    def test_matches_python_counter(self):
+        import collections
+        import random
+
+        from sprout_ray.stages.text import add_repetition_stats
+
+        rng = random.Random(3)
+        texts = [
+            " ".join(rng.choices("aa bb cc dd ee".split(), k=rng.randint(1, 40)))
+            for _ in range(200)
+        ]
+        out = add_repetition_stats(pa.table({"text": texts}))
+        for i, txt in enumerate(texts):
+            c = collections.Counter(txt.split())
+            assert out["n_tokens"][i].as_py() == sum(c.values())
+            assert out["distinct_tokens"][i].as_py() == len(c)
+            assert out["top_token_count"][i].as_py() == max(c.values())
