@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_ids": A.decontaminated_ids,
         "sequence_packing": A.sequence_packing,
         "repetition_stats": A.repetition_stats,
+        "embedding_kmeans": A.embedding_kmeans,
     }
 
 

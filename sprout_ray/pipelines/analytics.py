@@ -2084,3 +2084,41 @@ def repetition_stats(sf_dir: str):
         )
         .sort("doc_id")
     )
+
+
+def embedding_kmeans(sf_dir: str):
+    """Distributed k-means over the embeddings table (k=10), with in-band
+    self-evidence: Lloyd-monotone inertia flag, iteration count, and the
+    total inertia reduction vs the first assignment. (The synthetic
+    embeddings are near-uniform unit vectors — the generator's ``label``
+    column is NOT geometric, so label purity is not a valid check here;
+    exact planted-cluster recovery is pinned in tests/test_cluster.py
+    instead.) Centroids train via per-block partial sums
+    (stages/cluster.kmeans_fit — vectors never shuffle); cluster sizes
+    come from one native groupby-count."""
+    from ray.data.aggregate import Count
+
+    from ..stages.cluster import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent, hist = kmeans_fit(ds, k=10, iters=25, seed=11)
+    monotone = all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+    reduction = round(1.0 - hist[-1] / hist[0], 6) if hist and hist[0] > 0 else 0.0
+
+    sizes = (
+        kmeans_assign(ds, cent)
+        .select_columns(["cluster"])
+        .groupby("cluster")
+        .aggregate(Count())
+        .to_pandas()
+        .sort_values("cluster")
+    )
+    return pa.table(
+        {
+            "cluster": pa.array(sizes["cluster"].to_numpy(), pa.int64()),
+            "n_vectors": pa.array(sizes["count()"].to_numpy(), pa.int64()),
+            "n_iters": pa.array([len(hist)] * len(sizes), pa.int64()),
+            "inertia_monotone": pa.array([monotone] * len(sizes)),
+            "inertia_reduction": pa.array([reduction] * len(sizes), pa.float64()),
+        }
+    )

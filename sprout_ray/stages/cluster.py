@@ -1,0 +1,195 @@
+"""Distributed k-means (Lloyd) over an embedding column.
+
+The clustering operator a 100 TB embedding corpus needs (IVF coarse-
+quantizer training, diversity bucketing, cluster-based dedup/sampling),
+in the canonical distributed shape:
+
+- centroids live on the driver and are broadcast ONCE per iteration
+  (``ray.put``, read per task) — k x dim floats, never re-shipped per
+  batch;
+- each block performs one matmul assignment pass and emits a partial
+  ``(k x dim sums, k counts, inertia)`` — O(k x dim) bytes per block,
+  corpus-size independent, packed as a single binary row;
+- the driver reduces O(blocks) partials and updates centroids; the full
+  dataset is never materialized and vectors never shuffle.
+
+Assignments inside a block are computed sort+``np.add.reduceat`` (no
+``np.add.at`` per-element scatter). Inertia is recorded per iteration
+with the centroids that produced the assignment, so the history is the
+textbook non-increasing Lloyd sequence — asserted in tests and carried
+as in-band self-evidence by the ``embedding_kmeans`` query.
+
+``mode="euclidean"`` is classic Lloyd; ``mode="spherical"`` L2-normalizes
+vectors and centroids and assigns by max dot product (cosine) — the
+variant that trains :class:`..stages.similarity.IVFIndex` at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .similarity import _emb_matrix, _normalize
+
+
+def _init_centroids(ds, k, emb_col, seed, init_sample, mode, dtype):
+    """k-means++ (D^2 sampling) over a driver-side sample — the standard
+    init that keeps Lloyd's out of same-cluster-double-seed local optima.
+    The sample is O(init_sample x dim); the full dataset never lands on
+    the driver."""
+    sample_rows = ds.limit(max(init_sample, k)).take_all()
+    x = np.stack([np.asarray(r[emb_col], dtype=dtype) for r in sample_rows])
+    if mode == "spherical":
+        x = _normalize(x)
+    if len(x) < k:
+        raise ValueError(f"k={k} exceeds sample of {len(x)} vectors")
+    rng = np.random.default_rng(seed)
+    cent = np.empty((k, x.shape[1]), dtype=x.dtype)
+    cent[0] = x[rng.integers(len(x))]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:  # fewer distinct points than k: repeat a point
+            cent[i:] = x[rng.integers(len(x), size=k - i)]
+            break
+        cent[i] = x[rng.choice(len(x), p=d2 / total)]
+        d2 = np.minimum(d2, ((x - cent[i]) ** 2).sum(axis=1))
+    return cent
+
+
+def _block_partials(x, cent, mode):
+    """(sums, counts, inertia) of one block against fixed centroids."""
+    if mode == "spherical":
+        x = _normalize(x)
+        sim = x @ cent.T
+        assign = sim.argmax(axis=1)
+        inertia = float((1.0 - sim[np.arange(len(x)), assign]).sum())
+    else:
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        inertia = float(np.maximum(d2[np.arange(len(x)), assign], 0.0).sum())
+    k = len(cent)
+    order = np.argsort(assign, kind="stable")
+    xs = x[order]
+    a = assign[order]
+    starts = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+    sums = np.zeros((k, x.shape[1]), np.float64)
+    sums[a[starts]] = np.add.reduceat(xs.astype(np.float64), starts, axis=0)
+    counts = np.bincount(assign, minlength=k).astype(np.int64)
+    return sums, counts, inertia
+
+
+def kmeans_fit(
+    ds,
+    k: int,
+    emb_col: str = "embedding",
+    mode: str = "euclidean",
+    iters: int = 20,
+    seed: int = 11,
+    init_sample: int = 4096,
+    tol: float = 1e-6,
+    dtype=np.float64,
+):
+    """Fit k centroids; returns ``(centroids, inertia_history)``.
+
+    ``inertia_history[i]`` is the total inertia of the assignment made by
+    the iteration-``i`` centroids (non-increasing by Lloyd's argument).
+    Stops early when the relative improvement drops below ``tol``. Empty
+    clusters keep their previous centroid. The input should be
+    materialized by the caller if it is the product of an expensive
+    pipeline — each iteration re-executes ``ds``'s plan otherwise."""
+    if mode not in ("euclidean", "spherical"):
+        raise ValueError(f"unknown mode {mode!r}")
+    cent = _init_centroids(ds, k, emb_col, seed, init_sample, mode, dtype)
+    dim = cent.shape[1]
+    history = []
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def partials(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "payload": pa.array([], pa.large_binary()),
+                        "inertia": pa.array([], pa.float64()),
+                    }
+                )
+            x = _emb_matrix(t[emb_col], dtype=dtype)
+            sums, counts, inertia = _block_partials(x, ray.get(cent_ref), mode)
+            payload = sums.tobytes() + counts.tobytes()
+            return pa.table(
+                {
+                    "payload": pa.array([payload], pa.large_binary()),
+                    "inertia": pa.array([inertia], pa.float64()),
+                }
+            )
+
+        part_tbl = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    ds.map_batches(
+                        partials,
+                        batch_format="pyarrow",
+                        batch_size=None,
+                        zero_copy_batch=True,
+                    ).to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        )
+        sums = np.zeros((k, dim), np.float64)
+        counts = np.zeros(k, np.int64)
+        for blob in part_tbl["payload"].to_pylist():
+            sums += np.frombuffer(blob[: k * dim * 8], np.float64).reshape(k, dim)
+            counts += np.frombuffer(blob[k * dim * 8 :], np.int64)
+        inertia = float(np.asarray(part_tbl["inertia"]).sum())
+        history.append(inertia)
+
+        nonempty = counts > 0
+        new_cent = cent.copy()
+        new_cent[nonempty] = (sums[nonempty] / counts[nonempty, None]).astype(
+            cent.dtype
+        )
+        if mode == "spherical":
+            new_cent = _normalize(new_cent)
+        cent = new_cent
+        if len(history) > 1 and history[-2] > 0:
+            if (history[-2] - history[-1]) / history[-2] < tol:
+                break
+    return cent, history
+
+
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    mode: str = "euclidean",
+    out_col: str = "cluster",
+    dtype=np.float64,
+):
+    """Append the nearest-centroid id column (broadcast once, one matmul
+    per batch)."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=dtype))
+
+    def stage(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        x = _emb_matrix(t[emb_col], dtype=dtype)
+        if mode == "spherical":
+            assign = (_normalize(x) @ cent.T).argmax(axis=1)
+        else:
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cent.T)
+                + (cent * cent).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+        return t.append_column(out_col, pa.array(assign.astype(np.int64)))
+
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

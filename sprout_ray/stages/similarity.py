@@ -155,6 +155,21 @@ class IVFIndex:
             cent = _normalize(cent)
         return cls(cent)
 
+    @classmethod
+    def train_distributed(
+        cls, ds, nlist: int = 16, iters: int = 10, seed: int = 11, emb_col: str = "embedding"
+    ) -> "IVFIndex":
+        """Spherical k-means over the FULL corpus (stages/cluster.kmeans_fit):
+        per-block partial sums, O(blocks x nlist x dim) driver bytes per
+        iteration — the 100 TB trainer; ``train`` stays as the cheap
+        sample-based path."""
+        from .cluster import kmeans_fit
+
+        cent, _ = kmeans_fit(
+            ds, k=nlist, emb_col=emb_col, mode="spherical", iters=iters, seed=seed
+        )
+        return cls(cent)
+
     def assign(self, m: np.ndarray) -> np.ndarray:
         return (_normalize(m) @ self.centroids.T).argmax(axis=1)
 
@@ -188,6 +203,7 @@ def ivf_topk(
     train_sample: int = 2048,
     concurrency: int = 2,
     dtype: str = "float32",
+    train_mode: str = "sample",
 ):
     """Approximate cosine top-k scanning only ``nprobe`` IVF buckets per query.
 
@@ -195,12 +211,20 @@ def ivf_topk(
     ``nprobe`` toward ``nlist`` to trade speed for exactness (at
     nprobe=nlist every bucket is probed, so the result EQUALS brute force
     on the same ``dtype`` — float64 there gives DuckDB-oracle parity).
-    Returns the same (query_id, id, score) frame as :func:`ann_topk`."""
-    sample_rows = ds.limit(train_sample).take_all()
-    sample = np.stack(
-        [np.asarray(r[emb_col], dtype=np.float32) for r in sample_rows]
-    )
-    index = IVFIndex.train(sample, nlist=nlist)
+    ``train_mode="distributed"`` trains the centroids with full-corpus
+    spherical k-means (:meth:`IVFIndex.train_distributed`) instead of the
+    driver-side sample. Returns the same (query_id, id, score) frame as
+    :func:`ann_topk`."""
+    if train_mode == "distributed":
+        index = IVFIndex.train_distributed(ds, nlist=nlist, emb_col=emb_col)
+    elif train_mode == "sample":
+        sample_rows = ds.limit(train_sample).take_all()
+        sample = np.stack(
+            [np.asarray(r[emb_col], dtype=np.float32) for r in sample_rows]
+        )
+        index = IVFIndex.train(sample, nlist=nlist)
+    else:
+        raise ValueError(f"unknown train_mode {train_mode!r}")
     q = np.asarray(queries, dtype=np.dtype(dtype))
     probe = index.probe_lists(q, nprobe)  # (Q, nprobe)
     wanted = np.unique(probe)

@@ -1,0 +1,109 @@
+"""Distributed k-means (stages/cluster.py): planted-cluster recovery,
+Lloyd monotonicity, spherical mode, and IVF distributed-training parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sprout_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def planted(ray_session):
+    """600 points in 3 well-separated gaussians, shuffled across 4 blocks."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    centers = rng.standard_normal((3, 16)) * 10
+    pts = np.concatenate([c + rng.standard_normal((200, 16)) for c in centers])
+    labels = np.repeat([0, 1, 2], 200)
+    perm = rng.permutation(600)
+    ds = (
+        rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(np.arange(600)[perm], pa.int64()),
+                    "embedding": pa.array([list(map(float, p)) for p in pts[perm]]),
+                    "truth": pa.array(labels[perm], pa.int64()),
+                }
+            )
+        )
+        .repartition(4)
+        .materialize()
+    )
+    return ds, pts, labels, perm
+
+
+class TestKMeans:
+    @pytest.mark.parametrize("seed", [5, 11, 42])
+    def test_planted_recovery_exact(self, planted, seed):
+        ds, _, _, _ = planted
+        cent, hist = kmeans_fit(ds, k=3, iters=20, seed=seed)
+        out = kmeans_assign(ds, cent).to_pandas()
+        per_cluster = out.groupby("cluster")["truth"].nunique()
+        assert len(per_cluster) == 3 and (per_cluster == 1).all()
+        assert sorted(out.groupby("cluster").size()) == [200, 200, 200]
+
+    def test_inertia_monotone_and_matches_numpy(self, planted):
+        ds, pts, _, _ = planted
+        cent, hist = kmeans_fit(ds, k=3, iters=20, seed=5)
+        assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+        # final inertia == numpy inertia of the final assignment
+        d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        ref = d2[np.arange(len(pts)), assign].sum()
+        # centroid update after the last recorded assignment can only
+        # improve, so history[-1] is within one Lloyd step of ref
+        assert ref <= hist[-1] + 1e-6
+        assert abs(ref - hist[-1]) / ref < 0.01
+
+    def test_spherical_mode_monotone_unit_centroids(self, planted):
+        ds, _, _, _ = planted
+        cent, hist = kmeans_fit(ds, k=3, mode="spherical", iters=10, seed=5)
+        assert all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
+        np.testing.assert_allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-5)
+
+    def test_empty_cluster_keeps_centroid(self, ray_session):
+        import ray.data as rd
+
+        # 3 identical points, k=2: one cluster must stay empty, no NaNs
+        ds = rd.from_arrow(
+            pa.table(
+                {"embedding": pa.array([[1.0, 0.0], [1.0, 0.0], [1.0, 0.0]])}
+            )
+        )
+        cent, hist = kmeans_fit(ds, k=2, iters=3, seed=1, init_sample=3)
+        assert np.isfinite(cent).all()
+
+    def test_k_exceeds_sample_raises(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"embedding": pa.array([[0.0, 1.0]])}))
+        with pytest.raises(ValueError):
+            kmeans_fit(ds, k=5, iters=1, init_sample=1)
+
+    def test_bad_mode_raises(self, planted):
+        ds, _, _, _ = planted
+        with pytest.raises(ValueError):
+            kmeans_fit(ds, k=2, mode="manhattan")
+
+
+class TestIVFDistributedTraining:
+    def test_nprobe_full_equals_brute(self, ray_session, sf_dir):
+        """The existing IVF exactness invariant must hold under
+        distributed centroid training too."""
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import ann_topk, ivf_topk
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+        first = ds.take(3)
+        q = np.stack([np.asarray(r["embedding"]) for r in first])
+        brute = ann_topk(ds, q, k=5, dtype="float64")
+        ivf = ivf_topk(
+            ds, q, k=5, nlist=4, nprobe=4, dtype="float64",
+            train_mode="distributed",
+        )
+        assert brute[["query_id", "vec_id"]].values.tolist() == (
+            ivf[["query_id", "vec_id"]].values.tolist()
+        )
