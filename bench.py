@@ -208,6 +208,10 @@ def query_suite(sf_dir: str) -> dict:
         ("doc_top_term", A.doc_top_term),
         ("clicks_next_purchase", A.clicks_next_purchase),
         ("corpus_mix_quota", A.corpus_mix_quota),
+        ("benchmark_contamination", A.benchmark_contamination),
+        ("sequence_packing", A.sequence_packing),
+        ("repetition_stats", A.repetition_stats),
+        ("embedding_kmeans", A.embedding_kmeans),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
