@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": A.sequence_packing,
         "repetition_stats": A.repetition_stats,
         "embedding_kmeans": A.embedding_kmeans,
+        "normalized_docs": A.normalized_docs,
     }
 
 
@@ -462,6 +463,16 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(distinct_tokens, 0) AS distinct_tokens, "
             "COALESCE(top_token_count, 0) AS top_token_count "
             "FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+        ),
+        # curation text normalization — both engines run RE2 so the
+        # replace semantics line up byte-for-byte
+        "normalized_docs": (
+            "WITH n AS (SELECT doc_id, regexp_replace(lower("
+            "regexp_replace(trim(text), '\\s+', ' ', 'g')), "
+            "'\\d{4,}', '<NUM>', 'g') AS norm_text FROM documents) "
+            "SELECT doc_id, norm_text, "
+            "CAST(length(norm_text) AS BIGINT) AS norm_len "
+            "FROM n ORDER BY doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

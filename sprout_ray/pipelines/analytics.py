@@ -2122,3 +2122,23 @@ def embedding_kmeans(sf_dir: str):
             "inertia_reduction": pa.array([reduction] * len(sizes), pa.float64()),
         }
     )
+
+
+def normalized_docs(sf_dir: str):
+    """Curation text normalization (trim + whitespace collapse + lowercase
+    + digit-run redaction), pure Arrow RE2 kernels; output is the
+    normalized text itself plus its length, oracle-exact vs DuckDB
+    regexp_replace (both engines run RE2)."""
+    from ..stages.text import add_normalized_text
+
+    def stage(t: pa.Table) -> pa.Table:
+        out = add_normalized_text(t).drop_columns(["text"])
+        return out.append_column(
+            "norm_len", pc.utf8_length(out["norm_text"]).cast(pa.int64())
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )

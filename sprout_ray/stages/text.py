@@ -245,3 +245,34 @@ def add_repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
         .append_column("distinct_tokens", pa.array(distinct, pa.int64()))
         .append_column("top_token_count", pa.array(top, pa.int64()))
     )
+
+
+def normalize_text_column(
+    arr,
+    collapse_ws: bool = True,
+    lowercase: bool = True,
+    redact_digit_runs: int | None = 4,
+) -> pa.Array:
+    """Curation text normalization, all Arrow RE2 kernels (no Python rows):
+    trim + collapse whitespace runs to one space, lowercase, and redact
+    digit runs of >= ``redact_digit_runs`` to ``<NUM>`` (a cheap PII-shape
+    scrub). Exactly mirrors DuckDB ``regexp_replace(..., 'g')`` (both
+    engines run RE2), so normalization output is oracle-checkable."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.utf8_trim_whitespace(arr)
+    if collapse_ws:
+        out = pc.replace_substring_regex(out, r"\s+", " ")
+    if lowercase:
+        out = pc.utf8_lower(out)
+    if redact_digit_runs:
+        out = pc.replace_substring_regex(
+            out, r"\d{%d,}" % redact_digit_runs, "<NUM>"
+        )
+    return out
+
+
+def add_normalized_text(
+    batch: pa.Table, col: str = "text", out: str = "norm_text", **kw
+) -> pa.Table:
+    return batch.append_column(out, normalize_text_column(batch[col], **kw))

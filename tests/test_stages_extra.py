@@ -668,3 +668,26 @@ class TestRepetitionStats:
             assert out["n_tokens"][i].as_py() == sum(c.values())
             assert out["distinct_tokens"][i].as_py() == len(c)
             assert out["top_token_count"][i].as_py() == max(c.values())
+
+
+class TestNormalizeText:
+    def test_normalization_rules(self):
+        from sprout_ray.stages.text import normalize_text_column
+
+        got = normalize_text_column(
+            pa.array(
+                ["  Foo   BAR  baz ", "nums 12345 and 123", "a\tb\nc", ""]
+            )
+        ).to_pylist()
+        assert got == ["foo bar baz", "nums <NUM> and 123", "a b c", ""]
+
+    def test_flags_off(self):
+        from sprout_ray.stages.text import normalize_text_column
+
+        got = normalize_text_column(
+            pa.array([" A  B 12345 "]),
+            collapse_ws=False,
+            lowercase=False,
+            redact_digit_runs=None,
+        ).to_pylist()
+        assert got == ["A  B 12345"]  # only trimmed
