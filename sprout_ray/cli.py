@@ -286,6 +286,7 @@ def cmd_curate(args) -> int:
         for part in args.splits.split(","):
             name, frac = part.split("=")
             fractions.append((name, float(frac)))
+    bench_files = _input_files(args.benchmark) if args.benchmark else None
     metrics = curate_corpus(
         files,
         args.out,
@@ -295,6 +296,8 @@ def cmd_curate(args) -> int:
         max_punct=args.max_punct,
         files_per_partition=args.files_per_partition,
         split_fractions=fractions,
+        benchmark_files=bench_files,
+        decontam_n=args.decontam_n,
     )
     print(json.dumps({"out": args.out, "metrics": metrics}))
     return 0
@@ -431,6 +434,13 @@ def main(argv=None) -> int:
         default=None,
         help="comma list name=frac, e.g. train=0.9,val=0.1 (must sum to 1)",
     )
+    cu.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet file/dir/glob of benchmark docs: drop corpus docs "
+        "sharing word n-grams with them (bloom-pruned, exact-verified)",
+    )
+    cu.add_argument("--decontam-n", type=int, default=8)
     common(cu)
     cu.set_defaults(fn=cmd_curate)
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def curate_corpus(
@@ -36,6 +37,9 @@ def curate_corpus(
     files_per_partition: int = 1,
     broadcast_max: int = 4_000_000,
     split_fractions: list | None = None,
+    benchmark_files: list | None = None,
+    decontam_n: int = 8,
+    decontam_min_shared: int = 1,
 ) -> dict:
     """Write the curated corpus under ``out_dir`` (resumable); returns the
     sink metrics plus the number of winner ids.
@@ -43,9 +47,16 @@ def curate_corpus(
     ``split_fractions`` (e.g. ``[("train", .8), ("val", .1), ("test", .1)]``)
     appends a deterministic seeded-murmur ``split`` column per surviving doc
     (stages/sampling.assign_split — shuffle-free, rerun-stable, so resumed
-    and fresh runs assign identically), completing the end-to-end
-    training-data flow: dedup -> quality gate -> split -> partitioned
-    shards."""
+    and fresh runs assign identically).
+
+    ``benchmark_files`` switches on benchmark decontamination
+    (stages/decontam.py): docs sharing >= ``decontam_min_shared`` distinct
+    word-``decontam_n``-grams with the benchmark corpus are dropped. The
+    contaminated-id set is computed ONCE over the full input (broadcast
+    Bloom prune + exact verify) and applied per shard with the same
+    broadcast/semi-join size guard as the winner filter. Completes the
+    end-to-end training-data flow: dedup -> decontaminate -> quality gate
+    -> split -> partitioned shards."""
     import ray
     import ray.data as rd
 
@@ -99,6 +110,62 @@ def curate_corpus(
                 on=(id_col,),
             )
 
+    n_bad = 0
+    contam_filter = None
+    if benchmark_files is not None:
+        from ..stages.decontam import contamination_counts
+
+        bench_ds = rd.read_parquet(benchmark_files, columns=[text_col])
+        counts = contamination_counts(
+            ds, bench_ds, text_col=text_col, id_col=id_col, n=decontam_n
+        )
+        if decontam_min_shared > 1:
+            counts = counts.filter(
+                expr=f"shared_grams >= {decontam_min_shared}"
+            )
+        bad_ds = counts.select_columns([id_col]).materialize()
+        n_bad = bad_ds.count()
+        if n_bad and n_bad <= broadcast_max:
+            from ..stages.dedup import _collect_table
+
+            bad = np.sort(
+                _collect_table(bad_ds, pa.schema([(id_col, pa.int64())]))[
+                    id_col
+                ].to_numpy(zero_copy_only=False)
+            )
+            bad_ref = ray.put(bad)
+
+            def drop_bad(t: pa.Table) -> pa.Table:
+                b = ray.get(bad_ref)
+                ids = t[id_col].to_numpy(zero_copy_only=False)
+                pos = np.minimum(np.searchsorted(b, ids), b.size - 1)
+                return t.filter(pa.array(b[pos] != ids))
+
+            def contam_filter(shard_ds):
+                return shard_ds.map_batches(drop_bad, batch_format="pyarrow")
+
+        elif n_bad:
+            flagged = bad_ds.map_batches(
+                lambda t: t.append_column(
+                    "__contaminated", pa.array(np.ones(len(t), bool))
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+            def contam_filter(shard_ds):
+                joined = shard_ds.join(
+                    flagged,
+                    join_type="left_outer",
+                    num_partitions=max(2, n_bad // 4_000_000),
+                    on=(id_col,),
+                )
+                return joined.map_batches(
+                    lambda t: t.filter(
+                        pc.is_null(t["__contaminated"])
+                    ).drop_columns(["__contaminated"]),
+                    batch_format="pyarrow",
+                )
+
     # size the scorer actor pool to leave CPU headroom for the read/filter/
     # sort TASKS sharing the cluster — concurrency == num_cpus deadlocks the
     # streaming executor ("cluster does not have any available CPUs") on
@@ -115,6 +182,8 @@ def curate_corpus(
                 expr=f"token_count >= {min_tokens} and punct_ratio <= {max_punct}"
             )
         )
+        if contam_filter is not None:
+            kept = contam_filter(kept)
         if split_fractions is not None:
             from ..stages.sampling import assign_split
 
@@ -126,4 +195,6 @@ def curate_corpus(
         files_per_partition=files_per_partition,
     )
     metrics["winners"] = int(n_winners)
+    if benchmark_files is not None:
+        metrics["contaminated"] = int(n_bad)
     return metrics

@@ -39,6 +39,8 @@ def _init_centroids(ds, k, emb_col, seed, init_sample, mode, dtype):
     The sample is O(init_sample x dim); the full dataset never lands on
     the driver."""
     sample_rows = ds.limit(max(init_sample, k)).take_all()
+    if not sample_rows:
+        raise ValueError("kmeans_fit: input dataset is empty")
     x = np.stack([np.asarray(r[emb_col], dtype=dtype) for r in sample_rows])
     if mode == "spherical":
         x = _normalize(x)
@@ -130,20 +132,21 @@ def kmeans_fit(
                 }
             )
 
-        part_tbl = pa.concat_tables(
-            [
-                t
-                for t in ray.get(
-                    ds.map_batches(
-                        partials,
-                        batch_format="pyarrow",
-                        batch_size=None,
-                        zero_copy_batch=True,
-                    ).to_arrow_refs()
-                )
-                if t.num_rows
-            ]
-        )
+        part_list = [
+            t
+            for t in ray.get(
+                ds.map_batches(
+                    partials,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        if not part_list:
+            raise ValueError("kmeans_fit: input dataset produced no rows")
+        part_tbl = pa.concat_tables(part_list)
         sums = np.zeros((k, dim), np.float64)
         counts = np.zeros(k, np.int64)
         for blob in part_tbl["payload"].to_pylist():

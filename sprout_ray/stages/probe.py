@@ -81,7 +81,13 @@ def probe_filter(
     concurrency: Optional[int] = None,
     batch_size: Optional[int] = None,
 ):
-    """Filter/annotate ``ds`` by membership in ``sketch`` (broadcast once)."""
+    """Filter/annotate ``ds`` by membership in ``sketch`` (broadcast once).
+
+    The default pool size adapts to the cluster (tuning.actor_pool_size):
+    a fixed pool as large as the cluster starves the upstream read tasks
+    and hangs the streaming executor on small clusters."""
+    from ..tuning import actor_pool_size
+
     ref = broadcast_sketch(sketch)
     return ds.map_batches(
         BloomProbe,
@@ -94,7 +100,7 @@ def probe_filter(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or actor_pool_size(),
     )
 
 

@@ -201,6 +201,10 @@ def pack_sequences(
                 {"_min_id": pa.array([], pa.int64()),
                  "_sum": pa.array([], pa.int64())}
             )
+        if t[token_col].null_count:
+            # a null would silently become NaN in to_numpy and poison the
+            # whole downstream prefix sum — fail loudly instead
+            raise ValueError(f"pack_sequences: {token_col!r} contains nulls")
         ids = t[id_col].to_numpy(zero_copy_only=False)
         tok = t[token_col].to_numpy(zero_copy_only=False)
         return pa.table(

@@ -180,3 +180,56 @@ def test_curate_corpus_with_splits(ray_session, tmp_path):
         sorted(g.glob(f"{out3}/part=*/**/*.parquet", recursive=True))
     )
     assert sorted(got3["doc_id"].to_pylist()) == sorted(got["doc_id"].tolist())
+
+
+def test_curate_corpus_with_decontamination(ray_session, tmp_path):
+    """Benchmark decontamination inside the write path: a planted
+    benchmark-overlapping doc is dropped, identically via both id-filter
+    plans, and the decontaminated run still resumes."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from sprout_ray.pipelines.curate import curate_corpus
+
+    src_tbl = pq_mod.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    # benchmark = the exact text of one surviving doc (guaranteed overlap)
+    bench_text = src_tbl["text"][7].as_py()
+    bench_path = str(tmp_path / "bench.parquet")
+    pq_mod.write_table(pa.table({"text": [bench_text]}), bench_path)
+    src = "/root/testdata/sf0.001/documents.parquet"
+
+    out_plain = str(tmp_path / "plain")
+    m0 = curate_corpus([src], out_plain)
+
+    def read_ids(out):
+        files = sorted(
+            glob.glob(f"{out}/part=*/**/*.parquet", recursive=True)
+        )
+        return set(pq_mod.read_table(files)["doc_id"].to_pylist())
+
+    out_dec = str(tmp_path / "dec")
+    m1 = curate_corpus([src], out_dec, benchmark_files=[bench_path],
+                       decontam_n=4)
+    assert m1["contaminated"] >= 1
+    plain_ids, dec_ids = read_ids(out_plain), read_ids(out_dec)
+    dropped = plain_ids - dec_ids
+    assert src_tbl["doc_id"][7].as_py() in dropped
+    # everything else is identical: only contaminated docs were removed
+    assert dec_ids < plain_ids and len(dropped) <= m1["contaminated"]
+
+    # both id-filter plans agree
+    out_join = str(tmp_path / "dec_join")
+    m2 = curate_corpus(
+        [src], out_join, benchmark_files=[bench_path], decontam_n=4,
+        broadcast_max=0,
+    )
+    assert read_ids(out_join) == dec_ids
+
+    # resume still works with decontamination on
+    m3 = curate_corpus([src], out_dec, benchmark_files=[bench_path],
+                       decontam_n=4)
+    assert m3["resumed"] == 1 and m3["written"] == 0
