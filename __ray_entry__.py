@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": A.repetition_stats,
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
+        "corpus_shuffle_head": A.corpus_shuffle_head,
     }
 
 
@@ -473,6 +474,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
             "FROM n ORDER BY doc_id"
+        ),
+        # deterministic pseudo-shuffle: the rank pins the permutation
+        "corpus_shuffle_head": (
+            "SELECT * FROM (SELECT CAST(row_number() OVER (ORDER BY "
+            "((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) "
+            "- 1 AS BIGINT) AS rank, doc_id FROM documents) "
+            "WHERE rank < 100 ORDER BY rank"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

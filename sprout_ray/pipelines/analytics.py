@@ -2142,3 +2142,20 @@ def normalized_docs(sf_dir: str):
         .map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
         .sort("doc_id")
     )
+
+
+def corpus_shuffle_head(sf_dir: str):
+    """First 100 docs of the deterministic global pseudo-shuffle
+    (stages/sampling.shuffle_by_hash — Knuth multiplicative key, one range
+    sort). The rank column pins the ORDER itself, so the oracle checks the
+    actual shuffle permutation, not just membership."""
+    from ..stages.sampling import shuffle_by_hash
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    rows = shuffle_by_hash(ds, "doc_id").take(100)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        }
+    )

@@ -238,3 +238,44 @@ def pack_sequences(
     return sorted_ds.map_batches(
         add_bin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+# Knuth's multiplicative constant: odd, near golden-ratio * 2^32 — the
+# classic integer mix, chosen here because the SQL twin is plain BIGINT
+# arithmetic (no engine-specific hash function needed for the oracle)
+_KNUTH = 2654435761
+_MIX_MOD = 1 << 32
+
+
+def shuffle_by_hash(ds, id_col: str = "doc_id", seed: int = 0):
+    """Deterministic global pseudo-shuffle — the training-data "shuffle
+    once, read sequentially" step.
+
+    Orders rows by ``(((id + seed) % 2^31) * 2654435761) % 2^32`` (Knuth
+    multiplicative hashing): rerun-stable, machine-independent, and
+    exactly reproducible in SQL — pure BIGINT arithmetic whose largest
+    intermediate (2^31 * 2654435761 ≈ 5.7e18) stays inside int64, so the
+    SQL twin neither overflows (DuckDB errors) nor wraps (numpy is
+    silent) and both engines compute the identical key. The seed lands
+    INSIDE the multiply (``id + seed`` first): a post-multiply additive
+    seed would shift every key by the same constant and leave the order
+    unchanged except at the mod-2^32 wraparound. One range
+    shuffle (the sort) — the same cost profile as
+    ``Dataset.random_shuffle`` but deterministic and resumable. Ties
+    (ids congruent mod 2^31 / hash collisions) are broken by the id
+    itself so the order is total. Requires non-negative integer ids.
+    Appends ``_shuffle_key`` then drops it.
+    """
+
+    def key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError("shuffle_by_hash requires non-negative ids")
+        h = (((ids + seed) % (1 << 31)) * _KNUTH) % _MIX_MOD
+        return t.append_column("_shuffle_key", pa.array(h, pa.int64()))
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["_shuffle_key", id_col])
+        .drop_columns(["_shuffle_key"])
+    )

@@ -203,3 +203,46 @@ class TestCMSCertificate:
 
         cms = CountMinSketch()
         assert cms.collision_free([]).shape == (0,)
+
+
+class TestShuffleByHash:
+    def test_permutation_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import shuffle_by_hash
+
+        ids = np.arange(1000, dtype=np.int64)
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(5)
+        got = shuffle_by_hash(ds, "doc_id").to_pandas()["doc_id"].to_numpy()
+        key = (((ids + 0) % (1 << 31)) * 2654435761) % (1 << 32)
+        want = ids[np.lexsort((ids, key))]
+        assert (got == want).all()
+        assert sorted(got.tolist()) == ids.tolist()  # a true permutation
+
+    def test_seed_changes_order(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import shuffle_by_hash
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(np.arange(500, dtype=np.int64))})
+        )
+        a = shuffle_by_hash(ds, "doc_id", seed=0).to_pandas()["doc_id"]
+        b = shuffle_by_hash(ds, "doc_id", seed=12345).to_pandas()["doc_id"]
+        assert a.tolist() != b.tolist()
+
+    def test_negative_ids_raise(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import shuffle_by_hash
+
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array([-1, 2], pa.int64())}))
+        import pytest as _pt
+
+        with _pt.raises(Exception):
+            shuffle_by_hash(ds, "doc_id").to_pandas()
