@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
         "corpus_shuffle_head": A.corpus_shuffle_head,
+        "corpus_temperature_sample": A.corpus_temperature_sample,
     }
 
 
@@ -481,6 +482,13 @@ def oracle_sql() -> dict[str, str]:
             "((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) "
             "- 1 AS BIGINT) AS rank, doc_id FROM documents) "
             "WHERE rank < 100 ORDER BY rank"
+        ),
+        # per-stratum downsampling: rate(lang) = (1 + len(lang) % 3) / 4
+        "corpus_temperature_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id % 1000) < CAST(round("
+            "(1 + (length(lang) % 3)) * 0.25 * 1000) AS BIGINT) "
+            "ORDER BY doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -2159,3 +2159,23 @@ def corpus_shuffle_head(sf_dir: str):
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
         }
     )
+
+
+def corpus_temperature_sample(sf_dir: str):
+    """Per-stratum deterministic downsampling (corpus mixing): keep a
+    lang-dependent fraction of documents, rate = (1 + len(lang) % 3)/4,
+    decided per row from (doc_id % 1000) — the SQL-expressible twin of the
+    production murmur-bucket path (stages/sampling.sample_per_group; both
+    run the same stage code)."""
+    from ..stages.sampling import sample_per_group
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    kept = sample_per_group(
+        ds,
+        "lang",
+        rates=lambda lang: (1 + len(lang) % 3) * 0.25,
+        id_col="doc_id",
+        method="mod",
+        buckets=1000,
+    )
+    return kept.sort("doc_id")

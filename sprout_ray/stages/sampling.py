@@ -279,3 +279,63 @@ def shuffle_by_hash(ds, id_col: str = "doc_id", seed: int = 0):
         .sort(["_shuffle_key", id_col])
         .drop_columns(["_shuffle_key"])
     )
+
+
+def sample_per_group(
+    ds,
+    key_col: str,
+    rates,
+    id_col: str = "doc_id",
+    method: str = "hash",
+    buckets: int = 10_000,
+    seed: int = 0,
+):
+    """Deterministic per-stratum downsampling — the corpus *mixing* step
+    (keep fraction ``rates[key]`` of each language/domain, e.g. flattening
+    an over-represented crawl slice).
+
+    Each row is kept iff ``bucket(id) < round(rate(key) * buckets)``:
+    decided from the row alone (no shuffle, no state, rerun-stable), so
+    resumed and fresh runs keep identical rows and the sample composes
+    with :func:`assign_split` (different seeds decorrelate them).
+    ``rates`` is a float (flat), dict (missing strata default 0.0 —
+    dropped), or callable. ``method="hash"`` buckets murmur3(id, seed)
+    (production; any id dtype); ``method="mod"`` buckets ``id % buckets``
+    for integer ids — the SQL-expressible oracle twin, same code path."""
+    if method not in ("hash", "mod"):
+        raise ValueError(f"method must be 'hash' or 'mod', got {method!r}")
+    if callable(rates):
+        rate_of = rates
+    elif isinstance(rates, dict):
+        rate_of = lambda k, _d=dict(rates): _d.get(k, 0.0)  # noqa: E731
+    else:
+        flat = float(rates)
+        rate_of = lambda _k, _r=flat: _r  # noqa: E731
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if method == "hash":
+            col = t[id_col]
+            if not (
+                pa.types.is_string(col.type)
+                or pa.types.is_binary(col.type)
+                or pa.types.is_large_string(col.type)
+                or pa.types.is_large_binary(col.type)
+            ):
+                col = pc.cast(col, pa.string())
+            b = (murmur_column(col, seed) % np.uint64(buckets)).view(np.int64)
+        else:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(ids) and ids.min() < 0:
+                raise ValueError("mod sampling requires non-negative ids")
+            b = ids % buckets
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        # rate_of called once per UNIQUE stratum (bounded), not per row
+        cut_map = {
+            k: int(round(float(rate_of(k)) * buckets)) for k in set(keys.tolist())
+        }
+        cuts = np.fromiter((cut_map[k] for k in keys.tolist()), np.int64, len(keys))
+        return t.filter(pa.array(b < cuts))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

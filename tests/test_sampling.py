@@ -246,3 +246,58 @@ class TestShuffleByHash:
 
         with _pt.raises(Exception):
             shuffle_by_hash(ds, "doc_id").to_pandas()
+
+
+class TestSamplePerGroup:
+    def test_mod_matches_reference_and_hash_proportions(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import sample_per_group
+
+        n = 4000
+        ids = np.arange(n, dtype=np.int64)
+        langs = np.array(["en", "de", "fr", "xx"])[ids % 4]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids), "lang": pa.array(langs)})
+        ).repartition(4)
+        rates = {"en": 0.5, "de": 1.0, "fr": 0.0}  # xx absent -> dropped
+        # mod path: exact set predicted by the formula
+        got = sample_per_group(
+            ds, "lang", rates, method="mod", buckets=1000
+        ).to_pandas()
+        want = {
+            int(i)
+            for i in ids
+            if (i % 1000) < round(rates.get(langs[i], 0.0) * 1000)
+        }
+        assert set(got["doc_id"]) == want
+        assert set(got.loc[got["lang"] == "fr"].index) == set()
+        # hash path: proportions within 5 sigma per stratum, rerun-stable
+        h1 = sample_per_group(ds, "lang", rates, method="hash").to_pandas()
+        h2 = sample_per_group(ds, "lang", rates, method="hash").to_pandas()
+        assert h1["doc_id"].tolist() == h2["doc_id"].tolist()
+        for lang, rate in rates.items():
+            kept = (h1["lang"] == lang).sum()
+            total = (langs == lang).sum()
+            sigma = max((total * rate * (1 - rate)) ** 0.5, 1.0)
+            assert abs(kept - total * rate) <= 5 * sigma + total / 1000
+
+    def test_flat_rate_and_callable(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import sample_per_group
+
+        ids = np.arange(1000, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {"doc_id": pa.array(ids), "lang": pa.array(["en"] * 1000)}
+            )
+        )
+        all_rows = sample_per_group(ds, "lang", 1.0, method="mod", buckets=10)
+        assert all_rows.count() == 1000
+        none = sample_per_group(ds, "lang", lambda k: 0.0, method="mod")
+        assert none.count() == 0
