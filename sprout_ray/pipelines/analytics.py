@@ -2101,7 +2101,9 @@ def embedding_kmeans(sf_dir: str):
     from ..stages.cluster import kmeans_assign, kmeans_fit
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    cent, hist = kmeans_fit(ds, k=10, iters=25, seed=11)
+    # tol=1e-4: on near-uniform vectors Lloyd's improvement decays fast —
+    # the looser stop saves ~half the iterations with the same evidence
+    cent, hist = kmeans_fit(ds, k=10, iters=25, seed=11, tol=1e-4)
     monotone = all(b <= a + 1e-9 for a, b in zip(hist, hist[1:]))
     reduction = round(1.0 - hist[-1] / hist[0], 6) if hist and hist[0] > 0 else 0.0
 
