@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_docs": A.normalized_docs,
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
+        "table_profile": A.table_profile,
     }
 
 
@@ -489,6 +490,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (doc_id % 1000) < CAST(round("
             "(1 + (length(lang) % 3)) * 0.25 * 1000) AS BIGINT) "
             "ORDER BY doc_id"
+        ),
+        # ANALYZE-style profile; distinct counts are KMV-exact-regime
+        "table_profile": (
+            " UNION ALL ".join(
+                "SELECT '{c}' AS column, CAST(count(*) AS BIGINT) AS n, "
+                "CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) "
+                "AS BIGINT) AS n_null, "
+                "CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+                "CAST(1 AS BOOLEAN) AS distinct_exact, "
+                "CAST(min({c}) AS VARCHAR) AS min_value, "
+                "CAST(max({c}) AS VARCHAR) AS max_value "
+                "FROM documents".format(c=c)
+                for c in ["doc_id", "lang", "n_chars", "source", "text"]
+            )
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -2181,3 +2181,17 @@ def corpus_temperature_sample(sf_dir: str):
         buckets=1000,
     )
     return kept.sort("doc_id")
+
+
+def table_profile(sf_dir: str):
+    """ANALYZE-style per-column statistics of documents (stages/profile.py):
+    two map-only passes (native-typed min/max partials + one multi-KMV
+    scan), no shuffle. The KMV capacity exceeds the column cardinalities
+    at conformance scale, so every distinct count is certified exact
+    (distinct_exact column) and the whole table is oracle-checkable."""
+    from ..stages.profile import profile_columns
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    out = profile_columns(_read(sf_dir, "documents", cols), cols)
+    assert all(out["distinct_exact"].to_pylist()), "raise distinct_k"
+    return out

@@ -691,3 +691,31 @@ class TestNormalizeText:
             redact_digit_runs=None,
         ).to_pylist()
         assert got == ["A  B 12345"]  # only trimmed
+
+
+class TestTableProfile:
+    def test_profile_with_nulls_and_types(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.profile import profile_columns
+
+        t = pa.table(
+            {
+                "i": pa.array([3, None, 1, 9, None], pa.int64()),
+                "s": pa.array(["b", "a", None, "a", "c"]),
+                "all_null": pa.array([None] * 5, pa.int64()),
+            }
+        )
+        out = profile_columns(
+            rd.from_arrow(t).repartition(3), ["i", "s", "all_null"]
+        ).to_pylist()
+        by = {r["column"]: r for r in out}
+        assert by["i"] == {
+            "column": "i", "n": 5, "n_null": 2, "n_distinct": 3,
+            "distinct_exact": True, "min_value": "1", "max_value": "9",
+        }
+        assert by["s"]["n_distinct"] == 3
+        assert by["s"]["min_value"] == "a" and by["s"]["max_value"] == "c"
+        assert by["all_null"]["n_null"] == 5
+        assert by["all_null"]["min_value"] is None
+        assert by["all_null"]["n_distinct"] == 0
