@@ -150,8 +150,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY text), "
             "feat AS (SELECT doc_id, lang, "
-            "CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END AS BIGINT) "
             "AS token_count, "
             "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
             "/ greatest(len(text), 1), 6) AS punct_ratio FROM documents) "
@@ -162,8 +162,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_jaccard_top1": (
             "WITH toks AS (SELECT doc_id, "
-            "unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok "
-            "FROM documents WHERE trim(text) <> ''), "
+            "unnest(list_distinct(string_split_regex(lower(trim(text, ' ')), '\\s+'))) AS tok "
+            "FROM documents WHERE trim(text, ' ') <> ''), "
             "sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
             "q AS (SELECT doc_id AS qid, tok FROM toks WHERE doc_id < 20), "
             "qsizes AS (SELECT qid, count(*) AS n FROM q GROUP BY qid), "
@@ -320,15 +320,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT text, CAST(min(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY text"
         ),
         "token_counts": (
-            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count, "
+            "SELECT doc_id, CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END AS BIGINT) AS token_count, "
             "CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]+')) AS BIGINT) AS bpe_tokens "
             "FROM documents"
         ),
         "doc_quality": (
             "SELECT doc_id, "
-            "CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS token_count, "
+            "CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END AS BIGINT) AS token_count, "
             "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
             "/ greatest(len(text), 1), 6) AS punct_ratio, "
             "round((len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g'))) "
@@ -440,8 +440,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # concatenate-and-cut packing: bin = exclusive token prefix // 512
         "sequence_packing": (
-            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 "
-            "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "WITH t AS (SELECT doc_id, CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END AS BIGINT) "
             "AS tok FROM documents), "
             "s AS (SELECT doc_id, tok, COALESCE(sum(tok) OVER ("
             "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 "
@@ -453,7 +453,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # within-doc repetition signals as exact integers
         "repetition_stats": (
-            "WITH d AS (SELECT doc_id, trim(text) AS tt FROM documents), "
+            "WITH d AS (SELECT doc_id, trim(text, ' ') AS tt FROM documents), "
             "tok AS (SELECT doc_id, unnest(string_split_regex(tt, '\\s+')) "
             "AS t FROM d WHERE tt <> ''), "
             "c AS (SELECT doc_id, t, count(*) AS c FROM tok "
@@ -471,7 +471,7 @@ def oracle_sql() -> dict[str, str]:
         # replace semantics line up byte-for-byte
         "normalized_docs": (
             "WITH n AS (SELECT doc_id, regexp_replace(lower("
-            "regexp_replace(trim(text), '\\s+', ' ', 'g')), "
+            "regexp_replace(trim(text, ' '), '\\s+', ' ', 'g')), "
             "'\\d{4,}', '<NUM>', 'g') AS norm_text FROM documents) "
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
@@ -614,7 +614,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_df_top": (
             "WITH toks AS (SELECT doc_id, "
-            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "unnest(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS token "
             "FROM documents) "
             "SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df, "
             "CAST(count(*) AS BIGINT) AS tf FROM toks WHERE token <> '' "
@@ -630,7 +630,7 @@ def oracle_sql() -> dict[str, str]:
         # frequency (tie: token; DuckDB binary collation == UTF-8 byte min)
         "doc_top_term": (
             "WITH raw AS (SELECT doc_id, "
-            "unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "unnest(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS token "
             "FROM documents), "
             "toks AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''), "
             "df AS (SELECT token, count(*) AS df FROM toks GROUP BY token), "

@@ -286,7 +286,11 @@ def cmd_curate(args) -> int:
         for part in args.splits.split(","):
             name, frac = part.split("=")
             fractions.append((name, float(frac)))
-    bench_files = _input_files(args.benchmark) if args.benchmark else None
+    bench_files = None
+    if args.benchmark:
+        bench_files = _input_files(args.benchmark)
+        if not bench_files:
+            raise SystemExit(f"no parquet files under {args.benchmark}")
     metrics = curate_corpus(
         files,
         args.out,

@@ -69,10 +69,12 @@ def concat_key_columns(batch: pa.Table, columns: list[str], sep: str = "\x1f") -
 def token_count_column(arr, pattern: str = r"\s+") -> pa.Array:
     """Whitespace token count per string (empty/blank strings -> 0).
 
-    Matches DuckDB ``array_length(string_split_regex(trim(s), '\\s+'))`` with
-    the blank-string special case handled identically in the oracle SQL.
+    Matches DuckDB ``array_length(string_split_regex(trim(s), '\\s+'))``
+    EXACTLY: the trim strips spaces only, because DuckDB ``trim()`` does —
+    ``utf8_trim_whitespace`` would diverge on leading tabs/newlines. The
+    blank-string special case is handled identically in the oracle SQL.
     """
-    trimmed = pc.utf8_trim_whitespace(arr)
+    trimmed = pc.utf8_trim(arr, " ")
     counts = pc.list_value_length(pc.split_pattern_regex(trimmed, pattern))
     blank = pc.equal(trimmed, "")
     return pc.if_else(blank, pa.scalar(0, pa.int64()), counts.cast(pa.int64()))

@@ -2019,7 +2019,7 @@ def benchmark_contamination(sf_dir: str):
     from ..stages.decontam import contamination_counts
 
     corpus, bench = _contamination_sides(sf_dir)
-    return contamination_counts(corpus, bench, n=4)
+    return contamination_counts(corpus, bench, n=4).sort("doc_id")
 
 
 def decontaminated_ids(sf_dir: str):

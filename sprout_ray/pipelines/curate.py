@@ -22,9 +22,7 @@ is identical regardless of which path ran (asserted in tests/test_io.py).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def curate_corpus(
@@ -57,7 +55,6 @@ def curate_corpus(
     broadcast/semi-join size guard as the winner filter. Completes the
     end-to-end training-data flow: dedup -> decontaminate -> quality gate
     -> split -> partitioned shards."""
-    import ray
     import ray.data as rd
 
     from ..sources.io import resumable_transform_write
@@ -75,40 +72,14 @@ def curate_corpus(
     )
     n_winners = winners_ds.count()
 
-    if n_winners <= broadcast_max:
-        from ..stages.dedup import _collect_table
+    from ..stages.dedup import id_set_filter
 
-        winners = np.sort(
-            _collect_table(winners_ds, pa.schema([(id_col, pa.int64())]))[
-                id_col
-            ].to_numpy(zero_copy_only=False)
-        )
-        winners_ref = ray.put(winners)
-
-        def keep(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False)
-            w = ray.get(winners_ref)
-            if not len(w):
-                return t.filter(pa.array(np.zeros(len(ids), bool)))
-            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
-            return t.filter(pa.array(w[pos] == ids))
-
-        def winner_filter(shard_ds):
-            return shard_ds.map_batches(keep, batch_format="pyarrow")
-
-    else:
-        # winner ids alone outgrow one node: distributed hash semi-join of
-        # the shard stream against the materialized winner-id Dataset
-        # (winner ids are unique, so inner join = semi-join)
-        join_parts = max(2, n_winners // 4_000_000)
-
-        def winner_filter(shard_ds):
-            return shard_ds.join(
-                winners_ds,
-                join_type="inner",
-                num_partitions=join_parts,
-                on=(id_col,),
-            )
+    # size-guarded semi-join of each shard against the winner ids (ids are
+    # unique, so inner join == semi-join on the distributed path)
+    winner_filter = id_set_filter(
+        winners_ds, id_col, keep=True, n_ids=n_winners,
+        broadcast_max=broadcast_max,
+    )
 
     n_bad = 0
     contam_filter = None
@@ -125,53 +96,18 @@ def curate_corpus(
             )
         bad_ds = counts.select_columns([id_col]).materialize()
         n_bad = bad_ds.count()
-        if n_bad and n_bad <= broadcast_max:
-            from ..stages.dedup import _collect_table
-
-            bad = np.sort(
-                _collect_table(bad_ds, pa.schema([(id_col, pa.int64())]))[
-                    id_col
-                ].to_numpy(zero_copy_only=False)
+        if n_bad:
+            contam_filter = id_set_filter(
+                bad_ds, id_col, keep=False, n_ids=n_bad,
+                broadcast_max=broadcast_max,
             )
-            bad_ref = ray.put(bad)
 
-            def drop_bad(t: pa.Table) -> pa.Table:
-                b = ray.get(bad_ref)
-                ids = t[id_col].to_numpy(zero_copy_only=False)
-                pos = np.minimum(np.searchsorted(b, ids), b.size - 1)
-                return t.filter(pa.array(b[pos] != ids))
+    # the scorer actor pool must leave CPU headroom for the read/filter/
+    # sort TASKS sharing the cluster — a pool as large as the cluster
+    # deadlocks the streaming executor (tuning.actor_pool_size)
+    from ..tuning import actor_pool_size
 
-            def contam_filter(shard_ds):
-                return shard_ds.map_batches(drop_bad, batch_format="pyarrow")
-
-        elif n_bad:
-            flagged = bad_ds.map_batches(
-                lambda t: t.append_column(
-                    "__contaminated", pa.array(np.ones(len(t), bool))
-                ),
-                batch_format="pyarrow",
-            ).materialize()
-
-            def contam_filter(shard_ds):
-                joined = shard_ds.join(
-                    flagged,
-                    join_type="left_outer",
-                    num_partitions=max(2, n_bad // 4_000_000),
-                    on=(id_col,),
-                )
-                return joined.map_batches(
-                    lambda t: t.filter(
-                        pc.is_null(t["__contaminated"])
-                    ).drop_columns(["__contaminated"]),
-                    batch_format="pyarrow",
-                )
-
-    # size the scorer actor pool to leave CPU headroom for the read/filter/
-    # sort TASKS sharing the cluster — concurrency == num_cpus deadlocks the
-    # streaming executor ("cluster does not have any available CPUs") on
-    # small clusters
-    cpus = int(ray.cluster_resources().get("CPU", 2))
-    scorer_conc = max(1, min(4, cpus // 2))
+    scorer_conc = actor_pool_size()
 
     def transform(shard_ds):
         kept = winner_filter(

@@ -33,7 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..kernel.murmur3 import _nfmix, murmur_hash_column
+from ..functions.hashing import murmur_column
+from ..kernel.murmur3 import _nfmix
 from .dedup import pack_rows
 
 # independent token-hash seeds + odd polynomial multipliers (splitmix64 /
@@ -72,8 +73,11 @@ def word_gram_fingerprints(texts, n: int):
     if nw <= 0:
         return empty
 
-    th1 = murmur_hash_column(flat, seed=_SEED1)
-    th2 = murmur_hash_column(flat, seed=_SEED2)
+    # length-BUCKETED hashing (CLAUDE.md): one giant space-free token
+    # (base64 blob, minified JS) must not densify the padded key matrix
+    # for the whole batch's token population
+    th1 = murmur_column(flat, seed=_SEED1)
+    th2 = murmur_column(flat, seed=_SEED2)
     counts = np.diff(offsets)
     doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
     # a window starting at s is a real gram iff it ends inside the same doc
@@ -176,16 +180,14 @@ def contamination_counts(
     hits = broadcast_lookup_join(
         pruned, bench, on="gram", right_count=nb, broadcast_max=broadcast_max
     )
-    return (
-        hits.groupby(id_col)
-        .count()
-        .map_batches(
-            lambda t: pa.table(
-                {id_col: t[id_col], "shared_grams": t["count()"]}
-            ).cast(out_schema),
-            batch_format="pyarrow",
-        )
-        .sort(id_col)
+    # UNSORTED by design: most consumers (decontaminate, the curation
+    # write path) use the counts as an id set — the oracle-facing query
+    # sorts at its own edge
+    return hits.groupby(id_col).count().map_batches(
+        lambda t: pa.table(
+            {id_col: t[id_col], "shared_grams": t["count()"]}
+        ).cast(out_schema),
+        batch_format="pyarrow",
     )
 
 
@@ -206,8 +208,9 @@ def decontaminate(
     The contaminated-id set is usually tiny (it is bounded by the benchmark
     overlap, not the corpus), so up to ``id_broadcast_max`` ids it is
     broadcast and each batch drops locally; above that the corpus
-    left-outer-joins the id set and keeps the null (unmatched) rows."""
-    import ray
+    left-outer-joins the id set and keeps the null (unmatched) rows
+    (stages/dedup.id_set_filter — the shared size-guarded machinery)."""
+    from .dedup import id_set_filter
 
     counts = contamination_counts(
         corpus_ds, bench_ds, text_col, id_col, n, err_rate, broadcast_max
@@ -215,41 +218,7 @@ def decontaminate(
     if min_shared > 1:
         counts = counts.filter(expr=f"shared_grams >= {min_shared}")
     bad_ids_ds = counts.select_columns([id_col]).materialize()
-    n_bad = bad_ids_ds.count()
-
-    if n_bad <= id_broadcast_max:
-        from .dedup import _collect_table
-
-        bad = np.sort(
-            _collect_table(bad_ids_ds, pa.schema([(id_col, pa.int64())]))[
-                id_col
-            ].to_numpy(zero_copy_only=False)
-        )
-        bad_ref = ray.put(bad)
-
-        def drop(batch: pa.Table) -> pa.Table:
-            b = ray.get(bad_ref)
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            if not b.size:
-                return batch
-            pos = np.minimum(np.searchsorted(b, ids), b.size - 1)
-            return batch.filter(pa.array(b[pos] != ids))
-
-        return corpus_ds.map_batches(drop, batch_format="pyarrow")
-
-    flagged = bad_ids_ds.map_batches(
-        lambda t: t.append_column("__contaminated", pa.array(np.ones(len(t), bool))),
-        batch_format="pyarrow",
+    drop_bad = id_set_filter(
+        bad_ids_ds, id_col, keep=False, broadcast_max=id_broadcast_max
     )
-    joined = corpus_ds.join(
-        flagged,
-        join_type="left_outer",
-        num_partitions=max(2, n_bad // 4_000_000),
-        on=(id_col,),
-    )
-    return joined.map_batches(
-        lambda t: t.filter(pc.is_null(t["__contaminated"])).drop_columns(
-            ["__contaminated"]
-        ),
-        batch_format="pyarrow",
-    )
+    return drop_bad(corpus_ds)

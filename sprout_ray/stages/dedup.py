@@ -386,6 +386,84 @@ def _collect_table(ds, schema: pa.Schema):
     return pa.concat_tables(tbls)
 
 
+def id_set_filter(
+    ids_ds,
+    id_col: str,
+    keep: bool,
+    n_ids: int | None = None,
+    broadcast_max: int = 4_000_000,
+):
+    """Size-guarded semi-/anti-join against a UNIQUE id set: returns
+    ``fn(ds) -> ds`` keeping (``keep=True``) or dropping (``keep=False``)
+    rows whose ``id_col`` appears in ``ids_ds``.
+
+    Up to ``broadcast_max`` ids: the sorted id array is ``ray.put`` once
+    and every batch resolves map-side via searchsorted — zero shuffle.
+    Above it: a distributed hash join (inner for keep — ids are unique so
+    no row expansion; left_outer + null-filter for drop), partition count
+    clamped to id volume (``Dataset.join`` costs ~0.5-1 s FIXED per
+    partition actor — CLAUDE.md). The single home for this machinery:
+    the curation winner filter, curation decontamination and
+    ``decontam.decontaminate`` all route through it."""
+    import ray
+
+    if n_ids is None:
+        n_ids = ids_ds.count()
+
+    if n_ids <= broadcast_max:
+        arr = np.sort(
+            _collect_table(ids_ds, pa.schema([(id_col, pa.int64())]))[
+                id_col
+            ].to_numpy(zero_copy_only=False)
+        )
+        ref = ray.put(arr)
+
+        def mask_batch(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            a = ray.get(ref)
+            if not a.size:
+                member = np.zeros(len(ids), bool)
+            else:
+                pos = np.minimum(np.searchsorted(a, ids), a.size - 1)
+                member = a[pos] == ids
+            return t.filter(pa.array(member if keep else ~member))
+
+        def apply(ds):
+            return ds.map_batches(mask_batch, batch_format="pyarrow")
+
+        return apply
+
+    parts = max(2, n_ids // 4_000_000)
+    if keep:
+
+        def apply(ds):
+            return ds.join(
+                ids_ds, join_type="inner", num_partitions=parts, on=(id_col,)
+            )
+
+        return apply
+
+    flagged = ids_ds.map_batches(
+        lambda t: t.append_column(
+            "__in_set", pa.array(np.ones(len(t), bool))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def apply(ds):
+        joined = ds.join(
+            flagged, join_type="left_outer", num_partitions=parts, on=(id_col,)
+        )
+        return joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["__in_set"])).drop_columns(
+                ["__in_set"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    return apply
+
+
 def dedupe_pair_stream(pairs, value_col: str | None = None, agg: str = "max"):
     """One row per (left_id, right_id) from a bucket-expanded pair stream.
 

@@ -221,8 +221,15 @@ def pack_sequences(
         .sort("_min_id")
         .to_pandas()  # O(blocks) rows — the only driver materialization
     )
-    min_ids = parts["_min_id"].to_numpy()
-    offsets = np.concatenate([[0], np.cumsum(parts["_sum"].to_numpy())[:-1]])
+    if parts.empty or "_min_id" not in parts:
+        # 0-row datasets lose their schema on to_pandas() (CLAUDE.md)
+        min_ids = np.empty(0, np.int64)
+        offsets = np.empty(0, np.int64)
+    else:
+        min_ids = parts["_min_id"].to_numpy()
+        offsets = np.concatenate(
+            [[0], np.cumsum(parts["_sum"].to_numpy())[:-1]]
+        )
     scan_ref = ray.put((min_ids, offsets))
 
     def add_bin(t: pa.Table) -> pa.Table:
@@ -332,8 +339,11 @@ def sample_per_group(
             b = ids % buckets
         keys = t[key_col].to_numpy(zero_copy_only=False)
         # rate_of called once per UNIQUE stratum (bounded), not per row
+        # half-AWAY-from-zero (matches DuckDB round(); Python round() is
+        # half-to-even and diverges on exact .5 — CLAUDE.md convention)
         cut_map = {
-            k: int(round(float(rate_of(k)) * buckets)) for k in set(keys.tolist())
+            k: int(np.floor(float(rate_of(k)) * buckets + 0.5))
+            for k in set(keys.tolist())
         }
         cuts = np.fromiter((cut_map[k] for k in keys.tolist()), np.int64, len(keys))
         return t.filter(pa.array(b < cuts))

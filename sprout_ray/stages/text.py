@@ -161,7 +161,7 @@ def token_df_batch(t: pa.Table, text_col: str = "text", id_col: str = "doc_id") 
     row per (token, block), never the exploded token stream."""
     import pandas as pd
 
-    texts = pc.utf8_lower(pc.utf8_trim_whitespace(t[text_col]))
+    texts = pc.utf8_lower(pc.utf8_trim(t[text_col], " "))
     toks = pc.split_pattern_regex(texts, pattern=r"\s+")
     flat = pc.list_flatten(toks)
     parents = pc.list_parent_indices(toks)
@@ -203,12 +203,12 @@ def add_repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     token array + a lexsort — no per-row Python."""
     import numpy as np
 
-    from ..kernel.murmur3 import murmur_hash_column
+    from ..functions.hashing import murmur_column
 
     texts = batch[col]
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    trimmed = pc.utf8_trim_whitespace(pc.fill_null(texts, ""))
+    trimmed = pc.utf8_trim(pc.fill_null(texts, ""), " ")
     toks = pc.split_pattern_regex(trimmed, r"\s+")
     offsets = np.asarray(toks.offsets).astype(np.int64)
     offsets = offsets - offsets[0]
@@ -221,8 +221,10 @@ def add_repetition_stats(batch: pa.Table, col: str = "text") -> pa.Table:
     top = np.zeros(n_docs, np.int64)
     flat = toks.flatten()
     if len(flat):
-        h1 = murmur_hash_column(flat, seed=0x7A3D)
-        h2 = murmur_hash_column(flat, seed=0x1C95)
+        # length-bucketed hashing (CLAUDE.md): a giant space-free token
+        # must not densify the whole batch's padded key matrix
+        h1 = murmur_column(flat, seed=0x7A3D)
+        h2 = murmur_column(flat, seed=0x1C95)
         doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
         order = np.lexsort((h2, h1, doc_of))
         d, a, b = doc_of[order], h1[order], h2[order]
@@ -260,7 +262,7 @@ def normalize_text_column(
     engines run RE2), so normalization output is oracle-checkable."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    out = pc.utf8_trim_whitespace(arr)
+    out = pc.utf8_trim(arr, " ")
     if collapse_ws:
         out = pc.replace_substring_regex(out, r"\s+", " ")
     if lowercase:

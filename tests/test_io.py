@@ -115,8 +115,8 @@ def test_curate_corpus_resumable_write(ray_session, tmp_path):
         "WITH winners AS (SELECT min(doc_id) AS doc_id FROM "
         f"'{src}' GROUP BY text), "
         "feat AS (SELECT doc_id, "
-        "CAST(CASE WHEN trim(text) = '' THEN 0 "
-        "ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+        "CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+        "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END AS BIGINT) "
         "AS token_count, "
         "round((len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
         f"/ greatest(len(text), 1), 6) AS punct_ratio FROM '{src}') "

@@ -167,7 +167,7 @@ class TestTokenDF:
             .sort_values("token").reset_index(drop=True)
         )
         want = duckdb.sql(
-            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token "
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text, ' ')), '\\s+')) AS token "
             "FROM t) SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf "
             "FROM toks WHERE token <> '' GROUP BY token ORDER BY token"
         ).df()
