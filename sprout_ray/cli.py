@@ -270,6 +270,24 @@ def cmd_kv_get(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """ANALYZE-style per-column statistics (stages/profile.py): count,
+    nulls, KMV distinct (exactness-certified below capacity), min/max."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.profile import profile_columns
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=args.columns or None)
+    cols = args.columns or [f.name for f in ds.schema().base_schema]
+    out = profile_columns(ds, cols, distinct_k=args.distinct_k)
+    print(json.dumps({"profile": out.to_pylist()}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end curation write path: exact dedup -> quality gate ->
     optional train/val/test split -> resumable partitioned shards
@@ -421,6 +439,16 @@ def main(argv=None) -> int:
     kg.add_argument("--keys", nargs="+", required=True)
     common(kg)
     kg.set_defaults(fn=cmd_kv_get)
+
+    pr = sub.add_parser(
+        "profile",
+        help="per-column stats: count/nulls/distinct(KMV)/min/max",
+    )
+    pr.add_argument("--input", required=True, help="parquet file/dir/glob")
+    pr.add_argument("--columns", nargs="*", default=None)
+    pr.add_argument("--distinct-k", type=int, default=65536)
+    common(pr)
+    pr.set_defaults(fn=cmd_profile)
 
     cu = sub.add_parser(
         "curate",

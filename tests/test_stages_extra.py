@@ -719,3 +719,23 @@ class TestTableProfile:
         assert by["all_null"]["n_null"] == 5
         assert by["all_null"]["min_value"] is None
         assert by["all_null"]["n_distinct"] == 0
+
+
+class TestProfileCLI:
+    def test_profile_cli(self):
+        import json as j
+        import subprocess as sp
+
+        r = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "profile",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--columns", "doc_id", "lang", "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = j.loads(r.stdout.strip().splitlines()[-1])["profile"]
+        by = {x["column"]: x for x in rows}
+        assert by["doc_id"]["n_distinct"] == 500 and by["doc_id"]["distinct_exact"]
+        assert by["lang"]["n_distinct"] == 5
