@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
+        "length_band_survivors": A.length_band_survivors,
     }
 
 
@@ -504,6 +505,16 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents".format(c=c)
                 for c in ["doc_id", "lang", "n_chars", "source", "text"]
             )
+        ),
+        # per-lang percentile band gate; binary-exact quantiles
+        "length_band_survivors": (
+            "WITH b AS (SELECT lang, "
+            "percentile_disc(0.125) WITHIN GROUP (ORDER BY n_chars) AS lo, "
+            "percentile_disc(0.875) WITHIN GROUP (ORDER BY n_chars) AS hi "
+            "FROM documents GROUP BY lang) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "JOIN b USING (lang) "
+            "WHERE d.n_chars BETWEEN b.lo AND b.hi ORDER BY d.doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -2195,3 +2195,18 @@ def table_profile(sf_dir: str):
     out = profile_columns(_read(sf_dir, "documents", cols), cols)
     assert all(out["distinct_exact"].to_pylist()), "raise distinct_k"
     return out
+
+
+def length_band_survivors(sf_dir: str):
+    """Distribution-based quality gate: keep docs inside the per-lang
+    [12.5%, 87.5%] n_chars percentile band (drop each language's length
+    outliers). Exact percentile_disc cuts computed from per-block
+    HISTOGRAM partials (stages/sampling.percentile_band_filter) — the
+    reduce is bounded by |langs| x |distinct lengths|, never O(rows).
+    Band quantiles are binary-exact fractions so ceil(q*n) can't hit a
+    float-representation boundary in either engine."""
+    from ..stages.sampling import percentile_band_filter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out, _bands = percentile_band_filter(ds, "lang", "n_chars", 0.125, 0.875)
+    return out.sort("doc_id")

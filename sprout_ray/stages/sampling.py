@@ -349,3 +349,97 @@ def sample_per_group(
         return t.filter(pa.array(b < cuts))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def percentile_band_filter(
+    ds,
+    key_col: str,
+    value_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+):
+    """Distribution-based quality gate: keep rows whose ``value_col`` lies
+    inside the per-``key_col`` [lo_q, hi_q] percentile band (the classic
+    "drop the length outliers per language" curation step).
+
+    Percentiles are EXACT (``percentile_disc`` semantics: smallest value
+    whose cumulative count reaches ceil(q*n)) but computed from per-group
+    HISTOGRAMS, not per-group value materialization: one map pass emits
+    per-block (key, value, count) partials, a native groupby sums them,
+    and the driver reduces a table bounded by |keys| x |distinct values| —
+    corpus-size independent for bounded-domain values like lengths or
+    scores. The band cuts broadcast once; the filter is map-only.
+
+    Returns ``(filtered_ds, bands)`` where bands maps key -> (lo, hi)."""
+    import ray
+
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        raise ValueError(f"need 0 <= lo_q <= hi_q <= 1, got {lo_q}, {hi_q}")
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        import pandas as pd
+
+        g = (
+            pd.DataFrame({"k": keys, "v": vals})
+            .groupby(["k", "v"], sort=False)
+            .size()
+            .reset_index()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(g["k"]),
+                value_col: pa.array(g["v"].to_numpy(), pa.int64()),
+                "cnt": pa.array(g[0].to_numpy(), pa.int64()),
+            }
+        )
+
+    # pack (key, value) into one groupby key: multi-column groupby is
+    # pathologically slow on Ray Data (CLAUDE.md); strings are bounded here
+    def pack(t: pa.Table) -> pa.Table:
+        packed = pc.binary_join_element_wise(
+            pc.cast(t[key_col], pa.string()),
+            pc.cast(t[value_col], pa.string()),
+            "\x1f",
+        )
+        return pa.table({"kv": packed, "cnt": t["cnt"]})
+
+    hist = (
+        ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("cnt")
+        .to_pandas()  # bounded: |keys| x |distinct values| rows
+    )
+    bands = {}
+    if len(hist):
+        kv = hist["kv"].str.split("\x1f", expand=True)
+        hist = hist.assign(k=kv[0], v=kv[1].astype(np.int64))
+        for k, grp in hist.groupby("k", sort=False):
+            grp = grp.sort_values("v")
+            cum = grp["sum(cnt)"].cumsum().to_numpy()
+            n = int(cum[-1])
+            vs = grp["v"].to_numpy()
+
+            def disc(q):
+                target = max(int(np.ceil(q * n)), 1)
+                return int(vs[np.searchsorted(cum, target)])
+
+            bands[k] = (disc(lo_q), disc(hi_q))
+
+    bands_ref = ray.put(bands)
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = ray.get(bands_ref)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        lo = np.fromiter(
+            (b.get(k, (1, 0))[0] for k in keys.tolist()), np.int64, len(keys)
+        )
+        hi = np.fromiter(
+            (b.get(k, (1, 0))[1] for k in keys.tolist()), np.int64, len(keys)
+        )
+        return t.filter(pa.array((vals >= lo) & (vals <= hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), bands

@@ -301,3 +301,53 @@ class TestSamplePerGroup:
         assert all_rows.count() == 1000
         none = sample_per_group(ds, "lang", lambda k: 0.0, method="mod")
         assert none.count() == 0
+
+
+class TestPercentileBandFilter:
+    def test_matches_numpy_percentile_disc(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import percentile_band_filter
+
+        rng = np.random.default_rng(5)
+        langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 2000)]
+        vals = rng.integers(0, 300, 2000).astype(np.int64)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+                    "lang": pa.array(langs),
+                    "n": pa.array(vals),
+                }
+            )
+        ).repartition(6)
+        out, bands = percentile_band_filter(ds, "lang", "n", 0.125, 0.875)
+        got = out.to_pandas()
+
+        def disc(v, q):
+            v = np.sort(v)
+            return int(v[max(int(np.ceil(q * len(v))), 1) - 1])
+
+        for lang in ["en", "de", "fr"]:
+            v = vals[langs == lang]
+            lo, hi = disc(v, 0.125), disc(v, 0.875)
+            assert bands[lang] == (lo, hi)
+            kept = got.loc[got["lang"] == lang, "n"].to_numpy()
+            want = v[(v >= lo) & (v <= hi)]
+            assert sorted(kept.tolist()) == sorted(want.tolist())
+
+    def test_bad_quantiles_raise(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import percentile_band_filter
+
+        ds = rd.from_arrow(
+            pa.table({"lang": ["en"], "n": pa.array([1], pa.int64())})
+        )
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            percentile_band_filter(ds, "lang", "n", 0.9, 0.1)
