@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
         "length_band_survivors": A.length_band_survivors,
+        "incremental_dedup_survivors": A.incremental_dedup_survivors,
     }
 
 
@@ -515,6 +516,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
             "JOIN b USING (lang) "
             "WHERE d.n_chars BETWEEN b.lo AND b.hi ORDER BY d.doc_id"
+        ),
+        # day-2 ingest gate: new-shard docs whose text is NOT in the old
+        # corpus (planted +1M copies of the %10==1 slice must all drop)
+        "incremental_dedup_survivors": (
+            "WITH old AS (SELECT text FROM documents WHERE doc_id % 10 <> 0), "
+            "new AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text "
+            "FROM documents WHERE doc_id % 10 = 0 "
+            "UNION ALL SELECT CAST(doc_id + 1000000 AS BIGINT), text "
+            "FROM documents WHERE doc_id % 10 = 1) "
+            "SELECT n.doc_id FROM new n "
+            "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

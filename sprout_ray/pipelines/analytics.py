@@ -2210,3 +2210,36 @@ def length_band_survivors(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
     out, _bands = percentile_band_filter(ds, "lang", "n_chars", 0.125, 0.875)
     return out.sort("doc_id")
+
+
+def incremental_dedup_survivors(sf_dir: str):
+    """Day-2 ingest gate (stages/dedup.incremental_dedup): the 'new' shard
+    is the doc_id%10==0 slice PLUS planted exact copies of the %10==1
+    slice (re-idded +1,000,000) — the copies must be dropped because
+    their text already lives in the 'old' corpus (%10!=0), while the
+    genuine new docs survive. Bloom prune (no false negatives) + exact
+    fingerprint anti-join on the maybes only; oracle-exact."""
+    from ..stages.dedup import incremental_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(pred):
+        def mask(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(pred(ids)))
+
+        return docs.map_batches(mask, batch_format="pyarrow", zero_copy_batch=True)
+
+    old = side(lambda ids: ids % 10 != 0)
+    fresh = side(lambda ids: ids % 10 == 0)
+    planted = side(lambda ids: ids % 10 == 1).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], pa.scalar(1_000_000, pa.int64())),
+                "text": t["text"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = incremental_dedup(fresh.union(planted), old)
+    return out.select_columns(["doc_id"]).sort("doc_id")

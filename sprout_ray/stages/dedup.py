@@ -392,6 +392,8 @@ def id_set_filter(
     keep: bool,
     n_ids: int | None = None,
     broadcast_max: int = 4_000_000,
+    key_type: pa.DataType | None = None,
+    num_partitions: int | None = None,
 ):
     """Size-guarded semi-/anti-join against a UNIQUE id set: returns
     ``fn(ds) -> ds`` keeping (``keep=True``) or dropping (``keep=False``)
@@ -403,16 +405,21 @@ def id_set_filter(
     no row expansion; left_outer + null-filter for drop), partition count
     clamped to id volume (``Dataset.join`` costs ~0.5-1 s FIXED per
     partition actor — CLAUDE.md). The single home for this machinery:
-    the curation winner filter, curation decontamination and
-    ``decontam.decontaminate`` all route through it."""
+    the curation winner filter, curation decontamination,
+    ``decontam.decontaminate`` and ``incremental_dedup`` all route
+    through it. ``key_type`` defaults to int64; binary/string key sets
+    work too (numpy object-array sort/searchsorted on the broadcast
+    path)."""
     import ray
 
+    if key_type is None:
+        key_type = pa.int64()
     if n_ids is None:
         n_ids = ids_ds.count()
 
     if n_ids <= broadcast_max:
         arr = np.sort(
-            _collect_table(ids_ds, pa.schema([(id_col, pa.int64())]))[
+            _collect_table(ids_ds, pa.schema([(id_col, key_type)]))[
                 id_col
             ].to_numpy(zero_copy_only=False)
         )
@@ -433,7 +440,11 @@ def id_set_filter(
 
         return apply
 
-    parts = max(2, n_ids // 4_000_000)
+    # callers with a tiny probe side should pass num_partitions (observed:
+    # multi-partition hash joins can fail in HashShuffleAggregator when one
+    # side's rows all land in one partition — a single partition is also
+    # simply faster there)
+    parts = num_partitions or max(2, n_ids // 4_000_000)
     if keep:
 
         def apply(ds):
@@ -1686,3 +1697,156 @@ def simhash_candidates(ds, text_col: str = "text", id_col: str = "doc_id", max_h
             }
         )
     )
+
+
+_INC_SEED1, _INC_SEED2 = 0x5EED0001, 0x5EED0002
+
+
+def _doc_fp_column(col) -> pa.Array:
+    """Whole-doc 128-bit two-seed fingerprint as 16-byte large_binary
+    (length-bucketed murmur passes; the repo's exactness convention)."""
+    from ..functions.hashing import murmur_column
+
+    h1 = murmur_column(col, _INC_SEED1)
+    h2 = murmur_column(col, _INC_SEED2)
+    return pack_rows(np.column_stack([h1, h2]))
+
+
+class _FpProbe:
+    """Actor-pool stage: append the whole-doc fingerprint and probe the
+    broadcast filter in one pass (filter deserialized ONCE per actor via
+    the object-store ref — never shipped per task)."""
+
+    def __init__(self, bf_ref, text_col: str):
+        from .probe import BloomProbe
+
+        self.probe = BloomProbe(bf_ref, on="fp", flag_column="__maybe")
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return self.probe(t.append_column("fp", _doc_fp_column(t[self.text_col])))
+
+
+def incremental_dedup(
+    new_ds,
+    old_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    err_rate: float = 1e-3,
+    broadcast_max: int = 4_000_000,
+):
+    """Day-2 dedup: keep only the rows of ``new_ds`` whose ``text_col``
+    does NOT already appear in ``old_ds`` — the reference's
+    Contains-before-store guard (bloom.go:220-236) as the incremental
+    corpus-ingest gate.
+
+    Scale shape: the OLD corpus is distilled once into (a) a distinct
+    whole-doc fingerprint Dataset and (b) a Bloom filter over those
+    fingerprints, broadcast once. Each new batch fingerprints its docs
+    and probes the filter in the same pass; provably-unseen rows stream
+    straight through (no false negatives), and only the maybe rows — a
+    tiny superset of the true duplicates — pay the exact size-guarded
+    anti-join against the old fingerprint set (``id_set_filter``). The
+    maybe split is materialized once (delta-shard-sized, not corpus-
+    sized)."""
+    import ray
+
+    from ..kernel.sketch import SketchSpec
+    from .builder import build_sketch
+    from .probe import broadcast_sketch
+
+    def old_fp_block(t: pa.Table) -> pa.Table:
+        fp = _doc_fp_column(t[text_col])
+        # distinct within the block before the global distinct groupby
+        arr = fp.to_numpy(zero_copy_only=False)
+        _, idx = np.unique(arr, return_index=True)
+        return pa.table({"fp": fp.take(pa.array(np.sort(idx)))})
+
+    old_fp = (
+        old_ds.map_batches(
+            old_fp_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("fp")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"fp": t["fp"].cast(pa.large_binary())}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_old = old_fp.count()
+    if n_old == 0:
+        return new_ds
+
+    bf = build_sketch(old_fp, SketchSpec.of("bloom", err_rate, max(n_old, 11)), on="fp")
+    bf_ref = broadcast_sketch(bf)
+    from ..tuning import actor_pool_size
+
+    flagged = new_ds.map_batches(
+        _FpProbe,
+        fn_constructor_kwargs={"bf_ref": bf_ref, "text_col": text_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=actor_pool_size(),
+    ).materialize()  # consumed twice (definite pass-through + maybe verify)
+
+    def strip(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["fp", "__maybe"])
+
+    definite_new = flagged.filter(expr="__maybe == False").map_batches(
+        strip, batch_format="pyarrow"
+    )
+    maybes = flagged.filter(expr="__maybe == True").materialize()
+    n_maybe = maybes.count()
+    if n_maybe == 0:
+        return definite_new
+
+    fp_schema = pa.schema([("fp", pa.large_binary())])
+    if n_maybe <= broadcast_max:
+        # probe the BIG side with the SMALL side broadcast (no shuffle at
+        # all): stream old_fp once against the sorted maybe-fp array to
+        # find which maybe fps are truly seen, then drop those rows
+        mfp = np.unique(
+            _collect_table(maybes.select_columns(["fp"]), fp_schema)[
+                "fp"
+            ].to_numpy(zero_copy_only=False)
+        )
+        mref = ray.put(mfp)
+
+        def old_hits(t: pa.Table) -> pa.Table:
+            m = ray.get(mref)
+            a = t["fp"].to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(m, a), m.size - 1)
+            return pa.table(
+                {"fp": t["fp"].filter(pa.array(m[pos] == a))}
+            ).cast(fp_schema)
+
+        seen = np.unique(
+            _collect_table(
+                old_fp.map_batches(old_hits, batch_format="pyarrow"),
+                fp_schema,
+            )["fp"].to_numpy(zero_copy_only=False)
+        )
+        seen_ref = ray.put(seen)
+
+        def drop_seen_rows(t: pa.Table) -> pa.Table:
+            s = ray.get(seen_ref)
+            a = t["fp"].to_numpy(zero_copy_only=False)
+            if not s.size:
+                return strip(t)
+            pos = np.minimum(np.searchsorted(s, a), s.size - 1)
+            return strip(t.filter(pa.array(s[pos] != a)))
+
+        verified_new = maybes.map_batches(drop_seen_rows, batch_format="pyarrow")
+    else:
+        drop_seen = id_set_filter(
+            old_fp,
+            "fp",
+            keep=False,
+            n_ids=n_old,
+            broadcast_max=broadcast_max,
+            key_type=pa.large_binary(),
+            num_partitions=max(1, n_maybe // 4_000_000),
+        )
+        verified_new = drop_seen(maybes).map_batches(strip, batch_format="pyarrow")
+    return definite_new.union(verified_new)

@@ -160,3 +160,64 @@ class TestContamination:
             "doc_id",
             "shared_grams",
         ]
+
+
+class TestIncrementalDedup:
+    @pytest.fixture(scope="class")
+    def shards(self, ray_session):
+        import ray.data as rd
+
+        old_texts = [f"old document body number {i}" for i in range(40)]
+        new_texts = [f"genuinely new doc {i}" for i in range(10)]
+        dup_texts = [old_texts[i] for i in (3, 7, 21)]  # must be dropped
+        old = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(40), pa.int64()),
+                    "text": pa.array(old_texts),
+                }
+            )
+        ).repartition(3)
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(100, 113), pa.int64()),
+                    "text": pa.array(new_texts + dup_texts),
+                }
+            )
+        ).repartition(2)
+        return old, new
+
+    def test_drops_seen_keeps_new_both_plans(self, shards):
+        from sprout_ray.stages.dedup import incremental_dedup
+
+        old, new = shards
+        a = incremental_dedup(new, old).to_pandas()
+        assert sorted(a["doc_id"]) == list(range(100, 110))
+        assert set(a.columns) == {"doc_id", "text"}
+        b = incremental_dedup(new, old, broadcast_max=0).to_pandas()
+        assert sorted(b["doc_id"]) == sorted(a["doc_id"].tolist())
+
+    def test_empty_old_passes_everything(self, shards, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import incremental_dedup
+
+        _, new = shards
+        empty_old = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        )
+        out = incremental_dedup(new, empty_old)
+        assert out.count() == 13
+
+    def test_all_dup_new_shard_drops_everything(self, shards):
+        from sprout_ray.stages.dedup import incremental_dedup
+
+        old, _ = shards
+        out = incremental_dedup(old, old)
+        assert out.count() == 0
