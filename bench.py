@@ -212,6 +212,9 @@ def query_suite(sf_dir: str) -> dict:
         ("sequence_packing", A.sequence_packing),
         ("repetition_stats", A.repetition_stats),
         ("embedding_kmeans", A.embedding_kmeans),
+        ("incremental_dedup_survivors", A.incremental_dedup_survivors),
+        ("length_band_survivors", A.length_band_survivors),
+        ("table_profile", A.table_profile),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
