@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": A.repetition_stats,
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
+        "pii_redacted": A.pii_redacted,
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
@@ -478,6 +479,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
             "FROM n ORDER BY doc_id"
+        ),
+        # PII redaction over a deterministically planted corpus: chained
+        # regexp_replace mirrors stages/text.redact_pii's sequential
+        # email -> IP -> phone pipeline (both engines RE2); counts are
+        # non-overlapping matches on the pre-replacement string per stage
+        "pii_redacted": (
+            "WITH base AS (SELECT doc_id, text || "
+            "CASE WHEN doc_id % 7 = 0 THEN ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END || "
+            "CASE WHEN doc_id % 11 = 0 "
+            "THEN ' call 555-867-5309 from 10.0.0.1' ELSE '' END AS t "
+            "FROM documents), "
+            "e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t FROM base), "
+            "i AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) "
+            "AS n_ips, regexp_replace(t, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') "
+            "AS t FROM e), "
+            "p AS (SELECT doc_id, n_emails, n_ips, "
+            "CAST(len(regexp_extract_all(t, "
+            "'\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phones, "
+            "regexp_replace(t, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', "
+            "'<PHONE>', 'g') AS t FROM i) "
+            "SELECT doc_id, t AS clean_text, n_emails, n_ips, n_phones "
+            "FROM p ORDER BY doc_id"
         ),
         # deterministic pseudo-shuffle: the rank pins the permutation
         "corpus_shuffle_head": (

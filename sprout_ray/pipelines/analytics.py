@@ -2146,6 +2146,48 @@ def normalized_docs(sf_dir: str):
     )
 
 
+def pii_redacted(sf_dir: str):
+    """PII redaction over a deterministically PII-planted corpus: docs with
+    doc_id % 7 == 0 gain a unique planted email, docs with doc_id % 11 == 0
+    a phone + IPv4 (the raw corpus contains no PII shapes, so planting is
+    what makes the stage observable). Redaction itself is
+    stages/text.redact_pii — chained Arrow RE2 replace kernels, the same
+    sequential semantics as DuckDB's chained regexp_replace — so clean
+    text and per-kind match counts are oracle-exact. The filter-as-guard
+    shape mirrors the reference's Contains-before-store pattern
+    (/root/reference/bloom.go:220-236): cheap vectorized scan deciding
+    per-row what may pass into the stored corpus."""
+    from ..stages.text import add_pii_redaction
+
+    def plant_and_redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        idstr = ids.astype("U")
+        email = np.where(
+            ids % 7 == 0,
+            np.char.add(
+                np.char.add(" contact user", idstr), "@example.com"
+            ),
+            "",
+        )
+        phone = np.where(
+            ids % 11 == 0, " call 555-867-5309 from 10.0.0.1", ""
+        )
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks(), ""),
+            pa.array(email, pa.string()),
+            pa.array(phone, pa.string()),
+            "",
+        )
+        t = pa.table({"doc_id": t["doc_id"], "text": planted})
+        return add_pii_redaction(t).drop_columns(["text"])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(plant_and_redact, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+
+
 def corpus_shuffle_head(sf_dir: str):
     """First 100 docs of the deterministic global pseudo-shuffle
     (stages/sampling.shuffle_by_hash — Knuth multiplicative key, one range

@@ -278,3 +278,41 @@ def add_normalized_text(
     batch: pa.Table, col: str = "text", out: str = "norm_text", **kw
 ) -> pa.Table:
     return batch.append_column(out, normalize_text_column(batch[col], **kw))
+
+
+# PII redaction patterns, applied IN ORDER (sequential pipeline semantics:
+# each count is taken on the string after all PRIOR replacements). All RE2
+# (no backreferences/lookaround) so Arrow and DuckDB agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(arr, patterns=None) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """Corpus-hygiene PII scrub: replace email / IPv4 / phone shapes with
+    typed placeholder tokens, entirely in Arrow RE2 kernels (no Python
+    rows). Returns (redacted_column, {kind: per-row match counts}).
+
+    Counts are non-overlapping match counts taken on the string as it
+    stands when that pattern runs (email first, then IP, then phone), the
+    exact semantics of chained ``regexp_replace(..., 'g')`` — so the whole
+    stage is DuckDB-oracle-checkable (see ``pii_redacted``)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.fill_null(arr, "")
+    counts: dict[str, pa.Array] = {}
+    for name, pat, token in patterns or PII_PATTERNS:
+        counts[name] = pc.count_substring_regex(out, pat).cast(pa.int64())
+        out = pc.replace_substring_regex(out, pat, token)
+    return out, counts
+
+
+def add_pii_redaction(batch: pa.Table, col: str = "text") -> pa.Table:
+    """map_batches body: append clean_text + n_emails/n_ips/n_phones."""
+    clean, counts = redact_pii(batch[col])
+    batch = batch.append_column("clean_text", clean)
+    for name, c in counts.items():
+        batch = batch.append_column(f"n_{name}s", c)
+    return batch

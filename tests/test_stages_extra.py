@@ -693,6 +693,46 @@ class TestNormalizeText:
         assert got == ["A  B 12345"]  # only trimmed
 
 
+class TestPIIRedaction:
+    def test_redaction_rules(self):
+        from sprout_ray.stages.text import redact_pii
+
+        out, counts = redact_pii(
+            pa.array(
+                [
+                    "mail a.b+c@foo-bar.example.org now",
+                    "call 555-867-5309 or 555.123.4567",
+                    "host 192.168.0.1 and 10.0.0.255",
+                    "clean text with no pii",
+                    None,
+                    "x@y.io and 1.2.3.4 and 111-222-3333",
+                ]
+            )
+        )
+        assert out.to_pylist() == [
+            "mail <EMAIL> now",
+            "call <PHONE> or <PHONE>",
+            "host <IP> and <IP>",
+            "clean text with no pii",
+            "",
+            "<EMAIL> and <IP> and <PHONE>",
+        ]
+        assert counts["email"].to_pylist() == [1, 0, 0, 0, 0, 1]
+        assert counts["ip"].to_pylist() == [0, 0, 2, 0, 0, 1]
+        assert counts["phone"].to_pylist() == [0, 2, 0, 0, 0, 1]
+
+    def test_sequential_semantics(self):
+        # the IP inside an email is consumed by the email pass first;
+        # the phone count runs on the already-IP-redacted string
+        from sprout_ray.stages.text import redact_pii
+
+        out, counts = redact_pii(pa.array(["u@1.2.3.4.example.com 10.0.0.1"]))
+        assert out.to_pylist() == ["<EMAIL> <IP>"]
+        assert counts["email"].to_pylist() == [1]
+        assert counts["ip"].to_pylist() == [1]
+        assert counts["phone"].to_pylist() == [0]
+
+
 class TestTableProfile:
     def test_profile_with_nulls_and_types(self, ray_session):
         import ray.data as rd
