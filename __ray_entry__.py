@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
         "pii_redacted": A.pii_redacted,
+        "span_dedup_stats": A.span_dedup_stats,
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
@@ -479,6 +480,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
             "FROM n ORDER BY doc_id"
+        ),
+        # C4-style span dedup: keep-first over 10-token windows; kept iff
+        # the occurrence is the (doc_id, span_no)-lexicographic first of
+        # its span text — row_number() = 1 is exactly the min-pack winner
+        "span_dedup_stats": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "s AS (SELECT doc_id, CAST(i AS BIGINT) AS span_no, "
+            "array_to_string(toks[CAST(i*10+1 AS BIGINT):"
+            "CAST(i*10+10 AS BIGINT)], ' ') AS span "
+            "FROM w, UNNEST(range(0, (len(toks)+9)//10)) AS t(i)), "
+            "r AS (SELECT doc_id, span_no, row_number() OVER "
+            "(PARTITION BY span ORDER BY doc_id, span_no) AS rn FROM s) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) "
+            "AS n_dropped "
+            "FROM r GROUP BY doc_id ORDER BY doc_id"
         ),
         # PII redaction over a deterministically planted corpus: chained
         # regexp_replace mirrors stages/text.redact_pii's sequential

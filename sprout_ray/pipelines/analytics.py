@@ -2146,6 +2146,19 @@ def normalized_docs(sf_dir: str):
     )
 
 
+def span_dedup_stats(sf_dir: str):
+    """C4-style cross-corpus span dedup (keep the globally FIRST occurrence
+    of every 10-token window, drop repeats) read out as per-doc stats.
+    One native groupby-min on the span text is the only all-to-all; the
+    kept occurrences are the winners themselves (no join back). The
+    synthetic corpus's small vocabulary makes 10-token windows genuinely
+    collide across docs, so the keep-first decision is exercised for real
+    (~5% of spans drop at sf0.01)."""
+    from ..stages.dedup import span_dedup_stats as _sds
+
+    return _sds(_read(sf_dir, "documents", ["doc_id", "text"]), span_tokens=10)
+
+
 def pii_redacted(sf_dir: str):
     """PII redaction over a deterministically PII-planted corpus: docs with
     doc_id % 7 == 0 gain a unique planted email, docs with doc_id % 11 == 0

@@ -1850,3 +1850,149 @@ def incremental_dedup(
         )
         verified_new = drop_seen(maybes).map_batches(strip, batch_format="pyarrow")
     return definite_new.union(verified_new)
+
+
+# --------------------------------------------------------------------------
+# Cross-corpus span dedup (C4/MassiveText-style line dedup at token-window
+# granularity)
+# --------------------------------------------------------------------------
+
+_SPAN_PACK_BITS = 20  # span_no < 2^20 (a 10M-token doc); doc_id < 2^43
+
+
+def span_explode(
+    t: pa.Table,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Rows -> (span, pack) rows: non-overlapping ``span_tokens``-token
+    windows of the single-space token stream, fully vectorized (one split,
+    one ListArray rebuild at span boundaries, one binary_join — no Python
+    per row). ``pack = doc_id << 20 | span_no`` so a native int64 min is
+    the lexicographic first occurrence (the dedupe_pair_stream packing
+    convention). Tokenization contract shared with the DuckDB twin:
+    ``string_split(text, ' ')`` — literal single space, no trim, empty
+    text yields one empty token (one empty span) on both engines."""
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.fill_null(texts, "")
+    toks = pc.split_pattern(texts, " ")
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    n_flat = int(offsets[-1])
+    if n_flat == 0:
+        return pa.table(
+            {"span": pa.array([], pa.string()), "pack": pa.array([], pa.int64())}
+        )
+    pos = np.arange(n_flat, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    span_starts = np.flatnonzero(pos % span_tokens == 0)
+    span_offsets = np.append(span_starts, n_flat)
+    spans_list = pa.ListArray.from_arrays(
+        pa.array(span_offsets, pa.int32()), toks.flatten()
+    )
+    span_str = pc.binary_join(spans_list, " ")
+    doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+    span_doc = ids[doc_of[span_starts]]
+    span_no = pos[span_starts] // span_tokens
+    if span_no.size and (
+        int(span_no.max()) >= (1 << _SPAN_PACK_BITS)
+        or int(span_doc.max()) >= (1 << (62 - _SPAN_PACK_BITS))
+        or int(span_doc.min()) < 0
+    ):
+        raise ValueError(
+            "span pack overflow: need doc_id < 2^42 and < 2^20 spans/doc"
+        )
+    pack = (span_doc << _SPAN_PACK_BITS) | span_no
+    return pa.table(
+        {"span": span_str, "pack": pa.array(pack, pa.int64())}
+    )
+
+
+def span_dedup_stats(
+    ds,
+    span_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Cross-corpus exact span dedup, keep-first semantics — the C4-style
+    "remove duplicated lines/spans across documents" hygiene op over
+    fixed ``span_tokens``-token windows. Returns one row per doc:
+    (doc_id, n_spans, n_kept, n_dropped) where a span occurrence is KEPT
+    iff it is the globally first occurrence of that span text (min
+    (doc_id, span_no), via the int64 pack).
+
+    Scale shape: the only all-to-all is ONE groupby on the span text
+    (native min-aggregate — winners come straight out of the shuffle, no
+    join back to the exploded stream, because the kept occurrences ARE
+    the winners). Winner rows pre-aggregate per block to (doc_id, count)
+    before the tiny doc-cardinality groupby; per-doc span totals ride a
+    separate cheap scan and merge via a marker-column union instead of a
+    join (one doc-cardinality shuffle, zero join actors)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        return span_explode(t, span_tokens, text_col, id_col)
+
+    winners = ds.map_batches(explode, batch_format="pyarrow").groupby(
+        "span"
+    ).min("pack")
+
+    def winner_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_kept": pa.array([], pa.int64()),
+                }
+            )
+        doc = pc.shift_right(t["min(pack)"], _SPAN_PACK_BITS)
+        agg = (
+            pa.table({id_col: doc})
+            .group_by([id_col])
+            .aggregate([([], "count_all")])
+        )
+        n = agg.column("count_all").cast(pa.int64())
+        return pa.table(
+            {
+                id_col: agg.column(id_col),
+                "n_spans": pa.nulls(len(agg), pa.int64()).fill_null(0),
+                "n_kept": n,
+            }
+        )
+
+    kept = winners.map_batches(winner_counts, batch_format="pyarrow")
+
+    def total_counts(t: pa.Table) -> pa.Table:
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        n_tok = pc.add(
+            pc.count_substring(texts, " ").cast(pa.int64()), 1
+        )
+        n_spans = pc.add(
+            pc.divide(pc.subtract(n_tok, 1), span_tokens), 1
+        )  # ceil(n_tok / span_tokens) for n_tok >= 1
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_spans": n_spans,
+                "n_kept": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            }
+        )
+
+    totals = ds.map_batches(total_counts, batch_format="pyarrow")
+
+    merged = totals.union(kept).groupby(id_col).sum(["n_spans", "n_kept"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([id_col, "n_spans", "n_kept"])
+        return t.append_column(
+            "n_dropped", pc.subtract(t["n_spans"], t["n_kept"])
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow").sort(id_col)

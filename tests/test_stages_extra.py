@@ -693,6 +693,54 @@ class TestNormalizeText:
         assert got == ["A  B 12345"]  # only trimmed
 
 
+class TestSpanDedup:
+    def test_keep_first_semantics(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.dedup import span_dedup_stats
+
+        # spans of 3 tokens; doc 1 repeats doc 0's first span (dropped),
+        # doc 2 repeats its OWN span (second occurrence dropped) and has a
+        # short tail span; doc 3 is all-fresh
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": [
+                    "a b c d e f",          # spans: "a b c", "d e f"
+                    "a b c x y z",          # "a b c" dup of doc0 -> dropped
+                    "p q r p q r tail",     # 2nd "p q r" dropped, "tail" kept
+                    "fresh words only",
+                ],
+            }
+        )
+        out = span_dedup_stats(
+            rd.from_arrow(docs), span_tokens=3
+        ).to_pandas()
+        got = {
+            int(r.doc_id): (int(r.n_spans), int(r.n_kept), int(r.n_dropped))
+            for r in out.itertuples()
+        }
+        assert got == {
+            0: (2, 2, 0),
+            1: (2, 1, 1),
+            2: (3, 2, 1),
+            3: (1, 1, 0),
+        }
+
+    def test_span_explode_edges(self):
+        from sprout_ray.stages.dedup import span_explode
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([7, 8], pa.int64()),
+                "text": ["", None],  # both become one empty span
+            }
+        )
+        out = span_explode(t, span_tokens=4)
+        assert out["span"].to_pylist() == ["", ""]
+        assert out["pack"].to_pylist() == [7 << 20, 8 << 20]
+
+
 class TestPIIRedaction:
     def test_redaction_rules(self):
         from sprout_ray.stages.text import redact_pii
