@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_docs": A.normalized_docs,
         "pii_redacted": A.pii_redacted,
         "span_dedup_stats": A.span_dedup_stats,
+        "bm25_topk": A.bm25_topk,
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
@@ -480,6 +481,42 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
             "FROM n ORDER BY doc_id"
+        ),
+        # exact BM25: per-term contributions rounded to integer 1e-8 units
+        # before the (order-free) sum; idf/tf-factor expressions use the
+        # IDENTICAL operand grouping as stages/similarity.bm25_topk, and
+        # both engines' ln is libm, so score_micro matches bit-for-bit
+        "bm25_topk": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text, ' ')), '\\s+')) AS tok FROM documents), "
+            "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "tf AS (SELECT doc_id, tok, count(*) AS c FROM tok2 "
+            "GROUP BY doc_id, tok), "
+            "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), "
+            "stats AS (SELECT (SELECT count(*) FROM documents) AS nd, "
+            "(SELECT count(*) FROM tok2) AS tt), "
+            "q AS (SELECT DISTINCT doc_id AS qid, tok FROM tok2 "
+            "WHERE doc_id < 10), "
+            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 "
+            "WHERE tok IN (SELECT tok FROM q) GROUP BY tok), "
+            "scored AS (SELECT q.qid, tf.doc_id, "
+            "CAST(sum(CAST(floor(ln((CAST(s.nd AS DOUBLE) - "
+            "CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) "
+            "+ 1.0) * ((CAST(tf.c AS DOUBLE) * 2.5) / (CAST(tf.c AS DOUBLE) "
+            "+ 1.5 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / "
+            "(CAST(s.tt AS DOUBLE) / CAST(s.nd AS DOUBLE)))))) "
+            "* 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro "
+            "FROM q JOIN tf ON q.tok = tf.tok AND tf.doc_id <> q.qid "
+            "JOIN df ON df.tok = q.tok "
+            "JOIN dl ON dl.doc_id = tf.doc_id "
+            "CROSS JOIN stats s "
+            "GROUP BY q.qid, tf.doc_id), "
+            "ranked AS (SELECT qid, doc_id, score_micro, row_number() OVER "
+            "(PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn "
+            "FROM scored) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(doc_id AS BIGINT) AS match_id, score_micro "
+            "FROM ranked WHERE rn <= 5 ORDER BY query_id, match_id"
         ),
         # C4-style span dedup: keep-first over 10-token windows; kept iff
         # the occurrence is the (doc_id, span_no)-lexicographic first of

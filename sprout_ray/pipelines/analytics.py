@@ -2146,6 +2146,19 @@ def normalized_docs(sf_dir: str):
     )
 
 
+def bm25_topk(sf_dir: str):
+    """Exact BM25 lexical retrieval (queries = docs with id < 10, top-5
+    each): the keyword-search member of the similarity family, next to
+    ANN cosine (ann_brute_topk) and token-set Jaccard (token_jaccard_top1).
+    Integer micro-unit per-term contributions make the distributed sum
+    order-free, so the ranking is DuckDB-oracle-exact."""
+    from ..stages.similarity import bm25_topk as _bm25
+
+    return _bm25(
+        _read(sf_dir, "documents", ["doc_id", "text"]), query_max_id=10, k=5
+    )
+
+
 def span_dedup_stats(sf_dir: str):
     """C4-style cross-corpus span dedup (keep the globally FIRST occurrence
     of every 10-token window, drop repeats) read out as per-doc stats.

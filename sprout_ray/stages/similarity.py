@@ -654,3 +654,241 @@ def token_jaccard_top1(
             "jaccard": pa.array(np.round(out["jaccard"].to_numpy(), 6), pa.float64()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval (the keyword-side member of the similarity-search
+# family, next to ANN cosine and token-set Jaccard)
+# --------------------------------------------------------------------------
+
+_BM25_S1, _BM25_S2 = 0x5A1AD, 0x2B7E1
+
+
+def _bm25_tokenize(t: pa.Table, text_col: str):
+    """(non-empty flat tokens, parent doc indices) — tokenization contract
+    shared with the DuckDB twin: ``string_split_regex(lower(trim(text,
+    ' ')), '\\s+')`` with empty tokens dropped."""
+    import pyarrow.compute as pc
+
+    texts = t[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    texts = pc.utf8_lower(pc.utf8_trim(pc.fill_null(texts, ""), " "))
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return flat.filter(keep), parents[keep_np]
+
+
+def _bm25_match(flat, vh1s, vh2s, sorted_to_vocab):
+    """Map token occurrences to vocabulary indices via two-seed 64-bit
+    murmur (the repo's exactness convention; h1 uniqueness over the tiny
+    query vocabulary is asserted at build time, h2 guards the probe)."""
+    from ..functions.hashing import murmur_column
+
+    if len(flat) == 0:
+        return np.empty(0, np.int64), np.empty(0, bool)
+    h1 = murmur_column(flat, _BM25_S1)
+    h2 = murmur_column(flat, _BM25_S2)
+    pos = np.searchsorted(vh1s, h1)
+    pos_c = np.minimum(pos, len(vh1s) - 1)
+    ok = (vh1s[pos_c] == h1) & (vh2s[pos_c] == h2)
+    return sorted_to_vocab[pos_c], ok
+
+
+def bm25_topk(
+    ds,
+    query_max_id: int,
+    k: int = 5,
+    k1: float = 1.5,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact distributed BM25 top-k retrieval: queries are the DISTINCT
+    tokens of docs with id < ``query_max_id``; every other doc is scored
+    sum_t idf(t) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) over shared terms
+    (Robertson/Sparck Jones idf: ln((N-df+0.5)/(df+0.5)+1)).
+
+    Scale shape: two streaming passes. Pass 1 computes df for QUERY tokens
+    only (per-block distinct-membership partials -> driver sum; the block
+    partials sum exactly because each doc lives wholly in one block) plus
+    N/avgdl in the same scan via a summary row per block. Pass 2 scores:
+    the (vocab hashes, idf, token->query CSR) bundle is broadcast once via
+    ``ray.put``; each block matches its token stream against it (one
+    vectorized murmur pass + searchsorted), aggregates integer
+    micro-scores per (query, doc) locally, and emits only its per-query
+    top-k — the driver reduces O(blocks x Q x k) rows. Corpus tokens never
+    shuffle.
+
+    Determinism/oracle parity: per-term contributions are rounded to
+    integer 1e-8 units before summing (integer sums are order-free, so
+    distributed accumulation is exact); idf uses scalar ``math.log``
+    (glibc — the same libm DuckDB's ``ln`` calls); the tf factor is
+    evaluated with the identical operand grouping as the SQL twin.
+    Returns pa.Table (query_id, match_id, score_micro)."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    from ..functions.hashing import murmur_column
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "match_id": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+        }
+    )
+
+    # --- query vocabulary (Q docs -> tiny distinct (qid, token) table) ---
+    qdocs = (
+        ds.filter(expr=f"{id_col} < {query_max_id}")
+        .select_columns([id_col, text_col])
+        .to_pandas()
+    )
+    if len(qdocs) == 0:
+        return empty
+    qtab = pa.table(
+        {
+            id_col: pa.array(qdocs[id_col].to_numpy(), pa.int64()),
+            text_col: pa.array(qdocs[text_col].astype(str), pa.string()),
+        }
+    )
+    qflat, qparents = _bm25_tokenize(qtab, text_col)
+    if len(qflat) == 0:
+        return empty
+    qid_of_occ = qdocs[id_col].to_numpy()[qparents]
+    qpairs = pd.DataFrame(
+        {"qid": qid_of_occ, "tok": qflat.to_pandas()}
+    ).drop_duplicates()
+    vocab = np.sort(qpairs["tok"].unique())
+    V = len(vocab)
+    vh1 = murmur_column(pa.array(vocab, pa.string()), _BM25_S1)
+    vh2 = murmur_column(pa.array(vocab, pa.string()), _BM25_S2)
+    if len(np.unique(vh1)) != V:  # pragma: no cover - 2^-64-scale event
+        raise ValueError("bm25: 64-bit hash collision in query vocabulary")
+    h1_order = np.argsort(vh1, kind="stable")
+    vh1s, vh2s = vh1[h1_order], vh2[h1_order]
+    sorted_to_vocab = h1_order.astype(np.int64)
+    # CSR token idx -> qids containing it
+    tok_idx = np.searchsorted(vocab, qpairs["tok"].to_numpy())
+    csr_order = np.lexsort((qpairs["qid"].to_numpy(), tok_idx))
+    qt_qids = qpairs["qid"].to_numpy()[csr_order].astype(np.int64)
+    qt_counts = np.bincount(tok_idx, minlength=V).astype(np.int64)
+    qt_offsets = np.concatenate([[0], np.cumsum(qt_counts)]).astype(np.int64)
+    match_ref = ray.put((vh1s, vh2s, sorted_to_vocab))
+
+    # --- pass 1: df over query tokens + N + total token count ---
+    def stats_partial(t: pa.Table) -> pa.Table:
+        flat, parents = _bm25_tokenize(t, text_col)
+        vidx, ok = _bm25_match(flat, *ray.get(match_ref))
+        rows_idx = np.empty(0, np.int64)
+        rows_df = np.empty(0, np.int64)
+        if ok.any():
+            upairs = np.unique(parents[ok].astype(np.int64) * V + vidx[ok])
+            df_part = np.bincount(upairs % V, minlength=V)
+            rows_idx = np.flatnonzero(df_part).astype(np.int64)
+            rows_df = df_part[rows_idx]
+        return pa.table(
+            {
+                "tok_idx": pa.array(np.append(rows_idx, -1), pa.int64()),
+                "df": pa.array(np.append(rows_df, 0), pa.int64()),
+                "n_docs": pa.array(
+                    np.append(np.zeros_like(rows_idx), t.num_rows), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    np.append(np.zeros_like(rows_idx), len(flat)), pa.int64()
+                ),
+            }
+        )
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_corpus = int(stats["n_docs"].sum())
+    total_tokens = int(stats["n_tokens"].sum())
+    if n_corpus == 0 or total_tokens == 0:
+        return empty
+    avgdl = total_tokens / n_corpus
+    df_by_idx = np.zeros(V, np.int64)
+    tok_rows = stats[stats["tok_idx"] >= 0]
+    np.add.at(df_by_idx, tok_rows["tok_idx"].to_numpy(), tok_rows["df"].to_numpy())
+    # scalar glibc log per unique df value (numpy's vectorized log is not
+    # guaranteed bit-equal to libm; DuckDB's ln is libm)
+    idf_of_df = {int(d): math.log((n_corpus - int(d) + 0.5) / (int(d) + 0.5) + 1.0)
+                 for d in np.unique(df_by_idx)}
+    idf = np.array([idf_of_df[int(d)] for d in df_by_idx], np.float64)
+    score_ref = ray.put(
+        (vh1s, vh2s, sorted_to_vocab, idf, qt_offsets, qt_qids, avgdl)
+    )
+
+    # --- pass 2: score + per-block top-k partials ---
+    def score_partial(t: pa.Table) -> pa.Table:
+        (mh1, mh2, s2v, idf_a, offs, qids_a, avg) = ray.get(score_ref)
+        flat, parents = _bm25_tokenize(t, text_col)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        n_docs = t.num_rows
+        vidx, ok = _bm25_match(flat, mh1, mh2, s2v)
+        if not ok.any():
+            return empty
+        dl = np.bincount(parents, minlength=n_docs).astype(np.int64)
+        upack, c = np.unique(
+            parents[ok].astype(np.int64) * V + vidx[ok], return_counts=True
+        )
+        pdoc = upack // V
+        pidx = upack % V
+        cf = c.astype(np.float64)
+        dlf = dl[pdoc].astype(np.float64)
+        # EXACT oracle-parity grouping: (c*(k1+1)) / (c + k1*((1-b) + b*(dl/avg)))
+        tffac = (cf * (k1 + 1.0)) / (cf + k1 * ((1.0 - b) + b * (dlf / avg)))
+        contrib = np.floor((idf_a[pidx] * tffac) * 1e8 + 0.5).astype(np.int64)
+        reps = offs[pidx + 1] - offs[pidx]
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        starts = np.repeat(offs[pidx], reps)
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]).astype(np.int64), reps
+        )
+        qrep = qids_a[starts + within]
+        docrep = np.repeat(pdoc, reps)
+        crep = np.repeat(contrib, reps)
+        keep = ids[docrep] != qrep
+        if not keep.any():
+            return empty
+        qrep, docrep, crep = qrep[keep], docrep[keep], crep[keep]
+        uq = np.unique(qids_a)
+        qlocal = np.searchsorted(uq, qrep)
+        pairpack = qlocal * n_docs + docrep
+        uniqp, inv = np.unique(pairpack, return_inverse=True)
+        sums = np.bincount(inv, weights=crep.astype(np.float64)).astype(np.int64)
+        q_l = uniqp // n_docs
+        d_l = uniqp % n_docs
+        order = np.lexsort((ids[d_l], -sums, q_l))
+        q_s = q_l[order]
+        first = np.concatenate([[0], np.cumsum(np.bincount(q_s))[:-1]])
+        rank = np.arange(q_s.size) - first[q_s]
+        top = order[rank < k]
+        return pa.table(
+            {
+                "query_id": pa.array(uq[q_l[top]], pa.int64()),
+                "match_id": pa.array(ids[d_l[top]], pa.int64()),
+                "score_micro": pa.array(sums[top], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(score_partial, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return empty
+    out = partials.sort_values(
+        ["query_id", "score_micro", "match_id"], ascending=[True, False, True]
+    ).groupby("query_id", sort=True).head(k).sort_values(["query_id", "match_id"])
+    return pa.table(
+        {
+            "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+            "match_id": pa.array(out["match_id"].to_numpy(), pa.int64()),
+            "score_micro": pa.array(out["score_micro"].to_numpy(), pa.int64()),
+        }
+    )

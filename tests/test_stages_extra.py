@@ -693,6 +693,73 @@ class TestNormalizeText:
         assert got == ["A  B 12345"]  # only trimmed
 
 
+class TestBM25:
+    def test_matches_naive_reference(self, ray_session):
+        import collections
+        import math
+
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import bm25_topk
+
+        import random
+
+        rng = random.Random(11)
+        vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(3, 25)))
+            for _ in range(60)
+        ]
+        ids = list(range(60))
+        out = bm25_topk(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "text": texts,
+                    }
+                )
+            ).repartition(5),
+            query_max_id=3,
+            k=4,
+        ).to_pandas()
+
+        # naive reference
+        toks = [t.split() for t in texts]
+        dls = [len(t) for t in toks]
+        N, avgdl = 60, sum(dls) / 60
+        k1, b = 1.5, 0.75
+        expected = {}
+        for qid in range(3):
+            qset = set(toks[qid])
+            scores = {}
+            for d in range(60):
+                if d == qid:
+                    continue
+                cnt = collections.Counter(toks[d])
+                s = 0
+                for t in qset & set(toks[d]):
+                    df = sum(1 for dd in toks if t in dd)
+                    idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+                    c = float(cnt[t])
+                    tff = (c * (k1 + 1.0)) / (
+                        c + k1 * ((1.0 - b) + b * (dls[d] / avgdl))
+                    )
+                    s += int(math.floor((idf * tff) * 1e8 + 0.5))
+                if s:
+                    scores[d] = s
+            top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+            expected[qid] = sorted((d, s) for d, s in top)
+        got = {
+            q: sorted(
+                (int(r.match_id), int(r.score_micro))
+                for r in g.itertuples()
+            )
+            for q, g in out.groupby("query_id")
+        }
+        assert got == expected
+
+
 class TestSpanDedup:
     def test_keep_first_semantics(self, ray_session):
         import ray.data as rd
