@@ -215,6 +215,9 @@ def query_suite(sf_dir: str) -> dict:
         ("incremental_dedup_survivors", A.incremental_dedup_survivors),
         ("length_band_survivors", A.length_band_survivors),
         ("table_profile", A.table_profile),
+        ("span_dedup_stats", A.span_dedup_stats),
+        ("bm25_topk", A.bm25_topk),
+        ("pii_redacted", A.pii_redacted),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

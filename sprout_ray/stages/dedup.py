@@ -1934,7 +1934,11 @@ def span_dedup_stats(
     join (one doc-cardinality shuffle, zero join actors)."""
 
     def explode(t: pa.Table) -> pa.Table:
-        return span_explode(t, span_tokens, text_col, id_col)
+        # per-block combiner: local min-pack per span shrinks the exchange
+        # to one row per (block, distinct span) before the global groupby
+        e = span_explode(t, span_tokens, text_col, id_col)
+        agg = e.group_by(["span"]).aggregate([("pack", "min")])
+        return agg.rename_columns(["span", "pack"])
 
     winners = ds.map_batches(explode, batch_format="pyarrow").groupby(
         "span"
