@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redacted": A.pii_redacted,
         "span_dedup_stats": A.span_dedup_stats,
         "bm25_topk": A.bm25_topk,
+        "neardup_dedup_survivors": A.neardup_dedup_survivors,
         "corpus_shuffle_head": A.corpus_shuffle_head,
         "corpus_temperature_sample": A.corpus_temperature_sample,
         "table_profile": A.table_profile,
@@ -481,6 +482,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, norm_text, "
             "CAST(length(norm_text) AS BIGINT) AS norm_len "
             "FROM n ORDER BY doc_id"
+        ),
+        # end-to-end near-dup dedup in the degenerate exact regime:
+        # LSH pairs at threshold 1.0 + exact verify + connected components
+        # keep exactly the min-id doc per distinct text of the planted corpus
+        "neardup_dedup_survivors": (
+            "WITH corpus AS ("
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT CAST(doc_id + 1000000 AS BIGINT), text "
+            "FROM documents WHERE doc_id < 100) "
+            "SELECT doc_id FROM (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY text) AS m FROM corpus) "
+            "WHERE doc_id = m ORDER BY doc_id"
         ),
         # exact BM25: per-term contributions rounded to integer 1e-8 units
         # before the (order-free) sum; idf/tf-factor expressions use the

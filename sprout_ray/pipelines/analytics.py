@@ -2146,6 +2146,36 @@ def normalized_docs(sf_dir: str):
     )
 
 
+def neardup_dedup_survivors(sf_dir: str):
+    """THE end-to-end near-dup corpus dedup pipeline, composed from its
+    already-verified pieces: MinHash signatures -> LSH banding -> hot-bucket
+    pair enumeration -> exact-text verify -> distributed connected
+    components -> keep each cluster's min-id representative. Run in the
+    degenerate regime (threshold=1.0 over the planted-dup corpus) the
+    surviving set provably equals the SQL keep-min-per-text twin, so the
+    WHOLE composition — not just each stage — is oracle-checked."""
+    from ..stages.dedup import (
+        connected_components_distributed,
+        minhash_dedup_pairs,
+    )
+
+    corpus = _planted_dup_docs(sf_dir)
+    pairs = minhash_dedup_pairs(
+        corpus, threshold=1.0, concurrency=2, max_bucket=100_000
+    ).select_columns(["left_id", "right_id"])
+    verified = _verify_pairs_exact_text(pairs, corpus)
+    clusters = connected_components_distributed(
+        verified, nodes_ds=corpus.select_columns(["doc_id"])
+    )
+    survivors = clusters.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["cluster"])).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return survivors.sort("doc_id")
+
+
 def bm25_topk(sf_dir: str):
     """Exact BM25 lexical retrieval (queries = docs with id < 10, top-5
     each): the keyword-search member of the similarity family, next to
