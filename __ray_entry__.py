@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": A.table_profile,
         "length_band_survivors": A.length_band_survivors,
         "incremental_dedup_survivors": A.incremental_dedup_survivors,
+        "unigram_quality": A.unigram_quality,
     }
 
 
@@ -629,6 +630,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # CCNet-style unigram-LM scoring: top-16 vocab by (tf DESC, tok)
+        # cuts inside the corpus's 31-token vocabulary, so in-vocab rows
+        # take ln(tf/N) and OOV rows the Lidstone half-count floor
+        # ln(0.5/N); per-occurrence contributions are floored to integer
+        # 1e-8 units with the IDENTICAL operand grouping as
+        # stages/text.unigram_logprob_scores, making the per-doc sum
+        # order-free and hash-exact.
+        "unigram_quality": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "lower(trim(text, ' ')), '\\s+')) AS tok FROM documents), "
+            "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "tf AS (SELECT tok, count(*) AS tf FROM tok2 GROUP BY tok), "
+            "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok2), "
+            "vocab AS (SELECT tok, tf FROM tf "
+            "ORDER BY tf DESC, tok LIMIT 16), "
+            "scored AS (SELECT t.doc_id, CASE WHEN v.tok IS NOT NULL "
+            "THEN CAST(floor(ln(CAST(v.tf AS DOUBLE) / n.n) "
+            "* 100000000.0 + 0.5) AS BIGINT) "
+            "ELSE CAST(floor(ln(0.5 / n.n) * 100000000.0 + 0.5) AS BIGINT) "
+            "END AS occ FROM tok2 t "
+            "LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN n) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(occ) AS BIGINT) AS logprob_micro "
+            "FROM scored GROUP BY doc_id ORDER BY doc_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -218,6 +218,7 @@ def query_suite(sf_dir: str) -> dict:
         ("span_dedup_stats", A.span_dedup_stats),
         ("bm25_topk", A.bm25_topk),
         ("pii_redacted", A.pii_redacted),
+        ("unigram_quality", A.unigram_quality),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

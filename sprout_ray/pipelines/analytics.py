@@ -2341,3 +2341,18 @@ def incremental_dedup_survivors(sf_dir: str):
     )
     out = incremental_dedup(fresh.union(planted), old)
     return out.select_columns(["doc_id"]).sort("doc_id")
+
+
+def unigram_quality(sf_dir: str):
+    """CCNet-style unigram-LM quality scores per document (Wenzek et al.
+    2020): train a top-V unigram model over the whole corpus in one
+    distributed pass, then score every doc's token stream against it.
+    vocab_size=16 deliberately cuts inside this corpus's 31-token
+    vocabulary so BOTH the in-vocab and the OOV (half-count Lidstone
+    floor) paths are oracle-exercised. Integer 1e-8 log-prob units make
+    the distributed per-doc sum order-free and DuckDB-exact."""
+    from ..stages.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(
+        _read(sf_dir, "documents", ["doc_id", "text"]), vocab_size=16
+    )

@@ -316,3 +316,127 @@ def add_pii_redaction(batch: pa.Table, col: str = "text") -> pa.Table:
     for name, c in counts.items():
         batch = batch.append_column(f"n_{name}s", c)
     return batch
+
+
+def unigram_logprob_scores(
+    ds,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """CCNet-style unigram language-model quality scoring (Wenzek et al.
+    2020 score documents by LM perplexity and keep the fluent band; the
+    unigram model is the exactly-reproducible member of that family).
+
+    Two streaming passes, no exploded-token shuffle:
+
+    1. **Train**: per-block (token, tf) partials (each doc lives wholly in
+       one block) -> native ``groupby(token).sum`` over the thinned
+       per-(token, block) stream -> distributed sort by (tf DESC, token
+       ASC) -> the top-``vocab_size`` rows and the global token count are
+       the ONLY driver materialization (O(V), corpus-size independent).
+    2. **Score**: the vocabulary rides once via ``ray.put`` as two-seed
+       murmur hash lanes (the bm25 probe convention); each block maps its
+       token stream in one vectorized pass and emits per-doc
+       (n_tokens, logprob_micro) — integer 1e-8 log-prob units, so the
+       distributed sum is order-free and DuckDB-oracle-exact.
+
+    Token log-probs are ``floor(ln(tf / N) * 1e8 + 0.5)``; out-of-vocabulary
+    tokens get the half-count floor ``ln(0.5 / N)`` (Lidstone-style). Both
+    use scalar ``math.log`` — the same glibc ``ln`` DuckDB calls — with the
+    identical operand grouping as the SQL twin. Docs whose trimmed text has
+    no tokens produce no row (matching the SQL GROUP BY over the token
+    stream). Returns a Dataset (id_col, n_tokens, logprob_micro); a
+    token-free corpus returns a schema-bearing 0-row pa.Table instead."""
+    import math
+
+    import ray
+
+    from ..stages.similarity import _BM25_S1, _BM25_S2, _bm25_match, _bm25_tokenize
+    from ..functions.hashing import murmur_column
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, _parents = _bm25_tokenize(t, text_col)
+        part = (
+            pa.table({"token": flat})
+            .group_by(["token"])
+            .aggregate([("token", "count")])
+        )
+        return part.rename_columns(["token", "tf"])
+
+    grouped = (
+        ds.select_columns([text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("tf", ignore_nulls=True)
+        .rename_columns({"sum(tf)": "tf"})
+        # O(distinct tokens) — corpus-size-independent; materializing here
+        # keeps the sum + sort consumers from re-running the corpus scan.
+        .materialize()
+    )
+    n_total = int(grouped.sum("tf", ignore_nulls=True) or 0)
+    if n_total == 0:
+        # schema-bearing pa.Table, not a Dataset: a 0-row Dataset drops
+        # its schema on to_pandas() (exact_dup_pairs precedent).
+        return pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "logprob_micro": pa.array([], pa.int64()),
+            }
+        )
+    top = grouped.sort(["tf", "token"], descending=[True, False]).limit(
+        vocab_size
+    )
+    vrows = top.take_all()
+    vocab = pa.array([r["token"] for r in vrows], pa.string())
+    lp = np.array(
+        [
+            math.floor(math.log(r["tf"] / n_total) * 1e8 + 0.5)
+            for r in vrows
+        ],
+        dtype=np.int64,
+    )
+    oov = int(math.floor(math.log(0.5 / n_total) * 1e8 + 0.5))
+    vh1 = murmur_column(vocab, _BM25_S1)
+    vh2 = murmur_column(vocab, _BM25_S2)
+    if len(np.unique(vh1)) != len(vocab):  # pragma: no cover - 2^-64 event
+        raise ValueError("unigram: 64-bit hash collision in vocabulary")
+    order = np.argsort(vh1, kind="stable")
+    model_ref = ray.put((vh1[order], vh2[order], lp[order]))
+
+    def score_block(t: pa.Table) -> pa.Table:
+        flat, parents = _bm25_tokenize(t, text_col)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logprob_micro": pa.array([], pa.int64()),
+                }
+            )
+        vh1s, vh2s, lps = ray.get(model_ref)
+        h1 = murmur_column(flat, _BM25_S1)
+        h2 = murmur_column(flat, _BM25_S2)
+        pos_c = np.minimum(np.searchsorted(vh1s, h1), len(vh1s) - 1)
+        ok = (vh1s[pos_c] == h1) & (vh2s[pos_c] == h2)
+        occ_lp = np.where(ok, lps[pos_c], oov)
+        # parents is nondecreasing (list_parent_indices order)
+        bounds = np.concatenate(
+            [[0], np.flatnonzero(np.diff(parents)) + 1]
+        )
+        doc_idx = parents[bounds].astype(np.int64)
+        sums = np.add.reduceat(occ_lp, bounds)
+        counts = np.diff(np.append(bounds, len(parents)))
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+                "logprob_micro": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -894,3 +894,75 @@ class TestProfileCLI:
         by = {x["column"]: x for x in rows}
         assert by["doc_id"]["n_distinct"] == 500 and by["doc_id"]["distinct_exact"]
         assert by["lang"]["n_distinct"] == 5
+
+
+class TestUnigramLM:
+    def test_matches_naive_reference(self, ray_session):
+        import collections
+        import math
+        import random
+
+        import ray.data as rd
+
+        from sprout_ray.stages.text import unigram_logprob_scores
+
+        rng = random.Random(7)
+        vocab = "alpha beta gamma delta epsilon zeta eta theta rare1 rare2".split()
+        weights = [30, 25, 20, 15, 10, 5, 4, 3, 1, 1]
+        texts = [
+            " ".join(rng.choices(vocab, weights=weights, k=rng.randint(2, 30)))
+            for _ in range(80)
+        ]
+        texts += ["", "   "]  # token-free docs: no output row
+        ids = list(range(len(texts)))
+        V = 6  # cuts inside the 10-word vocabulary -> OOV path exercised
+        out = unigram_logprob_scores(
+            rd.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array(ids, pa.int64()), "text": texts}
+                )
+            ),
+            vocab_size=V,
+        ).to_pandas()
+
+        tf = collections.Counter(w for t in texts for w in t.split())
+        n_total = sum(tf.values())
+        top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+        lp = {
+            w: math.floor(math.log(c / n_total) * 1e8 + 0.5) for w, c in top
+        }
+        oov = math.floor(math.log(0.5 / n_total) * 1e8 + 0.5)
+
+        got = {
+            int(r.doc_id): (int(r.n_tokens), int(r.logprob_micro))
+            for r in out.itertuples()
+        }
+        for i, t in enumerate(texts):
+            toks = t.split()
+            if not toks:
+                assert i not in got
+                continue
+            want = (len(toks), sum(lp.get(w, oov) for w in toks))
+            assert got[i] == want, (i, got[i], want)
+        assert len(got) == 80
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.text import unigram_logprob_scores
+
+        out = unigram_logprob_scores(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "text": pa.array([], pa.string()),
+                    }
+                )
+            )
+        )
+        # degenerate branch hands back a schema-bearing pa.Table (a 0-row
+        # Dataset would drop its schema on to_pandas)
+        assert isinstance(out, pa.Table)
+        assert out.column_names == ["doc_id", "n_tokens", "logprob_micro"]
+        assert out.num_rows == 0
