@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_survivors": A.length_band_survivors,
         "incremental_dedup_survivors": A.incremental_dedup_survivors,
         "unigram_quality": A.unigram_quality,
+        "user_running_value": A.user_running_value,
     }
 
 
@@ -656,6 +657,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # per-key cumulative window: value rides as integer cents
+        # (half-away rounding, the repo money convention) so the running
+        # sum is addition-order-free and exact at every prefix
+        "user_running_value": (
+            "SELECT user_id, event_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS cum_n, "
+            "CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w "
+            "AS BIGINT) AS cum_cents FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) ORDER BY user_id, event_id"
         ),
         "hourly_active_users": (
             "SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS window, "

@@ -219,6 +219,7 @@ def query_suite(sf_dir: str) -> dict:
         ("bm25_topk", A.bm25_topk),
         ("pii_redacted", A.pii_redacted),
         ("unigram_quality", A.unigram_quality),
+        ("user_running_value", A.user_running_value),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2356,3 +2356,36 @@ def unigram_quality(sf_dir: str):
     return unigram_logprob_scores(
         _read(sf_dir, "documents", ["doc_id", "text"]), vocab_size=16
     )
+
+
+def user_running_value(sf_dir: str):
+    """Per-user running event count + running value total over the full
+    event stream — the classic per-key cumulative window (SQL: SUM/COUNT
+    OVER (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED PRECEDING)),
+    as stages/windows.cumulative_by_key's two-pass distributed scan.
+    Money rides as integer cents (half-away rounding) so the running sum
+    is addition-order-free and oracle-exact at every prefix."""
+    from ..stages.windows import cumulative_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value_cents": c,
+            }
+        )
+
+    out = cumulative_by_key(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key="user_id",
+        order_cols=["ts", "event_id"],
+        val_col="value_cents",
+        sum_col="cum_cents",
+        count_col="cum_n",
+    )
+    return out.select_columns(["user_id", "event_id", "cum_n", "cum_cents"])

@@ -241,3 +241,140 @@ def hopping_counts(
             Sum("value_micro", alias_name="sum_value_micro"),
         )
     )
+
+
+def cumulative_by_key(
+    ds,
+    key: str,
+    order_cols: list,
+    val_col: str,
+    sum_col: str = "cum_val",
+    count_col: str = "cum_n",
+):
+    """Per-key running (cumulative) sum + count — the SQL window
+    ``sum(val) OVER (PARTITION BY key ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)``, emitted for EVERY input row (unlike sessionize, the
+    output stays row-per-row and never funnels through the driver).
+
+    Scale shape (two-pass distributed scan, the pack_sequences pattern):
+    one range sort by (key, *order_cols), then pass 1 emits ONE summary
+    row per sorted block — the block's first/last key-run partial sums
+    plus the block's first-row sort tuple (O(blocks) driver rows). Only a
+    block's FIRST key run can have history in earlier blocks (keys are
+    contiguous after the sort), so the driver's carry loop produces one
+    (base_sum, base_count) per block, broadcast as an exact-match dict
+    keyed by the first-row tuple; pass 2 adds the base to the first run
+    and a vectorized segment-local cumsum to everything else. Both passes
+    run ``batch_size=None`` over the SAME materialized sorted dataset, so
+    batches == stored blocks (the invariant pack_sequences already
+    relies on); an unrecognized first-row tuple fails loudly rather than
+    silently dropping a carry. Temporal sort columns are canonicalized to
+    epoch int64 so dict keys hash identically in both passes.
+
+    ``val_col`` must be an integer column (the repo's integer-unit
+    convention: float money is converted to cents/micros upstream so the
+    running sum is addition-order-free and DuckDB-oracle-exact).
+    Returns the sorted ds with ``sum_col``/``count_col`` appended.
+    """
+    import ray
+
+    if not pa.types.is_integer(ds.schema().base_schema.field(val_col).type):
+        raise ValueError(
+            f"cumulative_by_key: {val_col!r} must be integer "
+            "(convert float units to cents/micros upstream)"
+        )
+    sort_keys = [key] + list(order_cols)
+    sorted_ds = ds.sort(sort_keys).materialize()  # consumed twice
+
+    def _first_tuple(t: pa.Table) -> tuple:
+        out = []
+        for c in sort_keys:
+            col = t[c]
+            if pa.types.is_temporal(col.type):
+                col = pc.cast(col, pa.int64())
+            out.append(col[0].as_py())
+        return tuple(out)
+
+    def summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"_n": pa.array([], pa.int64())})
+        keys = t[key].to_numpy(zero_copy_only=False)
+        if t[val_col].null_count:
+            raise ValueError(f"cumulative_by_key: {val_col!r} contains nulls")
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        brk = np.flatnonzero(keys[1:] != keys[:-1])
+        f_end = int(brk[0]) + 1 if brk.size else t.num_rows
+        l_start = int(brk[-1]) + 1 if brk.size else 0
+        cols = {"_n": pa.array([t.num_rows], pa.int64())}
+        for i, v in enumerate(_first_tuple(t)):
+            cols[f"_b{i}"] = pa.array([v])
+        cols["_single"] = pa.array([not brk.size])
+        cols["_fsum"] = pa.array([int(vals[:f_end].sum())], pa.int64())
+        cols["_fcnt"] = pa.array([f_end], pa.int64())
+        lk = t[key].slice(t.num_rows - 1, 1)
+        if pa.types.is_temporal(lk.type):
+            # canonicalize like _first_tuple so the carry-key comparison
+            # (_lk vs next block's _b0) is type-consistent
+            lk = pc.cast(lk, pa.int64())
+        cols["_lk"] = lk
+        cols["_lsum"] = pa.array([int(vals[l_start:].sum())], pa.int64())
+        cols["_lcnt"] = pa.array([t.num_rows - l_start], pa.int64())
+        return pa.table(cols)
+
+    parts = sorted_ds.map_batches(
+        summary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()  # O(blocks) rows — the only driver materialization
+    nb = len(sort_keys)
+    parts = [p for p in parts if "_fsum" in p and p["_fsum"] is not None]
+    # blocks own disjoint ranges of the sort tuple -> the first-row tuple
+    # orders them (canonicalized: temporal already int64)
+    parts.sort(key=lambda p: tuple(p[f"_b{i}"] for i in range(nb)))
+    bases = {}
+    carry_key, carry_sum, carry_cnt = object(), 0, 0
+    for p in parts:
+        blk = tuple(p[f"_b{i}"] for i in range(nb))
+        fk, lk = p["_b0"], p["_lk"]
+        if fk == carry_key:
+            base_s, base_c = carry_sum, carry_cnt
+        else:
+            base_s, base_c = 0, 0
+        bases[blk] = (base_s, base_c)
+        if p["_single"]:
+            # whole block is one key run: extend the open carry
+            carry_key, carry_sum, carry_cnt = (
+                lk, base_s + p["_lsum"], base_c + p["_lcnt"],
+            )
+        else:
+            carry_key, carry_sum, carry_cnt = lk, p["_lsum"], p["_lcnt"]
+    bases_ref = ray.put(bases)
+
+    def add_cum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            t = t.append_column(sum_col, pa.array([], pa.int64()))
+            return t.append_column(count_col, pa.array([], pa.int64()))
+        base = ray.get(bases_ref).get(_first_tuple(t))
+        if base is None:
+            raise RuntimeError(
+                "cumulative_by_key: pass-2 batch does not align with a "
+                "pass-1 block (batch/block invariant violated)"
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = np.cumsum(vals)
+        cn = np.arange(1, t.num_rows + 1, dtype=np.int64)
+        change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg_id = np.cumsum(change) - 1
+        seg_start = np.flatnonzero(change)
+        prior_s = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        prior_n = np.where(seg_start > 0, cn[seg_start - 1], 0)
+        out_s = cs - prior_s[seg_id]
+        out_n = cn - prior_n[seg_id]
+        first = seg_id == 0
+        out_s[first] += base[0]
+        out_n[first] += base[1]
+        t = t.append_column(sum_col, pa.array(out_s, pa.int64()))
+        return t.append_column(count_col, pa.array(out_n, pa.int64()))
+
+    return sorted_ds.map_batches(
+        add_cum, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -966,3 +966,71 @@ class TestUnigramLM:
         assert isinstance(out, pa.Table)
         assert out.column_names == ["doc_id", "n_tokens", "logprob_micro"]
         assert out.num_rows == 0
+
+
+class TestCumulativeByKey:
+    def _naive(self, df):
+        df = df.sort_values(["k", "o"], kind="stable").reset_index(drop=True)
+        df["cum_val"] = df.groupby("k")["v"].cumsum()
+        df["cum_n"] = df.groupby("k").cumcount() + 1
+        return df
+
+    def test_matches_pandas_across_many_blocks(self, ray_session):
+        import random
+
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import cumulative_by_key
+
+        rng = random.Random(5)
+        # key 7 dominates: it will occupy several WHOLE sorted blocks,
+        # exercising the chained single-run carry; other keys span
+        # boundaries incidentally
+        rows = [(7, i, rng.randint(-50, 50)) for i in range(400)]
+        rows += [
+            (rng.randint(0, 6), 1000 + i, rng.randint(-50, 50))
+            for i in range(200)
+        ]
+        rng.shuffle(rows)
+        import pandas as pd
+
+        df = pd.DataFrame(rows, columns=["k", "o", "v"])
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(df.k, pa.int64()),
+                    "o": pa.array(df.o, pa.int64()),
+                    "v": pa.array(df.v, pa.int64()),
+                }
+            )
+        ).repartition(12)  # force many small sorted blocks
+        got = (
+            cumulative_by_key(ds, "k", ["o"], "v")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = self._naive(df)
+        assert (got["cum_val"].to_numpy() == want["cum_val"].to_numpy()).all()
+        assert (got["cum_n"].to_numpy() == want["cum_n"].to_numpy()).all()
+        assert len(got) == len(want)
+
+    def test_rejects_float_and_nulls(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import cumulative_by_key
+
+        fds = rd.from_arrow(
+            pa.table({"k": pa.array([1], pa.int64()), "o": pa.array([1], pa.int64()),
+                      "v": pa.array([1.0], pa.float64())})
+        )
+        with _pt.raises(ValueError, match="must be integer"):
+            cumulative_by_key(fds, "k", ["o"], "v")
+        nds = rd.from_arrow(
+            pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "o": pa.array([1, 2], pa.int64()),
+                      "v": pa.array([1, None], pa.int64())})
+        )
+        with _pt.raises(Exception, match="contains nulls"):
+            cumulative_by_key(nds, "k", ["o"], "v").materialize()
