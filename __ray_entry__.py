@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_survivors": A.incremental_dedup_survivors,
         "unigram_quality": A.unigram_quality,
         "user_running_value": A.user_running_value,
+        "semdedup_survivors": A.semdedup_survivors,
     }
 
 
@@ -308,6 +309,16 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000) o "
             "ON c.c_custkey = o.o_custkey "
             "WHERE o.o_custkey IS NULL ORDER BY c_custkey"
+        ),
+        # SemDeDup exact degenerate regime (k=1): survivor iff no lower-id
+        # row is cosine >= 0.4 — the near-dup twin of exact dedup's
+        # keep-first
+        "semdedup_survivors": (
+            "SELECT CAST(a.vec_id AS BIGINT) AS vec_id FROM embeddings a "
+            "WHERE NOT EXISTS (SELECT 1 FROM embeddings b "
+            "WHERE b.vec_id < a.vec_id AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4) ORDER BY vec_id"
         ),
         "embedding_neardup_exact": (
             "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

@@ -220,6 +220,7 @@ def query_suite(sf_dir: str) -> dict:
         ("pii_redacted", A.pii_redacted),
         ("unigram_quality", A.unigram_quality),
         ("user_running_value", A.user_running_value),
+        ("semdedup_survivors", A.semdedup_survivors),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2389,3 +2389,17 @@ def user_running_value(sf_dir: str):
         count_col="cum_n",
     )
     return out.select_columns(["user_id", "event_id", "cum_n", "cum_cents"])
+
+
+def semdedup_survivors(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table in its exact
+    degenerate regime: k=1 makes the within-cluster compare a single global
+    cosine prune, so the greedy keep-min-id rule ("drop a row iff some
+    lower-id row is >= threshold") has a SQL NOT EXISTS twin. Threshold
+    0.4 sits in the corpus's discriminative band (max pairwise cosine
+    ~0.5; see embedding_neardup_exact). k>1 recall is pinned by the
+    planted-cluster pytest (tests/test_cluster.py)."""
+    from ..stages.cluster import semantic_dedup_survivors
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup_survivors(emb, threshold=0.4, k=1).sort("vec_id")

@@ -196,3 +196,88 @@ def kmeans_assign(
         return t.append_column(out_col, pa.array(assign.astype(np.int64)))
 
     return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup_survivors(
+    ds,
+    threshold: float,
+    k: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    seed: int = 11,
+    dtype=np.float64,
+    max_cluster: int = 200_000,
+    chunk_rows: int = 2048,
+):
+    """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding corpus
+    by spherical k-means + within-cluster cosine pruning.
+
+    A row is DROPPED when its cluster contains a lower-id row with cosine
+    similarity >= ``threshold`` (deterministic keep-min-id; the greedy
+    "keep the first member of every near-dup pair" rule, the near-dup twin
+    of exact_dedup's keep-first). Returns a Dataset of surviving ids.
+
+    Scale shape: k-means fit/assign broadcast only k x dim centroids
+    (never the corpus); the within-cluster compare runs as ONE
+    ``groupby(cluster).map_groups`` call per cluster — k Python calls
+    total, each a chunked (rows x cluster) float matmul, never an
+    n x n allocation. The O(c^2) per-cluster flops are the algorithm's
+    actual cost; ``k`` is the knob that bounds c (the SemDeDup paper uses
+    k ~ n/2000), and ``max_cluster`` fails loudly instead of letting one
+    mega-cluster OOM a worker — raise ``k`` or pre-split on a coarser
+    key. ``k=1`` is the exact degenerate regime (single global compare,
+    SQL-twinnable); clusters are only ever compared internally, so any
+    cross-cluster near-dup pair is invisible by design (the paper's
+    recall/cost trade).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    src = ds.select_columns([id_col, emb_col]).materialize()
+    if k == 1:
+        # degenerate: one global cluster; skip the pointless fit
+        assigned = src.map_batches(
+            lambda t: t.append_column(
+                "_cluster", pa.array(np.zeros(t.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        cent, _ = kmeans_fit(
+            src, k, emb_col=emb_col, mode="spherical", iters=iters,
+            seed=seed, dtype=dtype,
+        )
+        assigned = kmeans_assign(
+            src, cent, emb_col=emb_col, mode="spherical",
+            out_col="_cluster", dtype=dtype,
+        )
+
+    thr = float(threshold)
+    dt = np.dtype(dtype)
+
+    def survivors_in_cluster(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        if n > max_cluster:
+            raise ValueError(
+                f"semantic_dedup: cluster of {n} rows exceeds max_cluster="
+                f"{max_cluster}; raise k (SemDeDup uses k ~ n/2000)"
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = _normalize(_emb_matrix(t[emb_col], dtype=dt))[order]
+        keep = np.ones(n, dtype=bool)
+        for a in range(1, n, chunk_rows):
+            b = min(a + chunk_rows, n)
+            # rows [a:b) vs ALL lower-id columns [0:b): one bounded matmul
+            s = mat[a:b] @ mat[:b].T
+            lower = np.arange(b)[None, :] < np.arange(a, b)[:, None]
+            keep[a:b] = ~((s >= thr) & lower).any(axis=1)
+        return pa.table({id_col: pa.array(ids[keep], pa.int64())})
+
+    return assigned.groupby("_cluster").map_groups(
+        survivors_in_cluster, batch_format="pyarrow"
+    )

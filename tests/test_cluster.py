@@ -107,3 +107,111 @@ class TestIVFDistributedTraining:
         assert brute[["query_id", "vec_id"]].values.tolist() == (
             ivf[["query_id", "vec_id"]].values.tolist()
         )
+
+
+class TestSemanticDedup:
+    def _naive_survivors(self, ids, mat, thr):
+        """Global greedy keep-min-id over exact cosines."""
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        s = mat @ mat.T
+        keep = [
+            i for i in range(len(ids))
+            if not (s[i, :i] >= thr).any()
+        ]
+        return set(ids[keep].tolist())
+
+    def _corpus(self):
+        """3 well-separated unit-vector clusters with planted near-dups:
+        every near-dup pair lives INSIDE a cluster, so clustered SemDeDup
+        must equal the global compare."""
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((3, 32)) * 8
+        pts, ids = [], []
+        nid = 0
+        for c in base:
+            members = c + rng.standard_normal((40, 32)) * 0.5
+            for m in members:
+                pts.append(m)
+                ids.append(nid)
+                nid += 1
+            # plant 5 near-copies of the cluster's first member
+            for j in range(5):
+                pts.append(members[0] + rng.standard_normal(32) * 1e-3)
+                ids.append(nid)
+                nid += 1
+        return np.array(ids, np.int64), np.stack(pts)
+
+    def test_clustered_equals_global_on_planted(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.cluster import semantic_dedup_survivors
+
+        ids, mat = self._corpus()
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [r.astype(np.float32) for r in mat],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        ).repartition(4)
+        thr = 0.999
+        want = self._naive_survivors(ids, mat.astype(np.float64), thr)
+        for k in (1, 3):
+            got = set(
+                semantic_dedup_survivors(ds, threshold=thr, k=k, seed=5)
+                .to_pandas()["vec_id"]
+                .tolist()
+            )
+            assert got == want, f"k={k}"
+        # the 15 planted near-copies (5 per cluster) must all be dropped
+        assert len(want) == len(ids) - 15
+
+    def test_chunking_invariance(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.cluster import semantic_dedup_survivors
+
+        ids, mat = self._corpus()
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [r.astype(np.float32) for r in mat],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+        a = semantic_dedup_survivors(ds, 0.999, k=1, chunk_rows=7)
+        b = semantic_dedup_survivors(ds, 0.999, k=1, chunk_rows=10_000)
+        assert sorted(a.to_pandas()["vec_id"]) == sorted(b.to_pandas()["vec_id"])
+
+    def test_max_cluster_guard(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.cluster import semantic_dedup_survivors
+
+        ids, mat = self._corpus()
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array(
+                        [r.astype(np.float32) for r in mat],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+        with _pt.raises(Exception, match="max_cluster"):
+            semantic_dedup_survivors(
+                ds, 0.9, k=1, max_cluster=10
+            ).materialize()
