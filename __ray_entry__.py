@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_quality": A.unigram_quality,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
+        "gopher_rules": A.gopher_rules,
     }
 
 
@@ -642,6 +643,39 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # Gopher rule bitmask: every threshold is an integer
+        # cross-multiplication (3n<=chars<=10n etc.), so the CASE
+        # decisions are engine-exact; token-free docs COALESCE to 0
+        "gopher_rules": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text, ' '), '\\s+')) AS tok FROM documents), "
+            "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "agg AS (SELECT doc_id, count(*) AS n_words, "
+            "sum(length(tok)) AS sum_chars, "
+            "sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 "
+            "END) AS alpha_words, "
+            "sum(CASE WHEN lower(tok) IN ('the','be','to','of','and',"
+            "'that','have','with') THEN 1 ELSE 0 END) AS stop_hits "
+            "FROM tok2 GROUP BY doc_id), "
+            "j AS (SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words, "
+            "COALESCE(a.sum_chars, 0) AS sum_chars, "
+            "COALESCE(a.alpha_words, 0) AS alpha_words, "
+            "COALESCE(a.stop_hits, 0) AS stop_hits, "
+            "len(regexp_extract_all(trim(d.text, ' '), '#|\\.\\.\\.')) "
+            "AS symbols FROM documents d "
+            "LEFT JOIN agg a ON d.doc_id = a.doc_id), "
+            "b AS (SELECT doc_id, n_words, "
+            "(CASE WHEN n_words >= 40 AND n_words <= 100000 THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN 3 * n_words <= sum_chars AND sum_chars <= "
+            "10 * n_words THEN 2 ELSE 0 END) "
+            "+ (CASE WHEN 10 * symbols <= n_words THEN 4 ELSE 0 END) "
+            "+ (CASE WHEN 5 * alpha_words >= 4 * n_words THEN 8 ELSE 0 END) "
+            "+ (CASE WHEN stop_hits >= 2 THEN 16 ELSE 0 END) AS rb FROM j) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_words AS BIGINT) AS n_words, "
+            "CAST(rb AS BIGINT) AS rule_bits, rb = 31 AS passes "
+            "FROM b ORDER BY doc_id"
         ),
         # CCNet-style unigram-LM scoring: top-16 vocab by (tf DESC, tok)
         # cuts inside the corpus's 31-token vocabulary, so in-vocab rows

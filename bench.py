@@ -221,6 +221,7 @@ def query_suite(sf_dir: str) -> dict:
         ("unigram_quality", A.unigram_quality),
         ("user_running_value", A.user_running_value),
         ("semdedup_survivors", A.semdedup_survivors),
+        ("gopher_rules", A.gopher_rules),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2403,3 +2403,18 @@ def semdedup_survivors(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return semantic_dedup_survivors(emb, threshold=0.4, k=1).sort("vec_id")
+
+
+def gopher_rules(sf_dir: str):
+    """Gopher quality-rule bundle (Rae et al. 2021 Appendix A) per doc —
+    the standard pre-training text gate as a rule bitmask. All thresholds
+    are integer cross-multiplications (no ratio division), so pass/fail
+    decisions are engine-exact; oracle-exact vs the SQL CASE twin. On
+    this corpus R0 (>=40 words) and R4 (>=2 stopwords; 'the' is in the
+    synthetic vocabulary) genuinely split the docs."""
+    from ..stages.text import gopher_quality_flags
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        gopher_quality_flags, batch_format="pyarrow", zero_copy_batch=True
+    )

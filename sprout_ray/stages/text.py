@@ -440,3 +440,87 @@ def unigram_logprob_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score_block, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Appendix A), expressed
+# division-free so both engines compare exact integers:
+#   R0 word count in [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]
+#   R1 mean word length in [3, 10]    -> 3*n <= chars <= 10*n
+#   R2 symbol-to-word ratio <= 0.1    -> 10*symbols <= n
+#   R3 >= 80% words alphabetic        -> 5*alpha >= 4*n
+#   R4 >= 2 stop words
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    batch: pa.Table, col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style quality rule bundle (Rae et al. 2021 Appendix A) as a
+    per-doc bitmask — the standard pre-training text gate, in the subset
+    whose decisions are exactly reproducible across engines (integer
+    cross-multiplication instead of ratio thresholds, RE2 counts on both
+    sides).
+
+    Emits ``n_words``, ``rule_bits`` (bit i set = rule i PASSED) and
+    ``passes`` (all rules). Tokenization is the repo contract: whitespace
+    split of ``trim(text, ' ')``, empty tokens dropped; a token-free doc
+    fails R0 and the word-ratio rules pass vacuously (0 <= 0), exactly as
+    the SQL twin's COALESCE'd LEFT JOIN computes them."""
+    texts = batch[col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim(pc.fill_null(texts, ""), " ")
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    parents = parents[keep_np]
+    n_docs = batch.num_rows
+
+    n_words = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_chars = np.bincount(
+        parents, weights=wlen.astype(np.float64), minlength=n_docs
+    ).astype(np.int64)
+    is_alpha = pc.match_substring_regex(flat, r"[A-Za-z]").to_numpy(
+        zero_copy_only=False
+    )
+    alpha_words = np.bincount(
+        parents, weights=is_alpha.astype(np.float64), minlength=n_docs
+    ).astype(np.int64)
+    is_stop = pc.is_in(
+        pc.utf8_lower(flat), value_set=pa.array(GOPHER_STOPWORDS)
+    ).to_numpy(zero_copy_only=False)
+    stop_hits = np.bincount(
+        parents, weights=is_stop.astype(np.float64), minlength=n_docs
+    ).astype(np.int64)
+    symbols = (
+        pc.count_substring_regex(trimmed, r"#|\.\.\.")
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+
+    r0 = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r1 = (3 * n_words <= sum_chars) & (sum_chars <= 10 * n_words)
+    r2 = 10 * symbols <= n_words
+    r3 = 5 * alpha_words >= 4 * n_words
+    r4 = stop_hits >= 2
+    bits = (
+        r0.astype(np.int64)
+        | (r1.astype(np.int64) << 1)
+        | (r2.astype(np.int64) << 2)
+        | (r3.astype(np.int64) << 3)
+        | (r4.astype(np.int64) << 4)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "rule_bits": pa.array(bits, pa.int64()),
+            "passes": pa.array(bits == 0b11111),
+        }
+    )

@@ -1034,3 +1034,41 @@ class TestCumulativeByKey:
         )
         with _pt.raises(Exception, match="contains nulls"):
             cumulative_by_key(nds, "k", ["o"], "v").materialize()
+
+
+class TestGopherRules:
+    def test_planted_rule_boundaries(self):
+        from sprout_ray.stages.text import gopher_quality_flags
+
+        good = ("the " * 2 + "alpha beta gamma delta " + "word " * 40).strip()
+        docs = {
+            0: good,                              # passes everything
+            1: "",                                # token-free: fails R0 only
+            2: "   ",                             # ditto (trim -> empty)
+            3: ("ab " * 50).strip(),              # mean len 2 < 3: fails R1
+            4: ("abcdefghijk " * 50).strip(),     # mean len 11 > 10: fails R1
+            5: ("aaa " * 50).strip(),             # mean len EXACTLY 3: passes R1
+            6: ("abcdefghij " * 50).strip(),      # mean len EXACTLY 10: passes R1
+            7: good + " # # # # # # # # # #",     # 10 symbols, 52 words: fails R2
+            8: ("123 " * 50).strip(),             # 0% alpha: fails R3
+            9: "the " + ("word " * 50).strip(),   # 1 stopword: fails R4
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+            }
+        )
+        out = gopher_quality_flags(t)
+        bits = dict(zip(out["doc_id"].to_pylist(), out["rule_bits"].to_pylist()))
+        passes = dict(zip(out["doc_id"].to_pylist(), out["passes"].to_pylist()))
+        ALL = 0b11111
+        assert bits[0] == ALL and passes[0]
+        # token-free: R0 fails, ratio rules pass vacuously, R4 fails
+        assert bits[1] == bits[2] == ALL & ~0b1 & ~0b10000
+        assert not bits[3] & 0b10 and not bits[4] & 0b10
+        assert bits[5] & 0b10 and bits[6] & 0b10
+        assert not bits[7] & 0b100 and bits[0] & 0b100
+        assert not bits[8] & 0b1000
+        assert not bits[9] & 0b10000
+        assert not passes[9]
