@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
         "gopher_rules": A.gopher_rules,
+        "window_top_event": A.window_top_event,
     }
 
 
@@ -643,6 +644,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # windowed heavy hitter: MG per tumbling hour is exact at m=64
+        # (5 event types); tie-break (count DESC, key ASC) mirrored
+        "window_top_event": (
+            "WITH c AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) "
+            "AS window, event_type, count(*) AS n FROM events "
+            'GROUP BY "window", event_type), '
+            "r AS (SELECT *, row_number() OVER (PARTITION BY \"window\" "
+            "ORDER BY n DESC, event_type) AS rn FROM c) "
+            'SELECT "window", event_type, CAST(n AS BIGINT) AS n '
+            'FROM r WHERE rn = 1 ORDER BY "window"'
         ),
         # Gopher rule bitmask: every threshold is an integer
         # cross-multiplication (3n<=chars<=10n etc.), so the CASE

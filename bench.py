@@ -222,6 +222,7 @@ def query_suite(sf_dir: str) -> dict:
         ("user_running_value", A.user_running_value),
         ("semdedup_survivors", A.semdedup_survivors),
         ("gopher_rules", A.gopher_rules),
+        ("window_top_event", A.window_top_event),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

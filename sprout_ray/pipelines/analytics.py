@@ -2418,3 +2418,47 @@ def gopher_rules(sf_dir: str):
     return ds.map_batches(
         gopher_quality_flags, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def window_top_event(sf_dir: str):
+    """Windowed heavy hitters — sketch x window composition: a Misra-Gries
+    summary PER TUMBLING HOUR (grouped sketch build; one MG partial per
+    (block, window) crosses the exchange), read out as each window's top
+    event type + exact count. m=64 exceeds the 5-type cardinality so every
+    per-window summary is provably exact (asserted per group), making the
+    readout oracle-checkable; MG's (count desc, key asc) tie-break is
+    mirrored in the SQL row_number ORDER BY."""
+
+    def top1(sk) -> str:
+        assert sk.err_bound == 0, "m=64 must exceed event_type cardinality"
+        k, lo, _hi = sk.topk(1)[0]
+        return f"{k}\x1f{lo}"
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def add_window(t: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table({"window": w, "event_type": t["event_type"]})
+
+    grouped = build_grouped(
+        ds.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True),
+        SketchSpec.of("mg", 64),
+        on="event_type",
+        key="window",
+        finalizer=top1,
+        alias="_packed",
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["_packed"], "\x1f")
+        return pa.table(
+            {
+                "window": t["window"],
+                "event_type": pc.list_element(parts, 0),
+                "n": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            }
+        )
+
+    return grouped.map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("window")
