@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_survivors": A.semdedup_survivors,
         "gopher_rules": A.gopher_rules,
         "window_top_event": A.window_top_event,
+        "weighted_doc_sample": A.weighted_doc_sample,
     }
 
 
@@ -644,6 +645,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # Efraimidis-Spirakis weighted sample: u from the Knuth mix (pure
+        # BIGINT arithmetic), key ln(u)/w with the identical operand
+        # grouping; scores compare at 6 decimals (canon), ranks separated
+        # by >> 1e-6
+        "weighted_doc_sample": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n_chars AS BIGINT) AS n_chars, "
+            "ln((((doc_id + 0) % 2147483648) * 2654435761 % 4294967296 "
+            "+ 1.0) / 4294967296.0) / CAST(n_chars AS DOUBLE) AS es_score "
+            "FROM documents "
+            "ORDER BY es_score DESC, doc_id LIMIT 50"
         ),
         # windowed heavy hitter: MG per tumbling hour is exact at m=64
         # (5 event types); tie-break (count DESC, key ASC) mirrored

@@ -223,6 +223,7 @@ def query_suite(sf_dir: str) -> dict:
         ("semdedup_survivors", A.semdedup_survivors),
         ("gopher_rules", A.gopher_rules),
         ("window_top_event", A.window_top_event),
+        ("weighted_doc_sample", A.weighted_doc_sample),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2462,3 +2462,16 @@ def window_top_event(sf_dir: str):
     return grouped.map_batches(
         unpack, batch_format="pyarrow", zero_copy_batch=True
     ).sort("window")
+
+
+def weighted_doc_sample(sf_dir: str):
+    """Efraimidis-Spirakis weighted sample (n=50, weight = n_chars): longer
+    docs proportionally likelier, no replacement, fully deterministic (the
+    Knuth-mix u makes reruns and engines agree). np.log and DuckDB's glibc
+    ln can differ in the last ulp, but scores are compared at 6 decimals
+    and adjacent ranks on this corpus are separated by >> 1e-6, so both
+    the selection and the emitted scores are oracle-exact."""
+    from ..stages.sampling import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample(ds, n=50, weight_col="n_chars", id_col="doc_id")

@@ -443,3 +443,67 @@ def percentile_band_filter(
         return t.filter(pa.array((vals >= lo) & (vals <= hi)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True), bands
+
+
+def weighted_sample(
+    ds,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    score_col: str = "es_score",
+):
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006):
+    each row gets key u^(1/w) for u ~ U(0,1); the top-n keys are a
+    weighted sample. Ranking by ln(u)/w (monotone transform) keeps the
+    arithmetic to one glibc ``ln`` + one divide, and u comes from the
+    repo's Knuth multiplicative mix (shuffle_by_hash convention) as
+    (h+1)/2^32 ∈ (0,1] — pure BIGINT-then-double ops both engines
+    reproduce bit-for-bit, so the SELECTION ITSELF is oracle-exact, not
+    just its size. Deterministic, rerun-stable, machine-independent.
+
+    Scale shape: per-block vectorized scores + per-block top-n partials
+    (O(blocks x n) rows reach the final exchange, never the corpus),
+    then one tiny global sort+limit. Requires strictly positive integer
+    weights and non-negative ids; ties (astronomically unlikely) break
+    by id ASC. Returns (id_col, weight_col, score_col) rows, the sample.
+    """
+    import math
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False)
+        if len(w) and (not np.issubdtype(w.dtype, np.integer) or w.min() <= 0):
+            raise ValueError(
+                "weighted_sample requires strictly positive integer weights"
+            )
+        if len(ids) and ids.min() < 0:
+            raise ValueError("weighted_sample requires non-negative ids")
+        h = (((ids + seed) % (1 << 31)) * _KNUTH) % _MIX_MOD
+        # ln((h+1)/2^32) / w — operand grouping pinned to the SQL twin
+        u = (h + 1.0) / float(_MIX_MOD)
+        s = np.log(u) / w.astype(np.float64)
+        out = pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                weight_col: t[weight_col],
+                score_col: pa.array(s, pa.float64()),
+            }
+        )
+        # block-local top-n partial: only O(n) rows leave each block
+        if out.num_rows > n:
+            order = pc.sort_indices(
+                out,
+                sort_keys=[(score_col, "descending"), (id_col, "ascending")],
+            )
+            out = out.take(order[:n])
+        return out
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort([score_col, id_col], descending=[True, False])
+        .limit(n)
+    )

@@ -351,3 +351,60 @@ class TestPercentileBandFilter:
 
         with _pt.raises(ValueError):
             percentile_band_filter(ds, "lang", "n", 0.9, 0.1)
+
+
+class TestWeightedSample:
+    def _naive(self, ids, w, n, seed=0):
+        h = (((ids + seed) % (1 << 31)) * 2654435761) % (1 << 32)
+        s = np.log((h + 1.0) / float(1 << 32)) / w.astype(np.float64)
+        order = np.lexsort((ids, -s))
+        return ids[order[:n]].tolist()
+
+    def test_matches_naive_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import weighted_sample
+
+        rng = np.random.default_rng(2)
+        ids = np.arange(500, dtype=np.int64)
+        w = rng.integers(1, 400, 500).astype(np.int64)
+        tab = pa.table({"doc_id": pa.array(ids), "w": pa.array(w)})
+        want = self._naive(ids, w, 25)
+        for parts in (1, 8):
+            ds = rd.from_arrow(tab).repartition(parts)
+            got = (
+                weighted_sample(ds, 25, weight_col="w")
+                .to_pandas()["doc_id"]
+                .tolist()
+            )
+            assert got == want, parts
+
+    def test_weight_bias(self, ray_session):
+        """An item with overwhelming weight is (near-)always selected."""
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import weighted_sample
+
+        ids = np.arange(200, dtype=np.int64)
+        w = np.ones(200, np.int64)
+        w[123] = 1_000_000
+        ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids), "w": pa.array(w)}))
+        hits = 0
+        for seed in range(10):
+            got = weighted_sample(ds, 10, weight_col="w", seed=seed).to_pandas()
+            hits += int(123 in set(got["doc_id"]))
+        assert hits >= 9  # P(miss) per draw < (190/200)^... astronomically small
+
+    def test_guards(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import weighted_sample
+
+        bad = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "w": pa.array([0], pa.int64())})
+        )
+        with _pt.raises(Exception, match="strictly positive"):
+            weighted_sample(bad, 1, weight_col="w").materialize()
+        with _pt.raises(ValueError, match="n must be"):
+            weighted_sample(bad, 0, weight_col="w")
