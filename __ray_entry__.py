@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": A.gopher_rules,
         "window_top_event": A.window_top_event,
         "weighted_doc_sample": A.weighted_doc_sample,
+        "shared_gram_docs": A.shared_gram_docs,
     }
 
 
@@ -645,6 +646,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # ExactSubstr self-dedup signal: per-doc distinct 6-grams shared
+        # with >= 1 other doc; tokenization = string_split(text, ' ')
+        # (the word_gram_fingerprints twin)
+        "shared_gram_docs": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, array_to_string("
+            "toks[CAST(i AS BIGINT):CAST(i AS BIGINT)+5], ' ') AS gram "
+            "FROM w, UNNEST(range(1, len(toks) - 4)) AS t(i)), "
+            "d AS (SELECT DISTINCT doc_id, gram FROM g), "
+            "shared AS (SELECT gram FROM d GROUP BY gram "
+            "HAVING count(*) >= 2) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_shared FROM d "
+            "WHERE gram IN (SELECT gram FROM shared) "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         # Efraimidis-Spirakis weighted sample: u from the Knuth mix (pure
         # BIGINT arithmetic), key ln(u)/w with the identical operand

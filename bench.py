@@ -224,6 +224,7 @@ def query_suite(sf_dir: str) -> dict:
         ("gopher_rules", A.gopher_rules),
         ("window_top_event", A.window_top_event),
         ("weighted_doc_sample", A.weighted_doc_sample),
+        ("shared_gram_docs", A.shared_gram_docs),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2475,3 +2475,18 @@ def weighted_doc_sample(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
     return weighted_sample(ds, n=50, weight_col="n_chars", id_col="doc_id")
+
+
+def shared_gram_docs(sf_dir: str):
+    """ExactSubstr-style self-dedup signal (Lee et al. 2022): docs whose
+    word 6-grams occur in at least one OTHER doc, with the count of their
+    distinct shared grams. 6 is the smallest n that isolates genuine
+    near-dup structure on this corpus (47 docs) from the dense 31-token
+    alphabet background (n=4 would flag 368 of 500). Oracle-exact."""
+    from ..stages.decontam import shared_gram_docs as _sgd
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _sgd(docs, n=6)
+    if isinstance(out, pa.Table):  # clean-corpus degenerate (0 rows)
+        return out
+    return out.sort("doc_id")

@@ -222,3 +222,55 @@ def decontaminate(
         bad_ids_ds, id_col, keep=False, broadcast_max=id_broadcast_max
     )
     return drop_bad(corpus_ds)
+
+
+def shared_gram_docs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+    min_docs: int = 2,
+    broadcast_max: int | None = None,
+):
+    """Self-corpus shared-n-gram flagging — the ExactSubstr dedup signal
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a doc is flagged when any of its word n-grams also occurs in
+    at least ``min_docs - 1`` OTHER docs.
+
+    Returns ``(id_col, n_shared)``: per flagged doc, the count of its
+    DISTINCT grams that are shared. Scale shape: the (doc, distinct-gram)
+    fingerprint stream shuffles ONCE into a gram-count aggregate (per-doc
+    distinctness makes count() == doc frequency); the shared-gram set —
+    small by construction in a mostly-clean corpus — comes back through
+    the size-guarded broadcast/hash join; a second small groupby yields
+    per-doc counts. The corpus text never shuffles, only 16-byte
+    fingerprints."""
+    from .joins import broadcast_lookup_join
+
+    gs = gram_stream(ds, text_col, id_col, n)
+    counts = gs.groupby("gram").count()
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["count()"], pa.scalar(min_docs, pa.int64()))
+        # Ray's hash aggregate narrows large_binary keys to binary; cast
+        # back so the join keys type-match the gram stream
+        return pa.table({"gram": t["gram"].filter(m).cast(pa.large_binary())})
+
+    shared = counts.map_batches(
+        keep_shared, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ns = shared.count()
+    out_schema = pa.schema([(id_col, pa.int64()), ("n_shared", pa.int64())])
+    if ns == 0:
+        # schema-bearing pa.Table, not a Dataset: a 0-row Dataset drops
+        # its schema on to_pandas() (exact_dup_pairs precedent)
+        return out_schema.empty_table()
+    hits = broadcast_lookup_join(
+        gs, shared, on="gram", right_count=ns, broadcast_max=broadcast_max
+    )
+    return hits.groupby(id_col).count().map_batches(
+        lambda t: pa.table(
+            {id_col: t[id_col], "n_shared": t["count()"]}
+        ).cast(out_schema),
+        batch_format="pyarrow",
+    )

@@ -221,3 +221,48 @@ class TestIncrementalDedup:
         old, _ = shards
         out = incremental_dedup(old, old)
         assert out.count() == 0
+
+
+class TestSharedGramDocs:
+    def test_planted_pair_flagged(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.decontam import shared_gram_docs
+
+        uniq = [
+            f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h" for i in range(20)
+        ]
+        dup = "alpha beta gamma delta epsilon zeta eta theta"
+        texts = uniq + [dup, dup, "short doc", ""]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        ).repartition(3)
+        out = shared_gram_docs(ds, n=6).to_pandas().sort_values("doc_id")
+        # only the planted pair is flagged; 8 tokens -> 3 distinct 6-grams
+        assert out["doc_id"].tolist() == [20, 21]
+        assert out["n_shared"].tolist() == [3, 3]
+
+    def test_clean_corpus_empty_with_schema(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.decontam import shared_gram_docs
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "text": pa.array(
+                        ["one two three four five six", "a b c d e f"],
+                        pa.string(),
+                    ),
+                }
+            )
+        )
+        out = shared_gram_docs(ds, n=6)
+        df = out.to_pandas()
+        assert len(df) == 0 and list(df.columns) == ["doc_id", "n_shared"]
