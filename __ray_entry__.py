@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_top_event": A.window_top_event,
         "weighted_doc_sample": A.weighted_doc_sample,
         "shared_gram_docs": A.shared_gram_docs,
+        "pretrain_gate_ids": A.pretrain_gate_ids,
     }
 
 
@@ -646,6 +647,41 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # full pretraining admission gate = conjunction of the gopher,
+        # exact-dedup-winner and SemDeDup(k=1) twins over aligned tables
+        "pretrain_gate_ids": (
+            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+            "trim(text, ' '), '\\s+')) AS tok FROM documents), "
+            "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+            "agg AS (SELECT doc_id, count(*) AS n_words, "
+            "sum(length(tok)) AS sum_chars, "
+            "sum(CASE WHEN regexp_matches(tok, '[A-Za-z]') THEN 1 ELSE 0 "
+            "END) AS alpha_words, "
+            "sum(CASE WHEN lower(tok) IN ('the','be','to','of','and',"
+            "'that','have','with') THEN 1 ELSE 0 END) AS stop_hits "
+            "FROM tok2 GROUP BY doc_id), "
+            "j AS (SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words, "
+            "COALESCE(a.sum_chars, 0) AS sum_chars, "
+            "COALESCE(a.alpha_words, 0) AS alpha_words, "
+            "COALESCE(a.stop_hits, 0) AS stop_hits, "
+            "len(regexp_extract_all(trim(d.text, ' '), '#|\\.\\.\\.')) "
+            "AS symbols FROM documents d "
+            "LEFT JOIN agg a ON d.doc_id = a.doc_id), "
+            "q AS (SELECT doc_id FROM j WHERE "
+            "n_words >= 40 AND n_words <= 100000 "
+            "AND 3 * n_words <= sum_chars AND sum_chars <= 10 * n_words "
+            "AND 10 * symbols <= n_words AND 5 * alpha_words >= 4 * n_words "
+            "AND stop_hits >= 2), "
+            "w AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY text), "
+            "s AS (SELECT a.vec_id AS doc_id FROM embeddings a "
+            "WHERE NOT EXISTS (SELECT 1 FROM embeddings b "
+            "WHERE b.vec_id < a.vec_id AND "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.4)) "
+            "SELECT CAST(q.doc_id AS BIGINT) AS doc_id FROM q "
+            "JOIN w USING (doc_id) JOIN s USING (doc_id) ORDER BY doc_id"
         ),
         # ExactSubstr self-dedup signal: per-doc distinct 6-grams shared
         # with >= 1 other doc; tokenization = string_split(text, ' ')

@@ -225,6 +225,7 @@ def query_suite(sf_dir: str) -> dict:
         ("window_top_event", A.window_top_event),
         ("weighted_doc_sample", A.weighted_doc_sample),
         ("shared_gram_docs", A.shared_gram_docs),
+        ("pretrain_gate_ids", A.pretrain_gate_ids),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

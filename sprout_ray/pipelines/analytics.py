@@ -2490,3 +2490,44 @@ def shared_gram_docs(sf_dir: str):
     if isinstance(out, pa.Table):  # clean-corpus degenerate (0 rows)
         return out
     return out.sort("doc_id")
+
+
+def pretrain_gate_ids(sf_dir: str):
+    """The full RefinedWeb/FineWeb-style pretraining admission gate,
+    end-to-end across BOTH corpus tables: a doc enters the training set
+    iff it (a) passes every Gopher quality rule, (b) is its text's exact-
+    dedup winner (min doc_id), and (c) survives SemDeDup over its aligned
+    embedding (vec_id == doc_id; k=1 exact regime, cosine < 0.4 to every
+    lower id). Each leg is the already-oracle-exact operator; the
+    composition intersects id STREAMS through the size-guarded
+    id_set_filter (no driver materialization above broadcast_max), so the
+    whole gate keeps the 100 TB shape. Oracle-exact vs the conjunction of
+    the three SQL twins."""
+    from ..stages.cluster import semantic_dedup_survivors
+    from ..stages.dedup import id_set_filter
+    from ..stages.text import gopher_quality_flags
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quality_ids(t: pa.Table) -> pa.Table:
+        g = gopher_quality_flags(t)
+        return pa.table({"doc_id": g["doc_id"].filter(g["passes"])})
+
+    gated = docs.map_batches(
+        quality_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    winners = (
+        docs.groupby("text")
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table({"doc_id": t["min(doc_id)"]}),
+            batch_format="pyarrow",
+        )
+    )
+    sem = semantic_dedup_survivors(emb, threshold=0.4, k=1).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow"
+    )
+    out = id_set_filter(winners, "doc_id", keep=True)(gated)
+    out = id_set_filter(sem, "doc_id", keep=True)(out)
+    return out.sort("doc_id")
