@@ -325,6 +325,62 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic weighted sample without replacement (stages/sampling.
+    weighted_sample, Efraimidis-Spirakis): emits the selected rows as
+    JSON. Rerun-stable — the same seed always picks the same rows."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.sampling import weighted_sample
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=[args.id_col, args.weight_col])
+    out = weighted_sample(
+        ds, args.n, weight_col=args.weight_col, id_col=args.id_col,
+        seed=args.seed,
+    )
+    rows = out.to_pandas()
+    print(
+        json.dumps(
+            {
+                "n": int(len(rows)),
+                "ids": [int(x) for x in rows[args.id_col]],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embedding parquet (stages/cluster.
+    semantic_dedup_survivors): spherical k-means + within-cluster cosine
+    keep-min-id; prints survivor count + dropped ids."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.cluster import semantic_dedup_survivors
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=[args.id_col, args.emb_col])
+    total = ds.count()
+    out = semantic_dedup_survivors(
+        ds, threshold=args.threshold, k=args.nlist,
+        emb_col=args.emb_col, id_col=args.id_col, seed=args.seed,
+    )
+    kept = sorted(int(x) for x in out.to_pandas()[args.id_col])
+    print(
+        json.dumps(
+            {"total": int(total), "kept": len(kept), "dropped": total - len(kept)}
+        )
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     apply_malloc_tuning()
     from .tuning import quiet_cosmetic_ray_warnings
@@ -475,6 +531,32 @@ def main(argv=None) -> int:
     cu.add_argument("--decontam-n", type=int, default=8)
     common(cu)
     cu.set_defaults(fn=cmd_curate)
+
+    sa = sub.add_parser(
+        "sample",
+        help="deterministic weighted sample (Efraimidis-Spirakis)",
+    )
+    sa.add_argument("--input", required=True, help="parquet file/dir/glob")
+    sa.add_argument("--n", type=int, required=True)
+    sa.add_argument("--weight-col", required=True)
+    sa.add_argument("--id-col", default="doc_id")
+    sa.add_argument("--seed", type=int, default=0)
+    common(sa)
+    sa.set_defaults(fn=cmd_sample)
+
+    sd = sub.add_parser(
+        "semdedup",
+        help="semantic dedup over embeddings (k-means + cosine keep-min-id)",
+    )
+    sd.add_argument("--input", required=True, help="parquet file/dir/glob")
+    sd.add_argument("--threshold", type=float, required=True)
+    # --k is taken by the shared sketch-geometry flags; IVF naming here
+    sd.add_argument("--nlist", type=int, default=1)
+    sd.add_argument("--emb-col", default="embedding")
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--seed", type=int, default=11)
+    common(sd)
+    sd.set_defaults(fn=cmd_semdedup)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -1072,3 +1072,33 @@ class TestGopherRules:
         assert not bits[8] & 0b1000
         assert not bits[9] & 0b10000
         assert not passes[9]
+
+
+class TestSampleSemdedupCLI:
+    def _run(self, *args):
+        r = subprocess.run(
+            [sys.executable, "-m", "sprout_ray.cli", *args, "--num-cpus", "2"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    def test_sample_deterministic(self):
+        a = self._run(
+            "sample", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--n", "5", "--weight-col", "n_chars",
+        )
+        b = self._run(
+            "sample", "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--n", "5", "--weight-col", "n_chars",
+        )
+        assert a == b and a["n"] == 5 and len(set(a["ids"])) == 5
+
+    def test_semdedup_counts(self):
+        r = self._run(
+            "semdedup", "--input",
+            "/root/testdata/sf0.001/embeddings.parquet",
+            "--threshold", "0.4",
+        )
+        assert r["total"] == 500 and r["kept"] + r["dropped"] == 500
+        assert r["dropped"] > 0  # threshold 0.4 bites on this corpus
