@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": A.weighted_doc_sample,
         "shared_gram_docs": A.shared_gram_docs,
         "pretrain_gate_ids": A.pretrain_gate_ids,
+        "value_zscore_by_type": A.value_zscore_by_type,
     }
 
 
@@ -647,6 +648,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 10 = 1) "
             "SELECT n.doc_id FROM new n "
             "WHERE n.text NOT IN (SELECT text FROM old) ORDER BY n.doc_id"
+        ),
+        # two-pass z-score: exact integer-cent moments, then the pinned
+        # IEEE sequence mean=s/n, var=(n*q-s*s)/(n*n), std=sqrt, z=(x-m)/sd
+        "value_zscore_by_type": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS s, "
+            "CAST(sum(cents * cents) AS BIGINT) AS q, "
+            "CAST(count(*) AS BIGINT) AS n FROM c GROUP BY event_type) "
+            "SELECT c.event_id, c.event_type, "
+            "round((CAST(c.cents AS DOUBLE) - "
+            "CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) / "
+            "sqrt((CAST(g.n AS DOUBLE) * CAST(g.q AS DOUBLE) - "
+            "CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) / "
+            "(CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))), 6) AS z "
+            "FROM c JOIN g USING (event_type) ORDER BY event_id"
         ),
         # full pretraining admission gate = conjunction of the gopher,
         # exact-dedup-winner and SemDeDup(k=1) twins over aligned tables

@@ -226,6 +226,7 @@ def query_suite(sf_dir: str) -> dict:
         ("weighted_doc_sample", A.weighted_doc_sample),
         ("shared_gram_docs", A.shared_gram_docs),
         ("pretrain_gate_ids", A.pretrain_gate_ids),
+        ("value_zscore_by_type", A.value_zscore_by_type),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -2531,3 +2531,17 @@ def pretrain_gate_ids(sf_dir: str):
     out = id_set_filter(winners, "doc_id", keep=True)(gated)
     out = id_set_filter(sem, "doc_id", keep=True)(out)
     return out.sort("doc_id")
+
+
+def value_zscore_by_type(sf_dir: str):
+    """Per-event-type z-score of the event value — the two-pass feature
+    normalization every tabular pipeline runs (grouped integer moments ->
+    broadcast stats -> vectorized map; stages/normalize.py). Moments are
+    exact integer cents, the float tail is a pinned IEEE op sequence
+    (sqrt correctly rounded by spec), so z matches DuckDB at 6 decimals."""
+    from ..stages.normalize import zscore_by_group
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return zscore_by_group(
+        ev, key="event_type", val_col="value", id_col="event_id"
+    )

@@ -1102,3 +1102,81 @@ class TestSampleSemdedupCLI:
         )
         assert r["total"] == 500 and r["kept"] + r["dropped"] == 500
         assert r["dropped"] > 0  # threshold 0.4 bites on this corpus
+
+
+class TestZscoreByGroup:
+    def test_matches_naive(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.normalize import zscore_by_group
+
+        rng = np.random.default_rng(4)
+        n = 400
+        keys = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+        vals = rng.normal(50, 20, n).round(2)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array(np.arange(n, dtype=np.int64)),
+                    "k": pa.array(keys.tolist(), pa.string()),
+                    "v": pa.array(vals, pa.float64()),
+                }
+            )
+        ).repartition(4)
+        got = (
+            zscore_by_group(ds, key="k", val_col="v", id_col="id")
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        import math
+
+        c = np.array([math.floor(abs(v) * 100 + 0.5) * (1 if v >= 0 else -1) for v in vals], dtype=np.int64)
+        want = np.empty(n)
+        for k in "abc":
+            m = keys == k
+            s, q, cnt = int(c[m].sum()), int((c[m] * c[m]).sum()), int(m.sum())
+            mean = s / cnt
+            var = (cnt * float(q) - float(s) * float(s)) / (float(cnt) * float(cnt))
+            want[m] = (c[m].astype(np.float64) - mean) / np.sqrt(var)
+        assert np.allclose(got["z"].to_numpy(), np.round(want, 6), atol=1e-9)
+        # per-group mean of z ~ 0, std ~ 1
+        for k in "abc":
+            zz = got[got.k == k]["z"]
+            assert abs(zz.mean()) < 1e-6 and abs(zz.std(ddof=0) - 1) < 1e-3
+
+    def test_zero_variance_raises(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.normalize import zscore_by_group
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([0, 1], pa.int64()),
+                    "k": pa.array(["x", "x"], pa.string()),
+                    "v": pa.array([5.0, 5.0], pa.float64()),
+                }
+            )
+        )
+        with _pt.raises(ValueError, match="zero variance"):
+            zscore_by_group(ds, key="k", val_col="v", id_col="id")
+
+    def test_overflow_guard(self, ray_session):
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.normalize import zscore_by_group
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id": pa.array([0, 1], pa.int64()),
+                    "k": pa.array(["x", "x"], pa.string()),
+                    "v": pa.array([3.0e16, 1.0e16], pa.float64()),
+                }
+            )
+        )
+        with _pt.raises(ValueError, match="overflow"):
+            zscore_by_group(ds, key="k", val_col="v", id_col="id")
