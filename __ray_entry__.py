@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_ids": A.decontaminated_ids,
         "sequence_packing": A.sequence_packing,
         "repetition_stats": A.repetition_stats,
+        "token_entropy": A.token_entropy,
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
         "pii_redacted": A.pii_redacted,
@@ -491,6 +492,24 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(distinct_tokens, 0) AS distinct_tokens, "
             "COALESCE(top_token_count, 0) AS top_token_count "
             "FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+        ),
+        # per-doc Shannon token entropy: c·ln(c) terms floored to integer
+        # 1e-8 nats (same glibc ln both engines call), order-free sum
+        "token_entropy": (
+            "WITH d AS (SELECT doc_id, trim(text, ' ') AS tt FROM documents), "
+            "tok AS (SELECT doc_id, unnest(string_split_regex(tt, '\\s+')) "
+            "AS t FROM d WHERE tt <> ''), "
+            "c AS (SELECT doc_id, t, count(*) AS c FROM tok "
+            "GROUP BY doc_id, t), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(sum(floor(c * ln(c) * 1e8 + 0.5)) AS BIGINT) AS "
+            "clogc_micro FROM c GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, "
+            "COALESCE(clogc_micro, 0) AS clogc_micro, "
+            "CASE WHEN COALESCE(n_tokens, 0) = 0 THEN 0.0 "
+            "ELSE round(ln(n_tokens) - (clogc_micro / 1e8) / n_tokens, 6) "
+            "END AS entropy "
+            "FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id"
         ),
         # curation text normalization — both engines run RE2 so the
         # replace semantics line up byte-for-byte

@@ -211,6 +211,7 @@ def query_suite(sf_dir: str) -> dict:
         ("benchmark_contamination", A.benchmark_contamination),
         ("sequence_packing", A.sequence_packing),
         ("repetition_stats", A.repetition_stats),
+        ("token_entropy", A.token_entropy),
         ("embedding_kmeans", A.embedding_kmeans),
         ("incremental_dedup_survivors", A.incremental_dedup_survivors),
         ("length_band_survivors", A.length_band_survivors),

@@ -2086,6 +2086,26 @@ def repetition_stats(sf_dir: str):
     )
 
 
+def token_entropy(sf_dir: str):
+    """Per-doc Shannon token entropy (information-density quality signal
+    next to the Gopher repetition stats). Engine-exact vs the DuckDB twin:
+    the transcendental ``c·ln(c)`` terms are floored to integer 1e-8 nats
+    (order-free sum) using the same glibc ``ln`` both engines call, so
+    ``clogc_micro`` hash-matches bit-for-bit and ``entropy`` agrees through
+    the final two pinned IEEE ops (stages/text.add_token_entropy)."""
+    from ..stages.text import add_token_entropy
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: add_token_entropy(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort("doc_id")
+    )
+
+
 def embedding_kmeans(sf_dir: str):
     """Distributed k-means over the embeddings table (k=10), with in-band
     self-evidence: Lloyd-monotone inertia flag, iteration count, and the

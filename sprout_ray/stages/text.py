@@ -524,3 +524,81 @@ def gopher_quality_flags(
             "passes": pa.array(bits == 0b11111),
         }
     )
+
+
+def add_token_entropy(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Per-doc Shannon token entropy H = ln(n) - (1/n)·Σ c·ln(c) — the
+    information-density quality signal next to the Gopher repetition
+    stats, engine-exact by construction:
+
+    every c (a token's in-doc count) and n (doc token count) is a small
+    integer, so the transcendental terms come from driver-free integer
+    LOOKUP TABLES built with scalar ``math.log`` (glibc — the identical
+    ``ln`` DuckDB calls on the same integers); per-term contributions are
+    floored to integer 1e-8 nats (order-free sum), and only the final
+    two pinned IEEE ops (divide, subtract) run in floats. Emits
+    ``n_tokens``, ``clogc_micro`` (Σ floor(c·ln(c)·1e8 + 0.5)) and
+    ``entropy`` (rounded to 6, half-away). Token identity is the
+    two-seed murmur fingerprint (repetition-stats convention);
+    token-free docs get n_tokens=0, clogc_micro=0, entropy=0."""
+    import math
+
+    from ..functions.hashing import murmur_column
+
+    texts = batch[col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    trimmed = pc.utf8_trim(pc.fill_null(texts, ""), " ")
+    toks = pc.split_pattern_regex(trimmed, r"\s+")
+    offsets = np.asarray(toks.offsets).astype(np.int64)
+    offsets = offsets - offsets[0]
+    counts = np.diff(offsets)
+    blank = np.asarray(pc.equal(trimmed, "")) | np.asarray(pc.is_null(trimmed))
+    n_docs = len(counts)
+    n_tokens = np.where(blank, 0, counts)
+
+    S = np.zeros(n_docs, np.int64)
+    flat = toks.flatten()
+    if len(flat):
+        h1 = murmur_column(flat, seed=0x7A3D)
+        h2 = murmur_column(flat, seed=0x1C95)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        order = np.lexsort((h2, h1, doc_of))
+        d, a, b = doc_of[order], h1[order], h2[order]
+        new_run = np.ones(d.size, bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, d.size))
+        run_doc = d[run_starts]
+        cmax = int(run_lens.max())
+        # glibc ln on exact small integers — identical to the SQL twin's
+        # floor(c*ln(c)*1e8 + 0.5) term by term
+        clogc = np.array(
+            [0, 0]
+            + [
+                math.floor(c * math.log(c) * 1e8 + 0.5)
+                for c in range(2, cmax + 1)
+            ],
+            dtype=np.int64,
+        )
+        S = np.bincount(
+            run_doc, weights=clogc[run_lens].astype(np.float64),
+            minlength=n_docs,
+        ).astype(np.int64)
+        S[blank] = 0
+
+    nmax = int(n_tokens.max()) if n_docs else 0
+    lnn = np.array(
+        [0.0] + [math.log(v) for v in range(1, nmax + 1)], dtype=np.float64
+    )
+    safe_n = np.maximum(n_tokens, 1)
+    ent = lnn[n_tokens] - (S / 1e8) / safe_n
+    ent[n_tokens == 0] = 0.0
+    ent_r = pc.round(
+        pa.array(ent, pa.float64()), 6, round_mode="half_towards_infinity"
+    )
+    return (
+        batch.append_column("n_tokens", pa.array(n_tokens, pa.int64()))
+        .append_column("clogc_micro", pa.array(S, pa.int64()))
+        .append_column("entropy", ent_r)
+    )

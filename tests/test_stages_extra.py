@@ -670,6 +670,48 @@ class TestRepetitionStats:
             assert out["top_token_count"][i].as_py() == max(c.values())
 
 
+class TestTokenEntropy:
+    def test_exact_vs_python(self):
+        import collections
+        import math
+        import random
+
+        from sprout_ray.stages.text import add_token_entropy
+
+        rng = random.Random(7)
+        texts = [
+            " ".join(rng.choices("aa bb cc dd ee ff".split(), k=rng.randint(1, 60)))
+            for _ in range(300)
+        ] + ["", "  ", None, "solo"]
+        out = add_token_entropy(pa.table({"text": texts}))
+        for i, txt in enumerate(texts):
+            c = collections.Counter((txt or "").split())
+            n = sum(c.values())
+            S = sum(
+                math.floor(v * math.log(v) * 1e8 + 0.5) for v in c.values()
+            )
+            assert out["n_tokens"][i].as_py() == n
+            assert out["clogc_micro"][i].as_py() == S
+            if n == 0:
+                assert out["entropy"][i].as_py() == 0.0
+            else:
+                assert out["entropy"][i].as_py() == pytest.approx(
+                    math.log(n) - (S / 1e8) / n, abs=1e-6
+                )
+
+    def test_entropy_bounds_and_extremes(self):
+        from sprout_ray.stages.text import add_token_entropy
+
+        # all-same tokens -> H=0; all-distinct -> H=ln(n)
+        import math
+
+        out = add_token_entropy(
+            pa.table({"text": ["x x x x x x", "a b c d e f"]})
+        )
+        assert out["entropy"][0].as_py() == 0.0
+        assert out["entropy"][1].as_py() == pytest.approx(math.log(6), abs=1e-6)
+
+
 class TestNormalizeText:
     def test_normalization_rules(self):
         from sprout_ray.stages.text import normalize_text_column
