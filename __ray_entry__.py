@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": A.sequence_packing,
         "repetition_stats": A.repetition_stats,
         "token_entropy": A.token_entropy,
+        "canonical_docs": A.canonical_docs,
         "embedding_kmeans": A.embedding_kmeans,
         "normalized_docs": A.normalized_docs,
         "pii_redacted": A.pii_redacted,
@@ -492,6 +493,22 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(distinct_tokens, 0) AS distinct_tokens, "
             "COALESCE(top_token_count, 0) AS top_token_count "
             "FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id"
+        ),
+        # canonical selection: best original (longest raw, min-id tie) per
+        # normalized-text cluster, window twin of the packed-argmax groupby
+        "canonical_docs": (
+            "WITH n AS (SELECT doc_id, length(text) AS raw_len, "
+            "regexp_replace(lower(regexp_replace(trim(text, ' '), "
+            "'\\s+', ' ', 'g')), '\\d{4,}', '<NUM>', 'g') AS norm_text "
+            "FROM documents), "
+            "r AS (SELECT doc_id, raw_len, "
+            "count(*) OVER (PARTITION BY norm_text) AS n_variants, "
+            "row_number() OVER (PARTITION BY norm_text "
+            "ORDER BY raw_len DESC, doc_id ASC) AS rn FROM n) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(raw_len AS BIGINT) AS raw_len, "
+            "CAST(n_variants AS BIGINT) AS n_variants "
+            "FROM r WHERE rn = 1 ORDER BY doc_id"
         ),
         # per-doc Shannon token entropy: c·ln(c) terms floored to integer
         # 1e-8 nats (same glibc ln both engines call), order-free sum

@@ -2166,6 +2166,55 @@ def normalized_docs(sf_dir: str):
     )
 
 
+def canonical_docs(sf_dir: str):
+    """Canonical-document selection (C4/RefinedWeb-style): collapse docs
+    that are identical AFTER curation normalization (trim + whitespace
+    collapse + lowercase + digit-run redaction, the `normalized_docs`
+    rules) and keep the BEST original per cluster — longest raw text, ties
+    to min doc_id — plus the cluster size. The argmax rides ONE int64
+    aggregate: packed = raw_len·2^32 + (2^32−1 − doc_id), so max(packed)
+    is (max len, then min id) and the shuffle carries only
+    (norm_text, packed) — never the raw content. At 10^12 rows the group
+    key would be the two-seed 128-bit fingerprint of norm_text (the
+    exact_dup_pairs machinery) instead of the string itself; here the
+    string key keeps the query oracle-exact. Assumes doc_id < 2^32 and
+    raw_len < 2^31 (documented packing bounds)."""
+    from ray.data.aggregate import Count, Max
+
+    from ..stages.text import add_normalized_text
+
+    def prep(t: pa.Table) -> pa.Table:
+        norm = add_normalized_text(t)["norm_text"]
+        ln = pc.utf8_length(t["text"]).cast(pa.int64())
+        did = t["doc_id"].cast(pa.int64())
+        packed = pc.add(
+            pc.multiply(ln, pa.scalar(1 << 32, pa.int64())),
+            pc.subtract(pa.scalar((1 << 32) - 1, pa.int64()), did),
+        )
+        return pa.table({"norm_text": norm, "packed": packed})
+
+    g = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("norm_text")
+        .aggregate(Max("packed"), Count())
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        packed = t["max(packed)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    (1 << 32) - 1 - (packed & ((1 << 32) - 1)), pa.int64()
+                ),
+                "raw_len": pa.array(packed >> 32, pa.int64()),
+                "n_variants": t["count()"].cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(unpack, batch_format="pyarrow").sort("doc_id")
+
+
 def neardup_dedup_survivors(sf_dir: str):
     """THE end-to-end near-dup corpus dedup pipeline, composed from its
     already-verified pieces: MinHash signatures -> LSH banding -> hot-bucket

@@ -791,3 +791,45 @@ def test_media_resize_and_frames_queries(ray_session):
     # determinism across runs
     b2 = _pd(A.media_frames(SF))
     assert b.equals(b2)
+
+
+def test_canonical_docs_planted_vs_duckdb(tmp_path, ray_session):
+    """Keep-best per normalized-text cluster: longest raw text wins, ties
+    to min doc_id; n_variants is the cluster size. Hand-checkable planted
+    corpus (the sf corpora have no normalized dups, so the keep-best path
+    only exercises here), cross-checked against the DuckDB window twin."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello   World 12345",       # len 19 - norm "hello world <NUM>"
+                    "  hello world 99999   ",    # len 22 - longest raw -> winner
+                    "hello world 00000",         # len 17
+                    "unique text",               # singleton cluster
+                    "TIE abc 11111",             # len 13 - tie on raw_len ->
+                    "tie ABC 22222",             # len 13 -   min doc_id (4) wins
+                ]
+            ),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.canonical_docs(str(tmp_path)))
+    assert out["doc_id"].tolist() == [1, 3, 4]
+    assert out["raw_len"].tolist() == [22, 11, 13]
+    assert out["n_variants"].tolist() == [3, 1, 2]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["canonical_docs"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
+    )
