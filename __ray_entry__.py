@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_band_survivors": A.length_band_survivors,
         "incremental_dedup_survivors": A.incremental_dedup_survivors,
         "unigram_quality": A.unigram_quality,
+        "dsir_scores": A.dsir_scores,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
         "gopher_rules": A.gopher_rules,
@@ -833,6 +834,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
+            "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # DSIR importance weights: per-doc sum over word bigrams of
+        # lp_target - lp_raw, each a top-64 LM in integer 1e-8 nats with
+        # the half-count OOV floor (the unigram_quality conventions twice)
+        "dsir_scores": (
+            "WITH l AS (SELECT doc_id, lang, list_filter("
+            "string_split_regex(lower(trim(text, ' ')), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "idx AS (SELECT doc_id, lang, toks, "
+            "unnest(range(1, len(toks))) AS i FROM l), "
+            "grams AS (SELECT doc_id, lang, "
+            "toks[i] || ' ' || toks[i+1] AS gram FROM idx), "
+            "qtf AS (SELECT gram, count(*) AS tf FROM grams GROUP BY gram), "
+            "ttf AS (SELECT gram, count(*) AS tf FROM grams "
+            "WHERE lang = 'en' GROUP BY gram), "
+            "nq AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM grams), "
+            "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM grams "
+            "WHERE lang = 'en'), "
+            "vq AS (SELECT gram, tf FROM qtf ORDER BY tf DESC, gram "
+            "LIMIT 64), "
+            "vt AS (SELECT gram, tf FROM ttf ORDER BY tf DESC, gram "
+            "LIMIT 64), "
+            "scored AS (SELECT g.doc_id, "
+            "CASE WHEN t.tok IS NOT NULL THEN "
+            "CAST(floor(ln(CAST(t.tf AS DOUBLE) / nt.n) "
+            "* 100000000.0 + 0.5) AS BIGINT) "
+            "ELSE CAST(floor(ln(0.5 / nt.n) * 100000000.0 + 0.5) AS BIGINT) "
+            "END - CASE WHEN q.tok IS NOT NULL THEN "
+            "CAST(floor(ln(CAST(q.tf AS DOUBLE) / nq.n) "
+            "* 100000000.0 + 0.5) AS BIGINT) "
+            "ELSE CAST(floor(ln(0.5 / nq.n) * 100000000.0 + 0.5) AS BIGINT) "
+            "END AS occ FROM grams g "
+            "LEFT JOIN (SELECT gram AS tok, tf FROM vt) t ON g.gram = t.tok "
+            "LEFT JOIN (SELECT gram AS tok, tf FROM vq) q ON g.gram = q.tok "
+            "CROSS JOIN nt CROSS JOIN nq) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(occ) AS BIGINT) AS weight_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
         ),
         # per-key cumulative window: value rides as integer cents

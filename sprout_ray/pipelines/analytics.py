@@ -2427,6 +2427,24 @@ def unigram_quality(sf_dir: str):
     )
 
 
+def dsir_scores(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
+    ratio between a target-domain (lang='en') word-bigram LM and the
+    raw-corpus bigram LM — the data-selection score whose resampling
+    shifts a pretraining mix toward the target. vocab_size=64 cuts inside
+    this corpus's ~900-bigram vocabulary so in-vocab and OOV-floor paths
+    are oracle-exercised for BOTH models. Integer 1e-8 nat units keep the
+    distributed per-doc sum order-free and DuckDB-exact."""
+    from ..stages.text import dsir_importance_scores
+
+    return dsir_importance_scores(
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        target_col="lang",
+        target_value="en",
+        vocab_size=64,
+    ).sort("doc_id")
+
+
 def user_running_value(sf_dir: str):
     """Per-user running event count + running value total over the full
     event stream — the classic per-key cumulative window (SQL: SUM/COUNT

@@ -602,3 +602,162 @@ def add_token_entropy(batch: pa.Table, col: str = "text") -> pa.Table:
         .append_column("clogc_micro", pa.array(S, pa.int64()))
         .append_column("entropy", ent_r)
     )
+
+
+def _word_bigrams(t: pa.Table, text_col: str):
+    """(flat bigram strings, parent doc indices) for consecutive token
+    pairs within each doc — the DSIR feature contract shared with the
+    DuckDB twin: ``toks[i] || ' ' || toks[i+1]`` over the repo's
+    whitespace tokenization. Returns empty arrays when no doc has >= 2
+    tokens."""
+    from ..stages.similarity import _bm25_tokenize
+
+    flat, parents = _bm25_tokenize(t, text_col)
+    if len(flat) < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    same_doc = parents[1:] == parents[:-1]
+    grams = pc.binary_join_element_wise(
+        flat.slice(0, len(flat) - 1), flat.slice(1), " "
+    )
+    idx = np.flatnonzero(same_doc)
+    return grams.take(pa.array(idx, pa.int64())), parents[idx].astype(np.int64)
+
+
+def dsir_importance_scores(
+    ds,
+    target_col: str = "lang",
+    target_value: str = "en",
+    vocab_size: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio between a TARGET-distribution n-gram LM and
+    the RAW-corpus n-gram LM, so resampling by weight shifts the corpus
+    mix toward the target domain. Features are word bigrams (the paper's
+    hashed-ngram features, unhashed here so the score is oracle-exact);
+    both LMs are top-``vocab_size`` truncations with the repo's Lidstone
+    half-count OOV floor, in integer 1e-8 nat units (order-free sums,
+    DuckDB-exact — the unigram_quality conventions).
+
+    One training scan fits BOTH models (per-block (gram, tf_raw,
+    tf_target) partials -> one native groupby), the O(distinct-gram)
+    model is the only driver materialization, and scoring is a second
+    streaming pass probing the union vocabulary via two-seed murmur
+    lanes shipped once with ``ray.put``. Docs with no bigram produce no
+    row (SQL GROUP BY over the gram stream).
+
+    Returns a Dataset (id_col, n_grams, weight_micro); weight_micro > 0
+    means "more target-like than raw-corpus-like"."""
+    import math
+
+    import ray
+
+    from ..functions.hashing import murmur_column
+    from ..stages.similarity import _BM25_S1, _BM25_S2
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        grams, gparents = _word_bigrams(t, text_col)
+        if len(grams) == 0:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "tf_t": pa.array([], pa.int64()),
+                }
+            )
+        is_t = pc.equal(
+            pc.fill_null(t[target_col], ""), target_value
+        ).to_numpy(zero_copy_only=False)
+        part = (
+            pa.table(
+                {
+                    "gram": grams,
+                    "one": pa.array(np.ones(len(grams), np.int64)),
+                    "hit": pa.array(is_t[gparents].astype(np.int64)),
+                }
+            )
+            .group_by(["gram"])
+            .aggregate([("one", "sum"), ("hit", "sum")])
+        )
+        return part.rename_columns(["gram", "tf", "tf_t"])
+
+    grouped = (
+        ds.select_columns([target_col, text_col])
+        .map_batches(tf_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .sum(["tf", "tf_t"], ignore_nulls=True)
+        .rename_columns({"sum(tf)": "tf", "sum(tf_t)": "tf_t"})
+        .materialize()  # O(distinct grams), read by 2 sorts + 2 sums
+    )
+    n_raw = int(grouped.sum("tf", ignore_nulls=True) or 0)
+    n_tgt = int(grouped.sum("tf_t", ignore_nulls=True) or 0)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "weight_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n_raw == 0:
+        return empty
+    if n_tgt == 0:
+        raise ValueError(
+            f"dsir: target slice {target_col}={target_value!r} has no bigrams"
+        )
+
+    def top_lp(tf_col: str, n_total: int) -> dict[str, int]:
+        rows = (
+            grouped.filter(expr=f"{tf_col} > 0")
+            .sort([tf_col, "gram"], descending=[True, False])
+            .limit(vocab_size)
+            .take_all()
+        )
+        return {
+            r["gram"]: math.floor(math.log(r[tf_col] / n_total) * 1e8 + 0.5)
+            for r in rows
+        }
+
+    lp_t = top_lp("tf_t", n_tgt)
+    lp_q = top_lp("tf", n_raw)
+    oov_t = math.floor(math.log(0.5 / n_tgt) * 1e8 + 0.5)
+    oov_q = math.floor(math.log(0.5 / n_raw) * 1e8 + 0.5)
+    union = sorted(set(lp_t) | set(lp_q))
+    deltas = np.array(
+        [lp_t.get(g, oov_t) - lp_q.get(g, oov_q) for g in union], np.int64
+    )
+    uh1 = murmur_column(pa.array(union, pa.string()), _BM25_S1)
+    uh2 = murmur_column(pa.array(union, pa.string()), _BM25_S2)
+    if len(np.unique(uh1)) != len(union):  # pragma: no cover - 2^-64 event
+        raise ValueError("dsir: 64-bit hash collision in union vocabulary")
+    order = np.argsort(uh1, kind="stable")
+    model_ref = ray.put((uh1[order], uh2[order], deltas[order]))
+    delta_oov = oov_t - oov_q
+
+    def score_block(t: pa.Table) -> pa.Table:
+        grams, gparents = _word_bigrams(t, text_col)
+        if len(grams) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        uh1s, uh2s, ds_ = ray.get(model_ref)
+        h1 = murmur_column(grams, _BM25_S1)
+        h2 = murmur_column(grams, _BM25_S2)
+        pos = np.minimum(np.searchsorted(uh1s, h1), len(uh1s) - 1)
+        ok = (uh1s[pos] == h1) & (uh2s[pos] == h2)
+        occ = np.where(ok, ds_[pos], delta_oov)
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(gparents)) + 1])
+        doc_idx = gparents[bounds]
+        sums = np.add.reduceat(occ, bounds)
+        counts = np.diff(np.append(bounds, len(gparents)))
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "n_grams": pa.array(counts.astype(np.int64), pa.int64()),
+                "weight_micro": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True
+    )

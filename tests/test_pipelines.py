@@ -833,3 +833,65 @@ def test_canonical_docs_planted_vs_duckdb(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
     )
+
+
+def test_dsir_scores_planted_vs_duckdb(tmp_path, ray_session):
+    """DSIR planted corpus: target-lang docs must outscore off-target docs
+    sharing no target bigrams; docs with <2 tokens emit no row; exact
+    match with the DuckDB twin in a regime where both vocab cutoffs and
+    both OOV floors are exercised (vocab_size=64 > the planted gram
+    count, so the floor only fires for cross-model misses)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "lang": pa.array(["en", "en", "fr", "fr", "en", "de"]),
+            "text": pa.array(
+                [
+                    "the cat sat on the mat",
+                    "the cat ran",
+                    "le chat noir dort",
+                    "le chat gris",
+                    "one",              # single token -> no bigram, no row
+                    "",                 # empty -> no row
+                ]
+            ),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.dsir_scores(str(tmp_path)))
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["n_grams"].tolist() == [5, 2, 3, 2]
+    w = dict(zip(out["doc_id"], out["weight_micro"]))
+    assert w[0] > 0 and w[1] > 0          # target docs: more en-like
+    assert w[2] < 0 and w[3] < 0          # french docs: OOV under target LM
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["dsir_scores"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
+    )
+
+
+def test_dsir_empty_target_raises(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "lang": pa.array(["fr"]),
+            "text": pa.array(["le chat noir"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="target slice"):
+        _pd(A.dsir_scores(str(tmp_path)))
