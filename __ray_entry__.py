@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_survivors": A.incremental_dedup_survivors,
         "unigram_quality": A.unigram_quality,
         "dsir_scores": A.dsir_scores,
+        "key_skew_profile": A.key_skew_profile,
+        "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
         "gopher_rules": A.gopher_rules,
@@ -874,6 +876,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_grams, "
             "CAST(sum(occ) AS BIGINT) AS weight_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # exact key-skew profile: F2 = self-join size = AMS second moment,
+        # the salting-decision statistic, per shuffle-deciding key column
+        "key_skew_profile": (
+            "WITH "
+            "c1 AS (SELECT count(*) AS c FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
+            "c2 AS (SELECT count(*) AS c FROM documents "
+            "WHERE source IS NOT NULL GROUP BY source), "
+            "c3 AS (SELECT count(*) AS c FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY event_type), "
+            "c4 AS (SELECT count(*) AS c FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id), "
+            "c5 AS (SELECT count(*) AS c FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey) "
+            "SELECT 'documents.lang' AS col, CAST(sum(c) AS BIGINT) AS n, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(c*c) AS BIGINT) AS f2, "
+            "CAST(max(c) AS BIGINT) AS max_count FROM c1 "
+            "UNION ALL SELECT 'documents.source', CAST(sum(c) AS BIGINT), "
+            "CAST(count(*) AS BIGINT), CAST(sum(c*c) AS BIGINT), "
+            "CAST(max(c) AS BIGINT) FROM c2 "
+            "UNION ALL SELECT 'events.event_type', CAST(sum(c) AS BIGINT), "
+            "CAST(count(*) AS BIGINT), CAST(sum(c*c) AS BIGINT), "
+            "CAST(max(c) AS BIGINT) FROM c3 "
+            "UNION ALL SELECT 'events.user_id', CAST(sum(c) AS BIGINT), "
+            "CAST(count(*) AS BIGINT), CAST(sum(c*c) AS BIGINT), "
+            "CAST(max(c) AS BIGINT) FROM c4 "
+            "UNION ALL SELECT 'lineitem.l_orderkey', CAST(sum(c) AS BIGINT), "
+            "CAST(count(*) AS BIGINT), CAST(sum(c*c) AS BIGINT), "
+            "CAST(max(c) AS BIGINT) FROM c5 "
+            "ORDER BY col"
         ),
         # per-key cumulative window: value rides as integer cents
         # (half-away rounding, the repo money convention) so the running

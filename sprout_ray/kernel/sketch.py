@@ -72,6 +72,7 @@ def register_sketch(kind: str, ctor: Callable, deser: Callable) -> None:
 def _bootstrap() -> None:
     from .bloom import BloomFilter
     from .countmin import CountMinSketch
+    from .ams import AMSF2Sketch
     from .hll import HyperLogLog
     from .kll import KLLSketch
     from .kmv import KMVSketch
@@ -87,6 +88,7 @@ def _bootstrap() -> None:
     register_sketch("kll", KLLSketch, KLLSketch.from_bytes)
     register_sketch("mg", MisraGries, MisraGries.from_bytes)
     register_sketch("kmv", KMVSketch, KMVSketch.from_bytes)
+    register_sketch("ams", AMSF2Sketch, AMSF2Sketch.from_bytes)
 
 
 _bootstrap()

@@ -2427,6 +2427,117 @@ def unigram_quality(sf_dir: str):
     )
 
 
+# (table, key column) pairs profiled by the skew queries: the fact-table
+# keys whose distribution decides salting/partitioning strategy
+_SKEW_COLS = [
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("events", "event_type"),
+    ("events", "user_id"),
+    ("lineitem", "l_orderkey"),
+]
+
+
+def _key_counts(sf_dir: str, table: str, col: str):
+    """(key, c) per distinct key — per-block pre-agg partials, then one
+    native groupby sum, so only the thinned (key, block) stream shuffles."""
+    ds = _read(sf_dir, table, [col])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([col])
+            .drop_null()
+            .group_by([col])
+            .aggregate([(col, "count")])
+        )
+        return g.rename_columns(["key", "c"])
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .sum("c", ignore_nulls=True)
+    )
+
+
+def key_skew_profile(sf_dir: str):
+    """Exact key-skew profile of the shuffle-deciding fact-table keys:
+    occurrence count, distinct count, F2 = sum(c^2) (the self-join size /
+    AMS second moment — the statistic that decides whether a groupby or
+    join key needs salting), and the hottest key's count. Only the
+    per-(key, block) pre-agg stream shuffles; the finishing aggregate over
+    the grouped counts is native (O(distinct) in, 4 scalars out)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    rows = []
+    for table, col in _SKEW_COLS:
+        grouped = _key_counts(sf_dir, table, col)
+
+        def sq(t: pa.Table) -> pa.Table:
+            c = t["sum(c)"]
+            return pa.table({"c": c, "c2": pc.multiply(c, c)})
+
+        agg = grouped.map_batches(
+            sq, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(Sum("c"), Count(), Sum("c2"), Max("c"))
+        rows.append(
+            {
+                "col": f"{table}.{col}",
+                "n": int(agg["sum(c)"]),
+                "n_distinct": int(agg["count()"]),
+                "f2": int(agg["sum(c2)"]),
+                "max_count": int(agg["max(c)"]),
+            }
+        )
+    return pa.Table.from_pylist(rows).sort_by("col")
+
+
+def ams_f2_skew(sf_dir: str):
+    """AMS/CountSketch F2 estimates for the same keys key_skew_profile
+    measures exactly, with SELF-EVIDENCE columns (the hll_cardinalities
+    convention): exact F2 from the distributed groupby, relative error,
+    and the bound check (rel <= 2*sqrt(8/w), twice the published
+    median-of-d standard error sqrt(8/w), Charikar et al. 2002 /
+    Cormode-Garofalakis 2005). Both table columns build in ONE scan via
+    multi_sketch_build; the sketch shuffles O(blocks * d * w) counters,
+    never keys."""
+    import math as _math
+
+    from .flagship import multi_sketch_build
+
+    w, d = 8192, 5
+    bound = 2.0 * _math.sqrt(8.0 / w)
+    by_table: dict[str, list[str]] = {}
+    for table, col in _SKEW_COLS:
+        by_table.setdefault(table, []).append(col)
+    rows = []
+    for table, cols in by_table.items():
+        ds = _read(sf_dir, table, cols)
+        built = multi_sketch_build(
+            ds, {c: (SketchSpec.of("ams", w, d), c) for c in cols}
+        )
+        for c in cols:
+            est = float(built[c].estimate())
+            counts = _key_counts(sf_dir, table, c).map_batches(
+                lambda t: pa.table(
+                    {"c2": pc.multiply(t["sum(c)"], t["sum(c)"])}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            exact = int(counts.sum("c2", ignore_nulls=True) or 0)
+            rel = abs(est - exact) / max(exact, 1)
+            rows.append(
+                {
+                    "col": f"{table}.{c}",
+                    "estimate": est,
+                    "exact_f2": exact,
+                    "rel_err": float(np.floor(rel * 1e6 + 0.5) / 1e6),
+                    "within_bound": bool(rel <= bound),
+                }
+            )
+    return pa.Table.from_pylist(rows).sort_by("col")
+
+
 def dsir_scores(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
     ratio between a target-domain (lang='en') word-bigram LM and the

@@ -391,3 +391,101 @@ class TestKMV:
         mg_bad.counts = {42: 1}
         with _pytest.raises(TypeError):
             mg_bad.to_bytes()
+
+
+class TestAMSF2:
+    def _corpus(self, seed=7, n=100_000):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return [f"k{int(v)}" for v in rng.zipf(1.5, n)]
+
+    def test_estimate_within_bound_zipf(self):
+        """Median-of-d F2 estimate lands within 2*sqrt(8/w) of exact on a
+        zipf-skewed corpus (the published CountSketch variance bound with
+        a 2x margin)."""
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+
+        from sprout_ray.kernel.ams import AMSF2Sketch
+
+        keys = self._corpus()
+        exact = sum(c * c for c in Counter(keys).values())
+        sk = AMSF2Sketch(w=8192, d=7)
+        sk.update_batch(pa.array(keys))
+        rel = abs(sk.estimate() - exact) / exact
+        assert rel <= 2.0 * math.sqrt(8.0 / 8192)
+        assert sk.n == len(keys)
+
+    def test_merge_exact_and_order_insensitive(self):
+        """Partials merge to the SAME counters as a single-pass build
+        (integer add is exactly associative+commutative), in any order,
+        via both merge() and merge_bytes()."""
+        import numpy as np
+        import pyarrow as pa
+
+        from sprout_ray.kernel.ams import AMSF2Sketch
+
+        keys = pa.array(self._corpus(seed=11, n=40_000))
+        one = AMSF2Sketch(w=1024, d=5)
+        one.update_batch(keys)
+        parts = []
+        for i in range(4):
+            p = AMSF2Sketch(w=1024, d=5)
+            p.update_batch(keys.slice(i * 10_000, 10_000))
+            parts.append(p)
+        for order in ([0, 1, 2, 3], [3, 1, 0, 2]):
+            m = AMSF2Sketch(w=1024, d=5)
+            for i in order:
+                m.merge(parts[i])
+            assert np.array_equal(m.counters, one.counters) and m.n == one.n
+        mb = AMSF2Sketch(w=1024, d=5)
+        for p in parts:
+            mb.merge_bytes(p.to_bytes())
+        assert np.array_equal(mb.counters, one.counters) and mb.n == one.n
+
+    def test_point_estimates_hot_keys(self):
+        """CountSketch point queries recover hot-key counts within the
+        sqrt(4*F2/w) additive band."""
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+
+        from sprout_ray.kernel.ams import AMSF2Sketch
+
+        keys = self._corpus(seed=3)
+        cnt = Counter(keys)
+        f2 = sum(c * c for c in cnt.values())
+        sk = AMSF2Sketch(w=8192, d=7)
+        sk.update_batch(pa.array(keys))
+        hot = [k for k, _ in cnt.most_common(10)]
+        est = sk.point_estimate(pa.array(hot))
+        band = math.sqrt(4.0 * f2 / 8192)
+        for k, e in zip(hot, est):
+            assert abs(e - cnt[k]) <= band
+
+    def test_weighted_update_and_roundtrip(self):
+        import numpy as np
+        import pyarrow as pa
+        import pytest as _pytest
+
+        from sprout_ray.kernel.ams import AMSF2Sketch
+        from sprout_ray.kernel.sketch import SketchSpec, sketch_from_bytes
+
+        w = AMSF2Sketch(w=64, d=3)
+        w.update_batch(pa.array(["a", "b"]), counts=[3, 2])
+        r = AMSF2Sketch(w=64, d=3)
+        r.update_batch(pa.array(["a"] * 3 + ["b"] * 2))
+        assert np.array_equal(w.counters, r.counters) and w.n == r.n == 5
+
+        rt = sketch_from_bytes(w.to_bytes())
+        assert np.array_equal(rt.counters, w.counters) and rt.n == w.n
+        assert SketchSpec.of("ams", 64, 3).make().w == 64
+
+        with _pytest.raises(ValueError):
+            AMSF2Sketch(w=64, d=3).merge(AMSF2Sketch(w=128, d=3))
+        with _pytest.raises(ValueError):
+            AMSF2Sketch(w=64, d=3).merge_bytes(AMSF2Sketch(w=64, d=4).to_bytes())
