@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": A.revenue_by_nation,
         "customers_no_orders": A.customers_no_orders,
         "ngram_jaccard_pairs": A.ngram_jaccard_pairs,
+        "ngram_containment_pairs": A.ngram_containment_pairs,
         "minhash_neardup": A.minhash_neardup,
         "simhash_neardup": A.simhash_neardup,
         "minhash_neardup_exact": A.minhash_neardup_exact,
@@ -980,6 +981,26 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(i AS DOUBLE) / (na + nb - i) END AS j FROM p) "
             "SELECT CAST(la AS BIGINT) AS left_id, CAST(rb AS BIGINT) AS right_id, "
             "round(j, 6) AS jaccard FROM s WHERE j >= 0.8 "
+            "ORDER BY left_id, right_id"
+        ),
+        # containment twin: same gram CTE, denominator least(na, nb);
+        # one-empty pairs are 0.0 (empty sets share nothing), two-empties
+        # 1.0 (the clique convention shared with the jaccard twin)
+        "ngram_containment_pairs": (
+            "WITH g AS (SELECT doc_id, "
+            "CASE WHEN len(text) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(text) < 3 THEN [text] "
+            "ELSE list_distinct([substr(text, CAST(i AS INT), 3) "
+            "FOR i IN range(1, len(text)-1)]) END AS grams FROM documents), "
+            "p AS (SELECT a.doc_id AS la, b.doc_id AS rb, "
+            "len(list_intersect(a.grams, b.grams)) AS i, "
+            "len(a.grams) AS na, len(b.grams) AS nb "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id), "
+            "s AS (SELECT la, rb, CASE WHEN na + nb = 0 THEN 1.0 "
+            "WHEN least(na, nb) = 0 THEN 0.0 "
+            "ELSE CAST(i AS DOUBLE) / least(na, nb) END AS c FROM p) "
+            "SELECT CAST(la AS BIGINT) AS left_id, CAST(rb AS BIGINT) AS right_id, "
+            "round(c, 6) AS containment FROM s WHERE c >= 0.95 "
             "ORDER BY left_id, right_id"
         ),
         "exact_dup_pairs": (

@@ -973,6 +973,32 @@ def quantile_sketches(sf_dir: str):
     )
 
 
+def ngram_containment_pairs(sf_dir: str):
+    """EXACT char-3-gram CONTAINMENT >= 0.95 pairs (Broder one-sided
+    overlap i/min(|A|,|B|)) — the doc-inside-doc detector that Jaccard
+    structurally misses: a short doc pasted into a long one has Jaccard
+    ~|A|/|B| but containment 1.0. Same AllPairs machinery as
+    ngram_jaccard_pairs with metric="containment" (full gram emission —
+    containment only constrains the smaller set, see the stage
+    docstring); values re-verified on true char sets so they are
+    float-identical to the SQL twin's i/least(na, nb)."""
+    from ..stages.dedup import ngram_jaccard_pairs_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ngram_jaccard_pairs_distributed(
+        ds, n=3, threshold=0.95, metric="containment"
+    ).materialize()
+    if out.count() == 0:
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "containment": pa.array([], pa.float64()),
+            }
+        )
+    return out.sort(["left_id", "right_id"])
+
+
 def ngram_jaccard_pairs(sf_dir: str):
     """EXACT char-3-gram Jaccard >= 0.8 duplicate pairs (AllPairs prefix
     filter; no LSH) — the n-gram-Jaccard member of the dedup family, with a

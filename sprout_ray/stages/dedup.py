@@ -767,6 +767,7 @@ def _matmul_bucket_pairs(
     max_bucket: int,
     id_col: str = "doc_id",
     mat_budget: int = 64 << 20,
+    metric: str = "jaccard",
 ):
     """Fused in-bucket candidate pruning for DENSE corpora: instead of
     materializing every in-bucket pair (a tiny gram alphabet makes the
@@ -824,7 +825,10 @@ def _matmul_bucket_pairs(
             inter_acc += m @ m.T
         iu = np.triu_indices(b, k=1)
         inter = inter_acc[iu].astype(np.int64)
-        denom = lens[iu[0]] + lens[iu[1]] - inter
+        if metric == "containment":
+            denom = np.minimum(lens[iu[0]], lens[iu[1]])
+        else:
+            denom = lens[iu[0]] + lens[iu[1]] - inter
         j = inter / np.maximum(denom, 1)  # denom>0: gram-less docs never bucket
         keep = j >= threshold
         return pa.table(
@@ -887,17 +891,33 @@ def _char_gram_prefix_rows(
     )
 
 
-class _NgramVerifier:
-    """Actor-pool exact-Jaccard verify: candidate texts are fetched ONCE per
-    actor and shingled into true char-n-gram sets ONCE per doc in
-    ``__init__`` — the naive per-pair re-shingle was the dominant cost of
-    the whole join (each doc appears in many candidate pairs)."""
+def _pair_metric(inter: int, na: int, nb: int, metric: str) -> float:
+    """Set-similarity value for a verified pair. Jaccard: i/(na+nb-i),
+    two-empties = 1.0. Containment (Broder): i/min(na, nb) — catches
+    doc-inside-doc subset dups Jaccard dilutes away; two-empties = 1.0,
+    exactly-one-empty = 0.0 (an empty gram set shares nothing)."""
+    if metric == "containment":
+        m = min(na, nb)
+        if m == 0:
+            return 1.0 if na + nb == 0 else 0.0
+        return inter / m
+    union = na + nb - inter
+    return inter / union if union else 1.0
 
-    def __init__(self, text_ref, n: int, threshold: float):
+
+class _NgramVerifier:
+    """Actor-pool exact set-similarity verify (jaccard or containment):
+    candidate texts are fetched ONCE per actor and shingled into true
+    char-n-gram sets ONCE per doc in ``__init__`` — the naive per-pair
+    re-shingle was the dominant cost of the whole join (each doc appears
+    in many candidate pairs)."""
+
+    def __init__(self, text_ref, n: int, threshold: float, metric: str = "jaccard"):
         import ray
 
         self.n = n
         self.threshold = threshold
+        self.metric = metric
         self.sets = {
             i: set(char_shingles(t, n)) for i, t in ray.get(text_ref).items()
         }
@@ -910,15 +930,14 @@ class _NgramVerifier:
         for i, (a, b) in enumerate(zip(left, right)):
             sa, sb = sets[a], sets[b]
             inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            out[i] = inter / union if union else 1.0
+            out[i] = _pair_metric(inter, len(sa), len(sb), self.metric)
         keep = out >= self.threshold
         jr = np.floor(out * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "left_id": pa.array(np.asarray(left, np.int64)[keep]),
                 "right_id": pa.array(np.asarray(right, np.int64)[keep]),
-                "jaccard": pa.array(jr[keep], pa.float64()),
+                self.metric: pa.array(jr[keep], pa.float64()),
             }
         )
 
@@ -933,9 +952,22 @@ def ngram_jaccard_pairs_distributed(
     max_bucket: int = 4096,
     freq_order: bool = True,
     fused_incidence_max: int = GRAM_BROADCAST_INCIDENCE_MAX,
+    metric: str = "jaccard",
 ):
-    """EXACT all-pairs char-n-gram Jaccard >= threshold — set-similarity
-    join via AllPairs prefix filtering (no LSH approximation).
+    """EXACT all-pairs char-n-gram set-similarity >= threshold — AllPairs
+    join, no LSH approximation. ``metric="jaccard"`` (default) or
+    ``"containment"`` (Broder one-sided overlap ``i/min(|A|,|B|)``, the
+    doc-inside-doc detector — a 200-char doc pasted into a 20k-char doc
+    has tiny Jaccard but containment 1.0).
+
+    Containment blocking note: a qualifying pair only constrains the
+    SMALLER set (``i >= t*min``), so the larger side must index ALL its
+    grams for the bucket collision to exist — prefix filtering is
+    disabled (full gram emission) and candidate pruning relies on the
+    fused matmul tier / ``max_bucket``. That is inherent to containment
+    joins without a partner-size floor, not an implementation shortcut;
+    at corpus scale, pre-filter the small side (length band) or use the
+    MinHash tail first.
 
     Flow: a document-frequency count pass builds the global rarest-first
     gram order (:func:`_gram_df_ranks`, broadcast once, size-guarded with
@@ -959,11 +991,17 @@ def ngram_jaccard_pairs_distributed(
     import ray
     import ray.data as rd
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown set-similarity metric {metric!r}")
+    # containment: i >= t*min(|A|,|B|) bounds only the smaller set, so
+    # blocking must index every gram (see docstring); jaccard keeps the
+    # AllPairs prefix
+    block_t = threshold if metric == "jaccard" else 0.0
     empty = pa.table(
         {
             "left_id": pa.array([], pa.int64()),
             "right_id": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            metric: pa.array([], pa.float64()),
         }
     )
 
@@ -1001,7 +1039,7 @@ def ngram_jaccard_pairs_distributed(
             {
                 "left_id": pa.array(empty_ids[iu[0]]),
                 "right_id": pa.array(empty_ids[iu[1]]),
-                "jaccard": pa.array(
+                metric: pa.array(
                     np.ones(iu[0].size, dtype=np.float64), pa.float64()
                 ),
             }
@@ -1023,7 +1061,7 @@ def ngram_jaccard_pairs_distributed(
             t[text_col].to_pylist(),
             t[id_col].to_numpy(zero_copy_only=False),
             n,
-            threshold,
+            block_t,
             rank_lut=ray.get(rank_ref) if rank_ref is not None else None,
         )
 
@@ -1037,7 +1075,7 @@ def ngram_jaccard_pairs_distributed(
         # AllPairs per-pair expansion path runs instead.
         gram_ref = _doc_gram_payload_ref(ds, text_col, id_col, n)
         cand = _matmul_bucket_pairs(
-            keyed, gram_ref, threshold, max_bucket, id_col=id_col
+            keyed, gram_ref, threshold, max_bucket, id_col=id_col, metric=metric
         ).materialize()
     else:
         cand = lsh_candidate_pairs(keyed, max_bucket=max_bucket).materialize()
@@ -1085,6 +1123,7 @@ def ngram_jaccard_pairs_distributed(
                     "text_ref": text_ref,
                     "n": n,
                     "threshold": threshold,
+                    "metric": metric,
                 },
                 batch_format="pyarrow",
                 batch_size=65536,
@@ -1093,8 +1132,11 @@ def ngram_jaccard_pairs_distributed(
         )
 
     # distributed verify: hash-join the texts onto the pairs, one side at
-    # a time (both joins key on a single int64; pairs are the tiny stream)
-    parts = max(2, len(cand_ids) // 2_000_000)
+    # a time (both joins key on a single int64; pairs are the tiny stream).
+    # Partitions clamp to the candidate volume — 1 when the pair side is a
+    # handful of rows (Dataset.join's HashShuffleAggregator ArrowInvalid on
+    # hash-skewed tiny sides, see CLAUDE.md), growing for real volumes.
+    parts = max(1, len(cand_ids) // 2_000_000)
     docs = ds.select_columns([id_col, text_col])
     left = cand.select_columns(["left_id", "right_id"]).join(
         docs.map_batches(
@@ -1132,16 +1174,14 @@ def ngram_jaccard_pairs_distributed(
             zip(left, right, t["text_a"].to_pylist(), t["text_b"].to_pylist())
         ):
             sa, sb = gs(a, ta), gs(b, tb)
-            inter = len(sa & sb)
-            union = len(sa) + len(sb) - inter
-            j[i] = inter / union if union else 1.0
+            j[i] = _pair_metric(len(sa & sb), len(sa), len(sb), metric)
         keep = j >= threshold
         jr = np.floor(j * 1e6 + 0.5) / 1e6
         return pa.table(
             {
                 "left_id": t["left_id"].filter(pa.array(keep)),
                 "right_id": t["right_id"].filter(pa.array(keep)),
-                "jaccard": pa.array(jr[keep], pa.float64()),
+                metric: pa.array(jr[keep], pa.float64()),
             }
         )
 

@@ -895,3 +895,56 @@ def test_dsir_empty_target_raises(tmp_path, ray_session):
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     with pytest.raises(ValueError, match="target slice"):
         _pd(A.dsir_scores(str(tmp_path)))
+
+
+def test_ngram_containment_planted_vs_duckdb(tmp_path, ray_session):
+    """The defining containment case: a short doc whose grams all appear
+    inside a much longer doc (Jaccard ~ |A|/|B|, containment 1.0) must
+    qualify; through BOTH verify tiers; exact match with the DuckDB twin
+    (incl. empty-pair and short-text conventions)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    import __ray_entry__ as E
+    from sprout_ray.stages.dedup import ngram_jaccard_pairs_distributed
+
+    inner = "the quick brown fox jumps over the lazy dog"
+    outer = ("PREFIX blah blah unrelated content here " * 5) + inner + (
+        " MORE trailing filler that shares nothing with it " * 5
+    )
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                inner,                  # 0: contained in 1 -> containment 1.0
+                outer,                  # 1
+                "", "",                # 2,3: two-empties clique -> 1.0
+                "xy",                   # 4: len<3 -> grams=[text], no partner
+                "completely disjoint",  # 5
+            ],
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), path)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["ngram_containment_pairs"]).df()
+    con.close()
+    assert [tuple(r) for r in want[["left_id", "right_id"]].values] == [
+        (0, 1),
+        (2, 3),
+    ]
+    ds = rd.read_parquet(path)
+    for bmax in (500_000, 0):  # broadcast verify, then distributed-join verify
+        got = (
+            ngram_jaccard_pairs_distributed(
+                ds, n=3, threshold=0.95, metric="containment",
+                broadcast_max_ids=bmax,
+            )
+            .to_pandas()[["left_id", "right_id", "containment"]]
+            .sort_values(["left_id", "right_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
