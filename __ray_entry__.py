@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_quality": A.unigram_quality,
         "dsir_scores": A.dsir_scores,
         "key_skew_profile": A.key_skew_profile,
+        "pmi_top_bigrams": A.pmi_top_bigrams,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
@@ -838,6 +839,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # PMI collocations: ln(P(ab)) - ln(P(a)) - ln(P(b)) in integer
+        # 1e-8 nats (three glibc ln calls, fixed operand grouping), tf >= 5
+        # floor, deterministic (pmi DESC, gram) top-20
+        "pmi_top_bigrams": (
+            "WITH toks AS (SELECT unnest(string_split_regex("
+            "lower(trim(text, ' ')), '\\s+')) AS tok FROM documents), "
+            "tok2 AS (SELECT tok FROM toks WHERE tok <> ''), "
+            "l AS (SELECT doc_id, list_filter(string_split_regex("
+            "lower(trim(text, ' ')), '\\s+'), x -> x <> '') AS toks "
+            "FROM documents), "
+            "idx AS (SELECT doc_id, toks, "
+            "unnest(range(1, len(toks))) AS i FROM l), "
+            "grams AS (SELECT toks[i] || ' ' || toks[i+1] AS gram FROM idx), "
+            "tfu AS (SELECT tok, count(*) AS tf FROM tok2 GROUP BY tok), "
+            "nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok2), "
+            "tfb AS (SELECT gram, count(*) AS tf FROM grams "
+            "GROUP BY gram HAVING count(*) >= 5), "
+            "nb AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM grams), "
+            "x AS (SELECT b.gram, b.tf AS tfb, a.tf AS tfa, c.tf AS tfc "
+            "FROM tfb b "
+            "JOIN tfu a ON a.tok = split_part(b.gram, ' ', 1) "
+            "JOIN tfu c ON c.tok = split_part(b.gram, ' ', 2)) "
+            "SELECT gram, CAST(tfb AS BIGINT) AS tf, "
+            "CAST(floor((ln(CAST(tfb AS DOUBLE) / nb.n) "
+            "- ln(CAST(tfa AS DOUBLE) / nu.n) "
+            "- ln(CAST(tfc AS DOUBLE) / nu.n)) * 100000000.0 + 0.5) "
+            "AS BIGINT) AS pmi_micro "
+            "FROM x CROSS JOIN nb CROSS JOIN nu "
+            "ORDER BY pmi_micro DESC, gram LIMIT 20"
         ),
         # DSIR importance weights: per-doc sum over word bigrams of
         # lp_target - lp_raw, each a top-64 LM in integer 1e-8 nats with

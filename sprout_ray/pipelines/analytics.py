@@ -2564,6 +2564,19 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
+def pmi_top_bigrams(sf_dir: str):
+    """Top-20 word-bigram collocations by PMI (Church & Hanks 1990) with a
+    min_count=5 floor — tokenizer-merge / multi-word-expression mining
+    over the corpus. Integer 1e-8 nat PMI from the same three glibc ln
+    calls the SQL twin makes, so the (pmi DESC, gram) top-k is
+    oracle-exact."""
+    from ..stages.text import pmi_collocations
+
+    return pmi_collocations(
+        _read(sf_dir, "documents", ["text"]), min_count=5, k=20
+    )
+
+
 def dsir_scores(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
     ratio between a target-domain (lang='en') word-bigram LM and the

@@ -604,15 +604,12 @@ def add_token_entropy(batch: pa.Table, col: str = "text") -> pa.Table:
     )
 
 
-def _word_bigrams(t: pa.Table, text_col: str):
-    """(flat bigram strings, parent doc indices) for consecutive token
-    pairs within each doc — the DSIR feature contract shared with the
-    DuckDB twin: ``toks[i] || ' ' || toks[i+1]`` over the repo's
-    whitespace tokenization. Returns empty arrays when no doc has >= 2
-    tokens."""
-    from ..stages.similarity import _bm25_tokenize
-
-    flat, parents = _bm25_tokenize(t, text_col)
+def _bigrams_from_tokens(flat: pa.Array, parents: np.ndarray):
+    """(flat bigram strings, parent doc indices) from a pre-tokenized
+    (token, parent) stream: consecutive same-doc token pairs joined as
+    ``tok_i || ' ' || tok_{i+1}`` — the word-bigram contract shared with
+    the DuckDB twins. Tokens are whitespace-split so they never contain
+    a space, which keeps the unigram and bigram key spaces disjoint."""
     if len(flat) < 2:
         return pa.array([], pa.string()), np.empty(0, np.int64)
     same_doc = parents[1:] == parents[:-1]
@@ -621,6 +618,15 @@ def _word_bigrams(t: pa.Table, text_col: str):
     )
     idx = np.flatnonzero(same_doc)
     return grams.take(pa.array(idx, pa.int64())), parents[idx].astype(np.int64)
+
+
+def _word_bigrams(t: pa.Table, text_col: str):
+    """Batch -> (flat bigram strings, parent doc indices); see
+    :func:`_bigrams_from_tokens` for the contract."""
+    from ..stages.similarity import _bm25_tokenize
+
+    flat, parents = _bm25_tokenize(t, text_col)
+    return _bigrams_from_tokens(flat, parents)
 
 
 def dsir_importance_scores(
@@ -761,3 +767,148 @@ def dsir_importance_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         score_block, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def pmi_collocations(
+    ds,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+):
+    """Top-k word-bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the corpus-analysis operator behind tokenizer
+    merge candidates and multi-word-expression mining:
+
+        PMI(a b) = ln(P(ab)) - ln(P(a)) - ln(P(b)),
+        P(ab) = tf_ab / N_bigrams,  P(x) = tf_x / N_tokens,
+
+    with a ``min_count`` occurrence floor (rare pairs otherwise dominate
+    PMI by definition). One corpus scan counts unigrams AND bigrams in a
+    single disjoint key space (tokens are whitespace-split so they never
+    contain the bigram separator space); the O(distinct-gram) grouped
+    table is the only wide state. Component-token frequencies attach via
+    the size-guarded :func:`~sprout_ray.stages.joins.broadcast_lookup_join`
+    (vocabulary << corpus; distributed hash join above the budget).
+
+    PMI rides as integer 1e-8 nats from three scalar ``math.log`` calls
+    combined in a fixed order — bit-identical to the DuckDB twin's
+    ``ln(tfb/nb) - ln(tfa/nu) - ln(tfc/nu)`` — so (pmi_micro DESC, gram)
+    is a deterministic total order and the top-k is oracle-exact.
+    Returns a schema-bearing Arrow table when no bigram clears the floor."""
+    import math
+
+    from ..stages.joins import broadcast_lookup_join
+    from ..stages.similarity import _bm25_tokenize
+
+    def part(t: pa.Table) -> pa.Table:
+        flat, parents = _bm25_tokenize(t, text_col)
+        grams, _g = _bigrams_from_tokens(flat, parents)
+        keys = pa.concat_arrays(
+            [flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat, grams]
+        )
+        if len(keys) == 0:
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "tf": pa.array([], pa.int64())}
+            )
+        out = (
+            pa.table({"gram": keys})
+            .group_by(["gram"])
+            .aggregate([("gram", "count")])
+        )
+        return out.rename_columns(["gram", "tf"])
+
+    grouped = (
+        ds.select_columns([text_col])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gram")
+        .sum("tf", ignore_nulls=True)
+        .rename_columns({"sum(tf)": "tf"})
+        .materialize()  # O(distinct grams); read by totals + both join sides
+    )
+
+    def split_kind(t: pa.Table, want_bigrams: bool) -> pa.Table:
+        isb = pc.match_substring(t["gram"], " ")
+        return t.filter(isb if want_bigrams else pc.invert(isb))
+
+    empty = pa.table(
+        {
+            "gram": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+        }
+    )
+    uni = grouped.map_batches(
+        lambda t: split_kind(t, False), batch_format="pyarrow"
+    )
+    bi = grouped.map_batches(
+        lambda t: split_kind(t, True), batch_format="pyarrow"
+    )
+    n_u = int(uni.sum("tf", ignore_nulls=True) or 0)
+    n_b = int(bi.sum("tf", ignore_nulls=True) or 0)
+    if n_b == 0:
+        return empty
+
+    def add_toks(t: pa.Table) -> pa.Table:
+        parts_ = pc.split_pattern(t["gram"], " ")
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "tf": t["tf"],
+                "left_tok": pc.list_element(parts_, 0),
+                "right_tok": pc.list_element(parts_, 1),
+            }
+        )
+
+    cand = bi.filter(expr=f"tf >= {int(min_count)}").map_batches(
+        add_toks, batch_format="pyarrow"
+    )
+    vocab_count = uni.count()
+    left = broadcast_lookup_join(
+        cand,
+        uni.map_batches(
+            lambda t: t.rename_columns(["left_tok", "tf_a"]),
+            batch_format="pyarrow",
+        ),
+        on="left_tok",
+        right_count=vocab_count,
+    )
+    both = broadcast_lookup_join(
+        left,
+        uni.map_batches(
+            lambda t: t.rename_columns(["right_tok", "tf_c"]),
+            batch_format="pyarrow",
+        ),
+        on="right_tok",
+        right_count=vocab_count,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tfb = t["tf"].to_pylist()
+        tfa = t["tf_a"].to_pylist()
+        tfc = t["tf_c"].to_pylist()
+        # scalar math.log (glibc ln, the DuckDB function) in the twin's
+        # exact operand grouping; candidates are the thinned >=min_count
+        # stream, so the per-row loop is off the hot path
+        pmi = [
+            math.floor(
+                (
+                    math.log(b / n_b)
+                    - math.log(a / n_u)
+                    - math.log(c / n_u)
+                )
+                * 1e8
+                + 0.5
+            )
+            for b, a, c in zip(tfb, tfa, tfc)
+        ]
+        return pa.table(
+            {
+                "gram": t["gram"],
+                "tf": t["tf"],
+                "pmi_micro": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    scored = both.map_batches(score, batch_format="pyarrow")
+    out = scored.sort(["pmi_micro", "gram"], descending=[True, False]).limit(k)
+    return out if out.count() else empty

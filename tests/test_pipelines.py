@@ -948,3 +948,42 @@ def test_ngram_containment_planted_vs_duckdb(tmp_path, ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_pmi_top_bigrams_planted(tmp_path, ray_session):
+    """Hand-computable PMI: a bigram whose tokens only co-occur scores
+    above one whose tokens also appear apart; the min_count floor drops
+    rare pairs; DuckDB twin agrees on the planted corpus."""
+    import duckdb
+    import math
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    rows = ["tight pair"] * 6 + ["loose mix"] * 5 + ["loose solo", "mix alone"] * 3 + ["rare gem"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(rows),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.pmi_top_bigrams(str(tmp_path)))
+    # "rare gem" (tf 1) is floored out; "tight pair" is the purest pair
+    assert "rare gem" not in out["gram"].tolist()
+    assert out.iloc[0]["gram"] == "tight pair"
+    # hand-check the winner's PMI: tfb=6, nb=18, tf(tight)=6, tf(pair)=6, nu=36
+    want_top = math.floor(
+        (math.log(6 / 18) - math.log(6 / 36) - math.log(6 / 36)) * 1e8 + 0.5
+    )
+    assert int(out.iloc[0]["pmi_micro"]) == want_top
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["pmi_top_bigrams"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
+    )
