@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_scores": A.dsir_scores,
         "key_skew_profile": A.key_skew_profile,
         "pmi_top_bigrams": A.pmi_top_bigrams,
+        "leakage_safe_split": A.leakage_safe_split,
+        "length_histogram": A.length_histogram,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
@@ -839,6 +841,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # leakage-safe split: fold decided by the dup-cluster REP, so
+        # exact duplicates never straddle train/val/test
+        "leakage_safe_split": (
+            "WITH c AS (SELECT doc_id, "
+            "min(doc_id) OVER (PARTITION BY text) AS cluster FROM documents) "
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(cluster AS BIGINT) AS cluster, "
+            "CASE WHEN cluster % 10 < 8 THEN 'train' "
+            "WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS split "
+            "FROM c ORDER BY doc_id"
+        ),
+        # equi-width histogram: integer bin math lands boundary values
+        # identically in both engines
+        "length_histogram": (
+            "WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx "
+            "FROM documents) "
+            "SELECT lang, "
+            "CAST((n_chars - mm.mn) * 10 // (mm.mx - mm.mn + 1) AS BIGINT) "
+            "AS bin, CAST(count(*) AS BIGINT) AS n "
+            "FROM documents CROSS JOIN mm "
+            "GROUP BY lang, bin ORDER BY lang, bin"
         ),
         # PMI collocations: ln(P(ab)) - ln(P(a)) - ln(P(b)) in integer
         # 1e-8 nats (three glibc ln calls, fixed operand grouping), tf >= 5

@@ -2564,6 +2564,70 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
+def leakage_safe_split(sf_dir: str):
+    """Leakage-safe train/val/test assignment: split by the DUP-CLUSTER
+    representative, not the doc id, so exact duplicates can never straddle
+    folds (the eval-contamination failure mode of naive per-doc splits).
+    Composition of two verified pieces: distributed connected components
+    over the exact-dup pair set (cluster = min doc_id, the
+    exact_dup_clusters machinery) -> the shuffle-free assign_split stage
+    keyed on the cluster id (mod bucketer, the SQL-expressible twin of the
+    production murmur-hash bucketer). Oracle: min(doc_id) OVER (PARTITION
+    BY text), then CASE on cluster % 10."""
+    from ..stages.dedup import connected_components_distributed
+    from ..stages.sampling import assign_split
+
+    pairs = _dup_pair_ds(sf_dir)
+    nodes = _read(sf_dir, "documents", ["doc_id"])
+    clusters = connected_components_distributed(pairs, nodes_ds=nodes)
+    out = assign_split(
+        clusters, "cluster", _SPLIT_FRACTIONS, method="mod", buckets=10
+    )
+    return out.select_columns(["doc_id", "cluster", "split"]).sort("doc_id")
+
+
+def length_histogram(sf_dir: str):
+    """Per-language equi-width length histogram (10 bins over the GLOBAL
+    n_chars range) — the corpus-profiling companion of the quantile
+    queries. Bin edges via pure integer math, ``(x - mn) * 10 // (mx - mn
+    + 1)``, so both engines land every boundary value identically. Two
+    passes: one tiny global min/max aggregate, then per-block (lang, bin)
+    count partials -> native sum (only the thinned partials shuffle)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    mm = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    mn, mx = int(mm["min(n_chars)"]), int(mm["max(n_chars)"])
+    width_denom = mx - mn + 1
+
+    def part(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (x - mn) * 10 // width_denom
+        g = (
+            pa.table({"lang": t["lang"], "bin": pa.array(b, pa.int64())})
+            .group_by(["lang", "bin"])
+            .aggregate([("bin", "count")])
+        )
+        return g.rename_columns(["lang", "bin", "n_part"])
+
+    g = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "bin"])
+        .sum("n_part", ignore_nulls=True)
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "bin": t["bin"],
+                "n": t["sum(n_part)"].cast(pa.int64()),
+            }
+        )
+
+    return g.map_batches(fin, batch_format="pyarrow").sort(["lang", "bin"])
+
+
 def pmi_top_bigrams(sf_dir: str):
     """Top-20 word-bigram collocations by PMI (Church & Hanks 1990) with a
     min_count=5 floor — tokenizer-merge / multi-word-expression mining

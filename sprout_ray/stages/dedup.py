@@ -1483,8 +1483,11 @@ def connected_components_distributed(
         )
     # join fixed overhead scales with partition count -> clamp to edge volume
     # (~1M edge-endpoints per partition) while honoring the caller's ceiling.
+    # Floor is ONE partition: num_partitions >= 2 with a handful of edge rows
+    # hits Dataset.join's HashShuffleAggregator ArrowInvalid on hash-skewed
+    # tiny sides (CLAUDE.md gotcha).
     n_edges = edges.count()
-    num_partitions = max(2, min(num_partitions, n_edges // 1_000_000 + 2))
+    num_partitions = max(1, min(num_partitions, n_edges // 1_000_000 + 1))
 
     node_sets = [edges.map_batches(
         lambda t: pa.table({id_col: t["src"]}), batch_format="pyarrow"

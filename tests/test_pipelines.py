@@ -987,3 +987,35 @@ def test_pmi_top_bigrams_planted(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
     )
+
+
+def test_leakage_safe_split_planted(tmp_path, ray_session):
+    """The defining guarantee: exact duplicates whose doc_ids fall in
+    DIFFERENT mod-10 classes still land in the SAME fold, because the
+    cluster representative decides; DuckDB twin agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    # ids 3 (train-class), 18 (val-class), 29 (test-class) share one text:
+    # all must follow cluster rep 3 -> 'train'
+    ids = [3, 18, 29, 8, 9, 10]
+    texts = ["dup"] * 3 + ["solo-val", "solo-test", "solo-train"]
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.leakage_safe_split(str(tmp_path))).set_index("doc_id")
+    assert out.loc[[3, 18, 29], "split"].tolist() == ["train"] * 3
+    assert out.loc[[3, 18, 29], "cluster"].tolist() == [3] * 3
+    assert out.loc[8, "split"] == "val" and out.loc[9, "split"] == "test"
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["leakage_safe_split"]).df()
+    con.close()
+    got = _pd(A.leakage_safe_split(str(tmp_path))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
