@@ -228,6 +228,15 @@ def query_suite(sf_dir: str) -> dict:
         ("shared_gram_docs", A.shared_gram_docs),
         ("pretrain_gate_ids", A.pretrain_gate_ids),
         ("value_zscore_by_type", A.value_zscore_by_type),
+        ("canonical_docs", A.canonical_docs),
+        ("dsir_scores", A.dsir_scores),
+        ("key_skew_profile", A.key_skew_profile),
+        # ngram_containment_pairs is deliberately NOT timed here: full gram
+        # emission on this corpus's degenerate ~377-gram alphabet makes the
+        # join inherently dense (~67 s at sf0.1) — correctness-gated at
+        # sf0.01 by the driver instead
+        ("pmi_top_bigrams", A.pmi_top_bigrams),
+        ("leakage_safe_split", A.leakage_safe_split),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
