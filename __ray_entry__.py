@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top_bigrams": A.pmi_top_bigrams,
         "leakage_safe_split": A.leakage_safe_split,
         "length_histogram": A.length_histogram,
+        "top3_sources_per_lang": A.top3_sources_per_lang,
+        "value_mad_by_type": A.value_mad_by_type,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
         "semdedup_survivors": A.semdedup_survivors,
@@ -841,6 +843,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # grouped top-k: (count DESC, source ASC) rank per lang
+        "top3_sources_per_lang": (
+            "SELECT lang, CAST(rn AS BIGINT) AS rank, source, "
+            "CAST(n AS BIGINT) AS n FROM ("
+            "SELECT lang, source, count(*) AS n, row_number() OVER "
+            "(PARTITION BY lang ORDER BY count(*) DESC, source) AS rn "
+            "FROM documents GROUP BY lang, source) "
+            "WHERE rn <= 3 ORDER BY lang, rank"
+        ),
+        # robust per-group stats: median / MAD / 3-MAD outlier count over
+        # integer cents (percentile_disc on both engines)
+        "value_mad_by_type": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "m AS (SELECT event_type, percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY cents) AS med FROM c GROUP BY event_type), "
+            "d AS (SELECT c.event_type, abs(c.cents - m.med) AS dev, m.med "
+            "FROM c JOIN m USING (event_type)), "
+            "md AS (SELECT event_type, percentile_disc(0.5) WITHIN GROUP "
+            "(ORDER BY dev) AS mad FROM d GROUP BY event_type) "
+            "SELECT d.event_type, CAST(d.med AS BIGINT) AS med_cents, "
+            "CAST(md.mad AS BIGINT) AS mad_cents, "
+            "CAST(sum(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM d JOIN md USING (event_type) "
+            "GROUP BY d.event_type, d.med, md.mad ORDER BY event_type"
         ),
         # leakage-safe split: fold decided by the dup-cluster REP, so
         # exact duplicates never straddle train/val/test

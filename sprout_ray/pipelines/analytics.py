@@ -2564,6 +2564,126 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
+def top3_sources_per_lang(sf_dir: str):
+    """Grouped top-k (k=3): the three most frequent sources per language,
+    (count DESC, source ASC) tie-break. Per-block (lang, source) count
+    partials shuffle as ONE packed string key (multi-column groupby is
+    pathologically slow on pair streams — CLAUDE.md); the grouped stats
+    table is dimension-bounded (|langs| x |sources|), so the final rank
+    happens on the driver like the other grouped readouts
+    (corpus_split_mod_exact, kll_by_lang_exact)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def part(t: pa.Table) -> pa.Table:
+        packed = pc.binary_join_element_wise(t["lang"], t["source"], "\x1f")
+        g = (
+            pa.table({"kv": packed})
+            .group_by(["kv"])
+            .aggregate([("kv", "count")])
+        )
+        return g.rename_columns(["kv", "c"])
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("c", ignore_nulls=True)
+        .take_all()  # bounded: |langs| x |sources|
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "kv": [r["kv"] for r in rows],
+            "n": [int(r["sum(c)"]) for r in rows],
+        }
+    )
+    kv = df["kv"].str.split("\x1f", expand=True)
+    df = df.assign(lang=kv[0], source=kv[1]).sort_values(
+        ["lang", "n", "source"], ascending=[True, False, True]
+    )
+    df["rank"] = df.groupby("lang").cumcount() + 1
+    df = df[df["rank"] <= 3]
+    return pa.table(
+        {
+            "lang": pa.array(df["lang"], pa.string()),
+            "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+            "source": pa.array(df["source"], pa.string()),
+            "n": pa.array(df["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def value_mad_by_type(sf_dir: str):
+    """Robust per-group outlier statistics: median, MAD (median absolute
+    deviation) and the |x - med| > 3*MAD outlier count of event value per
+    event_type — the robust twin of value_zscore_by_type (median/MAD shrug
+    off the heavy tail that inflates mean/stddev). Money rides as integer
+    cents, so every statistic is engine-exact.
+
+    ONE corpus scan: per-block (type, cents) count partials -> native
+    groupby sum -> a dimension-bounded histogram (|types| x |distinct
+    cents|) on the driver, from which the median, the abs-deviation
+    HISTOGRAM (a pure re-key of the value histogram — no second scan),
+    the MAD, and the outlier count all derive. percentile_disc semantics
+    (smallest value with cumulative count >= ceil(q*n)), matching the
+    SQL twin."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+        packed = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(cents, pa.string()), "\x1f"
+        )
+        g = (
+            pa.table({"kv": packed})
+            .group_by(["kv"])
+            .aggregate([("kv", "count")])
+        )
+        return g.rename_columns(["kv", "cnt"])
+
+    rows = (
+        ev.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("cnt", ignore_nulls=True)
+        .take_all()  # bounded: |types| x |distinct cents|
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "kv": [r["kv"] for r in rows],
+            "cnt": [int(r["sum(cnt)"]) for r in rows],
+        }
+    )
+    kv = df["kv"].str.split("\x1f", expand=True)
+    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+
+    def disc(vs: np.ndarray, cnts: np.ndarray, q: float) -> int:
+        order = np.argsort(vs, kind="stable")
+        vs, cnts = vs[order], cnts[order]
+        cum = np.cumsum(cnts)
+        target = max(int(np.ceil(q * cum[-1])), 1)
+        return int(vs[np.searchsorted(cum, target)])
+
+    out = []
+    for k, grp in df.groupby("k", sort=True):
+        vs = grp["v"].to_numpy()
+        cnts = grp["cnt"].to_numpy()
+        med = disc(vs, cnts, 0.5)
+        dev = np.abs(vs - med)
+        mad = disc(dev, cnts, 0.5)
+        n_out = int(cnts[dev > 3 * mad].sum())
+        out.append(
+            {
+                "event_type": k,
+                "med_cents": med,
+                "mad_cents": mad,
+                "n_outliers": n_out,
+            }
+        )
+    return pa.Table.from_pylist(out)
+
+
 def leakage_safe_split(sf_dir: str):
     """Leakage-safe train/val/test assignment: split by the DUP-CLUSTER
     representative, not the doc id, so exact duplicates can never straddle

@@ -1019,3 +1019,59 @@ def test_leakage_safe_split_planted(tmp_path, ray_session):
     con.close()
     got = _pd(A.leakage_safe_split(str(tmp_path))).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_value_mad_by_type_planted(tmp_path, ray_session):
+    """Hand-computable median/MAD/outliers, incl. percentile_disc's
+    even-count behavior (ceil(n/2) -> lower middle) and a heavy-tail
+    point that mean/stddev would smear but MAD isolates."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    # type 'a': cents 100,200,300,400,10000 -> med=300 (ceil(2.5)=3rd),
+    # dev 200,100,0,100,9700 -> sorted 0,100,100,200,9700 -> mad=100,
+    # outliers: dev>300 -> just the 10000 point -> 1
+    # type 'b': even count; cents 100,200,300,400 -> med=200 (ceil(2)=2nd),
+    # dev 100,0,100,200 -> mad=100 (2nd of 0,100,100,200), outliers 0
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0, 1.0, 2.0, 3.0, 4.0]
+    types = ["a"] * 5 + ["b"] * 4
+    t = pa.table(
+        {
+            "event_id": pa.array(range(9), pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.value_mad_by_type(str(tmp_path))).set_index("event_type")
+    assert out.loc["a"].tolist() == [300, 100, 1]
+    assert out.loc["b"].tolist() == [200, 100, 0]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["value_mad_by_type"]).df()
+    con.close()
+    got = _pd(A.value_mad_by_type(str(tmp_path))).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_top3_sources_per_lang_ties(ray_session):
+    """Rank, count-desc ordering and the source-asc tie-break match the
+    row_number twin on the real corpus."""
+    import duckdb
+
+    import __ray_entry__ as E
+
+    got = _pd(A.top3_sources_per_lang(SF)).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    want = con.execute(E.oracle_sql()["top3_sources_per_lang"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+    assert (got.groupby("lang")["rank"].max() <= 3).all()
