@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": A.leakage_safe_split,
         "length_histogram": A.length_histogram,
         "top3_sources_per_lang": A.top3_sources_per_lang,
+        "winnow_shared": A.winnow_shared,
         "value_mad_by_type": A.value_mad_by_type,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,

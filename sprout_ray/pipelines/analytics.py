@@ -2489,31 +2489,80 @@ def key_skew_profile(sf_dir: str):
     """Exact key-skew profile of the shuffle-deciding fact-table keys:
     occurrence count, distinct count, F2 = sum(c^2) (the self-join size /
     AMS second moment — the statistic that decides whether a groupby or
-    join key needs salting), and the hottest key's count. Only the
-    per-(key, block) pre-agg stream shuffles; the finishing aggregate over
-    the grouped counts is native (O(distinct) in, 4 scalars out)."""
-    from ray.data.aggregate import Count, Max, Sum
+    join key needs salting), and the hottest key's count.
 
-    rows = []
+    ONE scan per TABLE (both profiled columns counted per block into a
+    single packed "table.col\\x1fkey" key space — the multi-column-groupby
+    workaround, CLAUDE.md), one thinned groupby, then per-block stats
+    partials + a 5-row native finishing aggregate. The first cut ran five
+    sequential single-column pipelines re-reading each table (12.8 s in
+    the bench suite); this shape is one pipeline per table."""
+    from ray.data.aggregate import Max, Sum
+
+    by_table: dict[str, list[str]] = {}
     for table, col in _SKEW_COLS:
-        grouped = _key_counts(sf_dir, table, col)
+        by_table.setdefault(table, []).append(col)
+    rows = []
+    for table, cols in by_table.items():
+        ds = _read(sf_dir, table, cols)
 
-        def sq(t: pa.Table) -> pa.Table:
+        def part(t: pa.Table, cols=cols, table=table) -> pa.Table:
+            outs = []
+            for c in cols:
+                g = (
+                    t.select([c])
+                    .drop_null()
+                    .group_by([c])
+                    .aggregate([(c, "count")])
+                )
+                label = pa.array([f"{table}.{c}"] * g.num_rows, pa.string())
+                kv = pc.binary_join_element_wise(
+                    label, pc.cast(g[c], pa.string()), "\x1f"
+                )
+                outs.append(
+                    pa.table({"kv": kv, "c": g[f"{c}_count"].cast(pa.int64())})
+                )
+            return pa.concat_tables(outs)
+
+        def stats_part(t: pa.Table) -> pa.Table:
+            col = pc.list_element(pc.split_pattern(t["kv"], "\x1f"), 0)
             c = t["sum(c)"]
-            return pa.table({"c": c, "c2": pc.multiply(c, c)})
+            g = (
+                pa.table(
+                    {
+                        "col": col,
+                        "n": c,
+                        "one": pa.array(np.ones(len(c), np.int64)),
+                        "c2": pc.multiply(c, c),
+                        "mx": c,
+                    }
+                )
+                .group_by(["col"])
+                .aggregate(
+                    [("n", "sum"), ("one", "sum"), ("c2", "sum"), ("mx", "max")]
+                )
+            )
+            return g.rename_columns(["col", "n", "one", "c2", "mx"])
 
-        agg = grouped.map_batches(
-            sq, batch_format="pyarrow", zero_copy_batch=True
-        ).aggregate(Sum("c"), Count(), Sum("c2"), Max("c"))
-        rows.append(
-            {
-                "col": f"{table}.{col}",
-                "n": int(agg["sum(c)"]),
-                "n_distinct": int(agg["count()"]),
-                "f2": int(agg["sum(c2)"]),
-                "max_count": int(agg["max(c)"]),
-            }
+        agg = (
+            ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kv")
+            .sum("c", ignore_nulls=True)
+            .map_batches(stats_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("col")
+            .aggregate(Sum("n"), Sum("one"), Sum("c2"), Max("mx"))
+            .take_all()  # one row per profiled column
         )
+        for r in agg:
+            rows.append(
+                {
+                    "col": r["col"],
+                    "n": int(r["sum(n)"]),
+                    "n_distinct": int(r["sum(one)"]),
+                    "f2": int(r["sum(c2)"]),
+                    "max_count": int(r["max(mx)"]),
+                }
+            )
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
@@ -2562,6 +2611,22 @@ def ams_f2_skew(sf_dir: str):
                 }
             )
     return pa.Table.from_pylist(rows).sort_by("col")
+
+
+def winnow_shared(sf_dir: str):
+    """Winnowing-fingerprint dup signal (Schleimer et al. 2003 / MOSS):
+    per-doc fingerprint count + shared-fingerprint count at char-3-gram,
+    window 4 (expected density 2/(w+1) = 0.4 of the gram stream — the
+    sub-sampled 100 TB shape of the ExactSubstr-style flagging). Murmur
+    fingerprints are not SQL-expressible, so the row is rows-only; the
+    selection algorithm is pinned against an independent pure-Python
+    reference, the coverage guarantee (shared substring >= w+k-1 chars
+    -> shared fingerprint), and the density band in pytest."""
+    from ..stages.dedup import winnow_shared_docs
+
+    return winnow_shared_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), k=3, w=4
+    )
 
 
 def top3_sources_per_lang(sf_dir: str):

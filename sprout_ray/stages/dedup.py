@@ -604,15 +604,20 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def _doc_gram_hashes(texts, n: int):
-    """Distinct char-n-gram hashes per doc, vectorized over the whole batch.
+def _doc_gram_hashes(texts, n: int, distinct: bool = True):
+    """Char-n-gram hashes per doc, vectorized over the whole batch.
 
     Grams are hashed over UTF-32 codepoint windows (CHARACTER semantics,
     matching ``char_shingles``/DuckDB substr, not bytes). Returns
-    ``(h, d)``: uint64 gram hashes and their doc indices, deduplicated
-    per doc and sorted by (doc, hash)."""
-    if not 1 <= n <= 4:
-        raise ValueError("n must be in [1, 4] (4n bytes <= one murmur tail block)")
+    ``(h, d)``: uint64 gram hashes and their doc indices — deduplicated
+    per doc and sorted by (doc, hash) by default, or POSITIONAL
+    (document order, duplicates kept) with ``distinct=False`` (the
+    winnowing consumer needs gram positions)."""
+    if not 1 <= n <= 3:
+        # utf-32 grams ride murmur's pure-tail path, which holds < 16
+        # bytes: 4n <= 12. n=4 would be exactly one full block and the
+        # tail-only kernel indexes past the padded matrix (reproduced).
+        raise ValueError("n must be in [1, 3] (4n bytes < one murmur block)")
     from ..kernel.murmur3 import murmur3_64_padded
 
     bs = [(t or "").encode("utf-32-le") for t in texts]
@@ -638,6 +643,8 @@ def _doc_gram_hashes(texts, n: int):
         mat[cols16 >= rlen[:, None]] = 0
         hashes[r0:r1] = murmur3_64_padded(mat, rlen, 0)
         di[r0:r1] = d
+    if not distinct:
+        return hashes, di  # positional: document order, duplicates kept
     # distinct per doc, ascending hash inside each doc run
     order = np.lexsort((hashes, di))
     h, d = hashes[order], di[order]
@@ -2043,3 +2050,169 @@ def span_dedup_stats(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow").sort(id_col)
+
+
+def winnow_select(h: np.ndarray, d: np.ndarray, w: int):
+    """Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken 2003,
+    the MOSS algorithm): over each doc's POSITIONAL gram-hash sequence,
+    every window of ``w`` consecutive hashes contributes its RIGHTMOST
+    minimal hash; the distinct selected positions are the fingerprints.
+
+    Guarantees (the paper's): any substring match long enough to span a
+    full window (>= w + k - 1 chars for char-k-grams) yields at least one
+    SHARED fingerprint (coverage), and the expected density is 2/(w+1) —
+    the sub-sampling knob that makes fingerprint-based dedup linear in
+    corpus size instead of gram count. Docs with fewer than ``w`` grams
+    contribute their single rightmost-minimal hash, so every non-empty
+    doc has >= 1 fingerprint.
+
+    Fully vectorized: one ``sliding_window_view`` over the concatenated
+    hash stream with a doc-boundary mask; rightmost-min via argmin on the
+    reversed window axis. Returns selected positions into ``h``."""
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    if h.size == 0:
+        return np.empty(0, np.int64)
+    sizes = np.bincount(d, minlength=int(d.max()) + 1)
+    sel_long = np.empty(0, np.int64)
+    if h.size >= w:
+        wins = np.lib.stride_tricks.sliding_window_view(h, w)
+        valid = d[: h.size - w + 1] == d[w - 1 :]
+        if valid.any():
+            rev_am = wins[valid][:, ::-1].argmin(axis=1)
+            pos = np.flatnonzero(valid) + (w - 1 - rev_am)
+            sel_long = np.unique(pos)
+    short_docs = (sizes > 0) & (sizes < w)
+    sel_short = np.empty(0, np.int64)
+    if short_docs.any():
+        sub = np.flatnonzero(short_docs[d])
+        hs, ds_ = h[sub], d[sub]
+        order = np.lexsort((-sub, hs, ds_))  # per doc: min hash, max pos
+        dd = ds_[order]
+        first = np.ones(order.size, bool)
+        first[1:] = dd[1:] != dd[:-1]
+        sel_short = sub[order][first]
+    return np.union1d(sel_long, sel_short)
+
+
+def winnow_fingerprint_rows(ds, k: int = 3, w: int = 4,
+                            text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc DISTINCT winnow fingerprints as a (id_col, fp) Dataset —
+    the sub-sampled alternative to the full gram stream (expected
+    2/(w+1) of the grams shuffle instead of all of them)."""
+
+    def block(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h, d = _doc_gram_hashes(t[text_col].to_pylist(), k, distinct=False)
+        sel = winnow_select(h, d, w)
+        fp, dd = h[sel], d[sel]
+        order = np.lexsort((fp, dd))  # distinct (doc, fp)
+        fp, dd = fp[order], dd[order]
+        if fp.size:
+            keep = np.ones(fp.size, bool)
+            keep[1:] = (fp[1:] != fp[:-1]) | (dd[1:] != dd[:-1])
+            fp, dd = fp[keep], dd[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids[dd], pa.int64()),
+                "fp": pa.array(fp.view(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def winnow_shared_docs(ds, k: int = 3, w: int = 4, min_docs: int = 2,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       broadcast_max: int | None = None):
+    """Winnowed self-dedup signal: per doc, total fingerprints and how
+    many are shared with >= ``min_docs - 1`` other docs — the
+    ExactSubstr-style flagging tail over the 2/(w+1)-density winnow
+    fingerprint stream (the 100 TB shape for substring-dup detection:
+    neither the text nor the full gram stream ever shuffles).
+
+    One fingerprint groupby finds shared fps; the shared SET rides back
+    size-guarded (broadcast searchsorted up to ``broadcast_max`` fps,
+    distributed left join with partitions clamped above); then ONE per-doc
+    aggregate emits (id_col, n_fps, n_shared) for every doc with >= 1
+    fingerprint."""
+    import ray
+
+    fps = winnow_fingerprint_rows(
+        ds, k=k, w=w, text_col=text_col, id_col=id_col
+    ).materialize()  # consumed by the fp-count pass and the mark pass
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_fps", pa.int64()), ("n_shared", pa.int64())]
+    )
+    if fps.count() == 0:
+        return out_schema.empty_table()
+    counts = fps.groupby("fp").count()
+
+    def keep_shared(t: pa.Table) -> pa.Table:
+        m = pc.greater_equal(t["count()"], pa.scalar(min_docs, pa.int64()))
+        return pa.table({"fp": t["fp"].filter(m)})
+
+    shared = counts.map_batches(
+        keep_shared, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ns = shared.count()
+    budget = broadcast_max if broadcast_max is not None else 2_000_000
+    if ns <= budget:
+        arr = np.sort(
+            _collect_table(shared, pa.schema([("fp", pa.int64())]))[
+                "fp"
+            ].to_numpy(zero_copy_only=False)
+        )
+        shared_ref = ray.put(arr)
+
+        def mark(t: pa.Table) -> pa.Table:
+            sh = ray.get(shared_ref)
+            f = t["fp"].to_numpy(zero_copy_only=False)
+            if sh.size:
+                pos = np.minimum(np.searchsorted(sh, f), sh.size - 1)
+                hit = (sh[pos] == f).astype(np.int64)
+            else:
+                hit = np.zeros(len(f), np.int64)
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "one": pa.array(np.ones(len(f), np.int64)),
+                    "hit": pa.array(hit),
+                }
+            )
+
+        marked = fps.map_batches(mark, batch_format="pyarrow")
+    else:
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column("hit", pa.array(np.ones(t.num_rows, np.int64)))
+
+        parts = max(1, ns // 2_000_000)
+        joined = fps.join(
+            shared.map_batches(flag, batch_format="pyarrow"),
+            join_type="left_outer",
+            num_partitions=parts,
+            on=("fp",),
+        )
+        marked = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "hit": pc.fill_null(t["hit"], 0).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    agg = marked.groupby(id_col).sum(["one", "hit"], ignore_nulls=True)
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                id_col: t[id_col],
+                "n_fps": t["sum(one)"].cast(pa.int64()),
+                "n_shared": t["sum(hit)"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort(id_col)

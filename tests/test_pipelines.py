@@ -1075,3 +1075,106 @@ def test_top3_sources_per_lang_ties(ray_session):
     con.close()
     pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
     assert (got.groupby("lang")["rank"].max() <= 3).all()
+
+
+def _winnow_reference(text: str, k: int, w: int) -> set:
+    """Independent pure-Python winnowing (Schleimer et al. 2003, Fig. 5
+    semantics: rightmost minimal hash per window, distinct selections)."""
+    from sprout_ray.kernel.murmur3 import murmur3_64
+
+    if len(text) == 0:
+        return set()
+    grams = (
+        [text] if len(text) < k
+        else [text[i : i + k] for i in range(len(text) - k + 1)]
+    )
+    hs = [murmur3_64(g.encode("utf-32-le"), 0) for g in grams]
+    sel = set()
+    if len(hs) < w:
+        m = min(hs)
+        sel.add(max(i for i, h in enumerate(hs) if h == m))
+    else:
+        for s in range(len(hs) - w + 1):
+            win = hs[s : s + w]
+            m = min(win)
+            sel.add(s + max(i for i, h in enumerate(win) if h == m))
+    return {hs[i] for i in sel}
+
+
+def test_winnow_selection_matches_reference(ray_session):
+    """Vectorized winnow selection == the pure-Python paper algorithm on
+    random strings incl. short-doc and repeated-gram cases."""
+    import numpy as np
+
+    from sprout_ray.stages.dedup import _doc_gram_hashes, winnow_select
+
+    rng = np.random.default_rng(5)
+    texts = ["ab", "", "abcabcabcabc"] + [
+        "".join(rng.choice(list("abcdefg"), size=int(n)))
+        for n in rng.integers(1, 60, size=30)
+    ]
+    k, w = 3, 4
+    h, d = _doc_gram_hashes(texts, k, distinct=False)
+    sel = winnow_select(h, d, w)
+    got = {}
+    for p in sel:
+        got.setdefault(int(d[p]), set()).add(int(h[p]))
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _winnow_reference(t, k, w), (i, t)
+
+
+def test_winnow_shared_coverage_and_density(tmp_path, ray_session):
+    """Coverage: two docs sharing a substring >= w+k-1 chars must BOTH
+    report a shared fingerprint; disjoint-alphabet docs report none;
+    density lands near 2/(w+1); every non-empty doc has >= 1 fp."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    core = "THESHAREDSEGMENT"  # 16 chars >= w+k-1 = 6
+    a = "".join(rng.choice(list("abcdefgh"), 50)) + core + "".join(
+        rng.choice(list("abcdefgh"), 50)
+    )
+    b = "".join(rng.choice(list("ijklmnop"), 50)) + core + "".join(
+        rng.choice(list("ijklmnop"), 50)
+    )
+    c = "".join(rng.choice(list("qrstuvwx"), 120))
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([a, b, c]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = _pd(A.winnow_shared(str(tmp_path))).set_index("doc_id")
+    assert out.loc[0, "n_shared"] >= 1 and out.loc[1, "n_shared"] >= 1
+    assert out.loc[2, "n_shared"] == 0
+    assert (out["n_fps"] >= 1).all()
+    # density: fingerprints per gram ~ 2/(w+1) = 0.4 (loose band)
+    grams = sum(len(s) - 3 + 1 for s in (a, b, c))
+    density = out["n_fps"].sum() / grams
+    assert 0.2 <= density <= 0.6
+
+
+def test_winnow_shared_join_paths_agree(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sprout_ray.stages.dedup import winnow_shared_docs
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(
+                ["shared prefix %d" % (i % 2) + "x" * i for i in range(8)]
+            ),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    ds = rd.read_parquet(path)
+    a = winnow_shared_docs(ds, k=3, w=4).to_pandas()
+    b = winnow_shared_docs(ds, k=3, w=4, broadcast_max=0).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
