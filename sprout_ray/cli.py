@@ -288,6 +288,29 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_skew(args) -> int:
+    """Exact key-skew profile (stages/profile.skew_stats): occurrence
+    count, distinct count, F2 = sum(c^2) (self-join size — the salting
+    decision statistic) and the hottest key's count, one scan for all
+    requested columns. A skew ratio f2 * n_distinct / n^2 >> 1 means a
+    few hot keys dominate any shuffle on this column."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.profile import skew_stats
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=args.columns)
+    out = skew_stats(ds, args.columns)
+    rows = out.to_pylist()
+    for r in rows:
+        r["skew_ratio"] = round(r["f2"] * r["n_distinct"] / max(r["n"], 1) ** 2, 3)
+    print(json.dumps({"skew": rows}))
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end curation write path: exact dedup -> quality gate ->
     optional train/val/test split -> resumable partitioned shards
@@ -505,6 +528,15 @@ def main(argv=None) -> int:
     pr.add_argument("--distinct-k", type=int, default=65536)
     common(pr)
     pr.set_defaults(fn=cmd_profile)
+
+    sk = sub.add_parser(
+        "skew",
+        help="exact key-skew profile: n/distinct/F2/max per key column",
+    )
+    sk.add_argument("--input", required=True, help="parquet file/dir/glob")
+    sk.add_argument("--columns", nargs="+", required=True)
+    common(sk)
+    sk.set_defaults(fn=cmd_skew)
 
     cu = sub.add_parser(
         "curate",

@@ -2496,74 +2496,19 @@ def key_skew_profile(sf_dir: str):
     workaround, CLAUDE.md), one thinned groupby, then per-block stats
     partials + a 5-row native finishing aggregate. The first cut ran five
     sequential single-column pipelines re-reading each table (12.8 s in
-    the bench suite); this shape is one pipeline per table."""
-    from ray.data.aggregate import Max, Sum
+    the bench suite); this shape is one pipeline per table (6.4 s warm).
+    The pipeline lives in stages/profile.skew_stats (shared with the
+    `skew` CLI subcommand)."""
+    from ..stages.profile import skew_stats
 
     by_table: dict[str, list[str]] = {}
     for table, col in _SKEW_COLS:
         by_table.setdefault(table, []).append(col)
-    rows = []
-    for table, cols in by_table.items():
-        ds = _read(sf_dir, table, cols)
-
-        def part(t: pa.Table, cols=cols, table=table) -> pa.Table:
-            outs = []
-            for c in cols:
-                g = (
-                    t.select([c])
-                    .drop_null()
-                    .group_by([c])
-                    .aggregate([(c, "count")])
-                )
-                label = pa.array([f"{table}.{c}"] * g.num_rows, pa.string())
-                kv = pc.binary_join_element_wise(
-                    label, pc.cast(g[c], pa.string()), "\x1f"
-                )
-                outs.append(
-                    pa.table({"kv": kv, "c": g[f"{c}_count"].cast(pa.int64())})
-                )
-            return pa.concat_tables(outs)
-
-        def stats_part(t: pa.Table) -> pa.Table:
-            col = pc.list_element(pc.split_pattern(t["kv"], "\x1f"), 0)
-            c = t["sum(c)"]
-            g = (
-                pa.table(
-                    {
-                        "col": col,
-                        "n": c,
-                        "one": pa.array(np.ones(len(c), np.int64)),
-                        "c2": pc.multiply(c, c),
-                        "mx": c,
-                    }
-                )
-                .group_by(["col"])
-                .aggregate(
-                    [("n", "sum"), ("one", "sum"), ("c2", "sum"), ("mx", "max")]
-                )
-            )
-            return g.rename_columns(["col", "n", "one", "c2", "mx"])
-
-        agg = (
-            ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("kv")
-            .sum("c", ignore_nulls=True)
-            .map_batches(stats_part, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("col")
-            .aggregate(Sum("n"), Sum("one"), Sum("c2"), Max("mx"))
-            .take_all()  # one row per profiled column
-        )
-        for r in agg:
-            rows.append(
-                {
-                    "col": r["col"],
-                    "n": int(r["sum(n)"]),
-                    "n_distinct": int(r["sum(one)"]),
-                    "f2": int(r["sum(c2)"]),
-                    "max_count": int(r["max(mx)"]),
-                }
-            )
-    return pa.Table.from_pylist(rows).sort_by("col")
+    parts = [
+        skew_stats(_read(sf_dir, table, cols), cols, label_prefix=f"{table}.")
+        for table, cols in by_table.items()
+    ]
+    return pa.concat_tables(parts).sort_by("col")
 
 
 def ams_f2_skew(sf_dir: str):

