@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": A.length_histogram,
         "top3_sources_per_lang": A.top3_sources_per_lang,
         "winnow_shared": A.winnow_shared,
+        "negative_pairs": A.negative_pairs,
         "value_mad_by_type": A.value_mad_by_type,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
@@ -844,6 +845,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # deterministic contrastive negatives: fixed permutation strides
+        # (always a bijection), exact float64 cosine rounded half-away to 6
+        "negative_pairs": (
+            "WITH nn AS (SELECT count(*) AS n FROM embeddings), "
+            "s AS (SELECT unnest([n // 3, n // 2]) AS stride FROM nn), "
+            "p AS (SELECT a.vec_id, s.stride, "
+            "(a.vec_id + s.stride) % nn.n AS neg_id, a.embedding AS ea "
+            "FROM embeddings a CROSS JOIN s CROSS JOIN nn) "
+            "SELECT CAST(p.vec_id AS BIGINT) AS vec_id, "
+            "CAST(p.stride AS BIGINT) AS stride, "
+            "CAST(p.neg_id AS BIGINT) AS neg_id, "
+            "round(list_cosine_similarity(CAST(p.ea AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 6) AS score "
+            "FROM p JOIN embeddings b ON b.vec_id = p.neg_id "
+            "ORDER BY vec_id, stride"
         ),
         # grouped top-k: (count DESC, source ASC) rank per lang
         "top3_sources_per_lang": (

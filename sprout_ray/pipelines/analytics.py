@@ -2558,6 +2558,74 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
+def negative_pairs(sf_dir: str):
+    """Deterministic contrastive-negative mining over the embedding table:
+    each anchor vector gets two negatives at fixed permutation strides
+    (partner = (vec_id + n//3) % n and (vec_id + n//2) % n — an addition
+    stride is always a bijection, so every vector serves as a negative
+    exactly twice and the selection is reproducible with NO RNG state to
+    ship), scored by exact float64 cosine (the embedding_neardup_exact
+    parity conventions: round half-away to 6). Shape: one map adds the
+    partner ids, the partner vectors attach via the size-guarded
+    broadcast/hash lookup join — no quadratic pair enumeration."""
+    from ..stages.joins import broadcast_lookup_join
+    from ..stages.similarity import _emb_matrix
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = ds.count()
+    if n < 7:
+        raise ValueError("negative_pairs needs >= 7 vectors")
+    strides = [n // 3, n // 2]
+
+    def expand(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].cast(pa.int64())
+        vnp = vid.to_numpy(zero_copy_only=False)
+        parts = []
+        for s in strides:
+            neg = pa.array((vnp + s) % n, pa.int64())
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": vid,
+                        "stride": pa.array(
+                            np.full(len(vid), s, np.int64)
+                        ),
+                        "neg_id": neg,
+                        "emb_a": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    left = ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(
+        lambda t: pa.table(
+            {"neg_id": t["vec_id"].cast(pa.int64()), "emb_b": t["embedding"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_lookup_join(left, right, on="neg_id", right_count=n)
+
+    def score(t: pa.Table) -> pa.Table:
+        a = _emb_matrix(t["emb_a"], dtype=np.float64)
+        b = _emb_matrix(t["emb_b"], dtype=np.float64)
+        num = np.einsum("ij,ij->i", a, b)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        cos = num / np.where(den == 0, 1.0, den)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "stride": t["stride"],
+                "neg_id": t["neg_id"],
+                "score": _oround(pa.array(cos, pa.float64()), 6),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow").sort(
+        ["vec_id", "stride"]
+    )
+
+
 def winnow_shared(sf_dir: str):
     """Winnowing-fingerprint dup signal (Schleimer et al. 2003 / MOSS):
     per-doc fingerprint count + shared-fingerprint count at char-3-gram,

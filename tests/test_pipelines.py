@@ -1178,3 +1178,33 @@ def test_winnow_shared_join_paths_agree(tmp_path, ray_session):
     a = winnow_shared_docs(ds, k=3, w=4).to_pandas()
     b = winnow_shared_docs(ds, k=3, w=4, broadcast_max=0).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_negative_pairs_bijection(ray_session):
+    """Each vector anchors exactly twice (two strides) and serves as a
+    negative exactly twice (stride addition is a bijection); no self-pairs;
+    guard rejects tiny inputs."""
+    out = _pd(A.negative_pairs(SF))
+    n = out["vec_id"].nunique()
+    assert len(out) == 2 * n
+    counts = out.groupby("neg_id").size()
+    assert (counts == 2).all() and len(counts) == n
+    assert (out["vec_id"] != out["neg_id"]).all()
+    assert set(out["stride"]) == {n // 3, n // 2}
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(3), pa.int64()),
+                    "embedding": pa.array([[1.0, 0.0]] * 3, pa.list_(pa.float32())),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+        )
+        with pytest.raises(ValueError, match=">= 7 vectors"):
+            _pd(A.negative_pairs(d))
