@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_sources_per_lang": A.top3_sources_per_lang,
         "winnow_shared": A.winnow_shared,
         "negative_pairs": A.negative_pairs,
+        "value_rank_by_type": A.value_rank_by_type,
         "value_mad_by_type": A.value_mad_by_type,
         "ams_f2_skew": A.ams_f2_skew,
         "user_running_value": A.user_running_value,
@@ -845,6 +846,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(occ) AS BIGINT) AS logprob_micro "
             "FROM scored GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # per-group rank transform: the integer ingredients of
+        # rank/percent_rank/cume_dist (strictly-less, equal, group size)
+        "value_rank_by_type": (
+            "WITH c AS (SELECT event_id, event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+            "SELECT CAST(event_id AS BIGINT) AS event_id, "
+            "CAST(rank() OVER w - 1 AS BIGINT) AS n_lt, "
+            "CAST(count(*) OVER (PARTITION BY event_type, cents) AS BIGINT) "
+            "AS n_eq, "
+            "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) "
+            "AS n_group FROM c "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY cents) "
+            "ORDER BY event_id"
         ),
         # deterministic contrastive negatives: fixed permutation strides
         # (always a bijection), exact float64 cosine rounded half-away to 6

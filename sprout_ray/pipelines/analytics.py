@@ -2558,6 +2558,99 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
+def value_rank_by_type(sf_dir: str):
+    """Per-group rank transform (the quantile/percentile-normalization
+    primitive): for EVERY event, the number of same-type events with a
+    strictly smaller value (n_lt), with an equal value (n_eq), and the
+    group size (n_group) — the integer ingredients of rank /
+    percent_rank / cume_dist, exact by construction (no float division
+    in the contract).
+
+    Shape: one scan builds the per-(type, cents) count histogram (the
+    value_mad_by_type machinery — dimension-bounded), the driver turns it
+    into per-type cumulative counts, and a second map-only pass looks
+    every row up via broadcast searchsorted. No per-row window shuffle:
+    the classic SQL `RANK() OVER (PARTITION BY ...)` sort is replaced by
+    an O(|types| x |distinct values|) table + O(1) per-row lookups."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+        packed = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(cents, pa.string()), "\x1f"
+        )
+        g = (
+            pa.table({"kv": packed})
+            .group_by(["kv"])
+            .aggregate([("kv", "count")])
+        )
+        return g.rename_columns(["kv", "cnt"])
+
+    rows = (
+        ev.map_batches(hist_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("cnt", ignore_nulls=True)
+        .take_all()  # bounded: |types| x |distinct cents|
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "kv": [r["kv"] for r in rows],
+            "cnt": [int(r["sum(cnt)"]) for r in rows],
+        }
+    )
+    kv = df["kv"].str.split("\x1f", expand=True)
+    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+    luts = {}
+    for k, grp in df.groupby("k", sort=False):
+        grp = grp.sort_values("v")
+        vs = grp["v"].to_numpy()
+        cs = grp["cnt"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(cs)])  # cum[i] = count < vs[i]
+        luts[k] = (vs, cs, cum[:-1], int(cum[-1]))
+    lut_ref = ray.put(luts)
+
+    def rank_rows(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        cents = (
+            pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        types = t["event_type"].to_pylist()
+        n_lt = np.empty(len(types), np.int64)
+        n_eq = np.empty(len(types), np.int64)
+        n_g = np.empty(len(types), np.int64)
+        # group rows by type within the batch so each type is ONE
+        # vectorized searchsorted, not a per-row dict hit
+        order = np.argsort(np.asarray(types, dtype=object), kind="stable")
+        i = 0
+        while i < len(order):
+            j = i
+            ty = types[order[i]]
+            while j < len(order) and types[order[j]] == ty:
+                j += 1
+            idx = order[i:j]
+            vs, cs, cum_lt, total = lu[ty]
+            pos = np.searchsorted(vs, cents[idx])
+            n_lt[idx] = cum_lt[pos]
+            n_eq[idx] = cs[pos]
+            n_g[idx] = total
+            i = j
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "n_lt": pa.array(n_lt),
+                "n_eq": pa.array(n_eq),
+                "n_group": pa.array(n_g),
+            }
+        )
+
+    return ev.map_batches(rank_rows, batch_format="pyarrow").sort("event_id")
+
+
 def negative_pairs(sf_dir: str):
     """Deterministic contrastive-negative mining over the embedding table:
     each anchor vector gets two negatives at fixed permutation strides

@@ -1208,3 +1208,35 @@ def test_negative_pairs_bijection(ray_session):
         )
         with pytest.raises(ValueError, match=">= 7 vectors"):
             _pd(A.negative_pairs(d))
+
+
+def test_value_rank_by_type_planted(tmp_path, ray_session):
+    """Rank-transform integers incl. tie handling: rank()-1 = strictly
+    smaller count, n_eq = tie class size; DuckDB window twin agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "b", "b"]),
+            "value": pa.array([1.0, 2.0, 2.0, 3.0, 5.0, 5.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.value_rank_by_type(str(tmp_path)))
+    assert out["n_lt"].tolist() == [0, 1, 1, 3, 0, 0]
+    assert out["n_eq"].tolist() == [1, 2, 2, 1, 2, 2]
+    assert out["n_group"].tolist() == [4, 4, 4, 4, 2, 2]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["value_rank_by_type"]).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
+    )
