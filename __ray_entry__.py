@@ -872,8 +872,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(p.vec_id AS BIGINT) AS vec_id, "
             "CAST(p.stride AS BIGINT) AS stride, "
             "CAST(p.neg_id AS BIGINT) AS neg_id, "
-            "round(list_cosine_similarity(CAST(p.ea AS DOUBLE[]), "
-            "CAST(b.embedding AS DOUBLE[])), 6) AS score "
+            # zero-norm pinned to 0.0 on BOTH sides (the Ray kernel's
+            # den==0 guard), so a zero vector can't flip the row red
+            "round(CASE WHEN list_aggregate(list_transform("
+            "CAST(p.ea AS DOUBLE[]), x -> x*x), 'sum') * "
+            "list_aggregate(list_transform(CAST(b.embedding AS DOUBLE[]),"
+            " x -> x*x), 'sum') = 0 THEN 0.0 "
+            "ELSE list_cosine_similarity(CAST(p.ea AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) END, 6) AS score "
             "FROM p JOIN embeddings b ON b.vec_id = p.neg_id "
             "ORDER BY vec_id, stride"
         ),

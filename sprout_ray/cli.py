@@ -302,7 +302,18 @@ def cmd_skew(args) -> int:
     files = _input_files(args.input)
     if not files:
         raise SystemExit(f"no parquet files under {args.input}")
-    ds = rd.read_parquet(files, columns=args.columns)
+    # size-aware block count (one per CPU floor, 128 MiB target) — the
+    # default ~200-way split pays ~200 per-block group_bys here
+    import os
+
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    size_blocks = -(-sum(os.path.getsize(f) for f in files) // (128 << 20))
+    ds = rd.read_parquet(
+        files, columns=args.columns,
+        override_num_blocks=max(cpus, size_blocks),
+    )
     out = skew_stats(ds, args.columns)
     rows = out.to_pylist()
     for r in rows:

@@ -2558,25 +2558,17 @@ def ams_f2_skew(sf_dir: str):
     return pa.Table.from_pylist(rows).sort_by("col")
 
 
-def value_rank_by_type(sf_dir: str):
-    """Per-group rank transform (the quantile/percentile-normalization
-    primitive): for EVERY event, the number of same-type events with a
-    strictly smaller value (n_lt), with an equal value (n_eq), and the
-    group size (n_group) — the integer ingredients of rank /
-    percent_rank / cume_dist, exact by construction (no float division
-    in the contract).
+def _type_cents_histogram(ev):
+    """Per-(event_type, value-cents) count histogram of an events Dataset,
+    as a pandas frame with columns k (type), v (cents, int64), cnt.
 
-    Shape: one scan builds the per-(type, cents) count histogram (the
-    value_mad_by_type machinery — dimension-bounded), the driver turns it
-    into per-type cumulative counts, and a second map-only pass looks
-    every row up via broadcast searchsorted. No per-row window shuffle:
-    the classic SQL `RANK() OVER (PARTITION BY ...)` sort is replaced by
-    an O(|types| x |distinct values|) table + O(1) per-row lookups."""
-    import ray
+    ONE corpus scan: per-block packed-kv count partials (pyarrow
+    group_by, key-then-aggregate column order per CLAUDE.md) -> native
+    groupby sum; only the thinned partials shuffle and the collected
+    result is dimension-bounded (|types| x |distinct cents|). Shared by
+    value_rank_by_type / value_mad_by_type."""
 
-    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
-
-    def hist_part(t: pa.Table) -> pa.Table:
+    def part(t: pa.Table) -> pa.Table:
         cents = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
         packed = pc.binary_join_element_wise(
             t["event_type"], pc.cast(cents, pa.string()), "\x1f"
@@ -2589,7 +2581,7 @@ def value_rank_by_type(sf_dir: str):
         return g.rename_columns(["kv", "cnt"])
 
     rows = (
-        ev.map_batches(hist_part, batch_format="pyarrow", zero_copy_batch=True)
+        ev.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("kv")
         .sum("cnt", ignore_nulls=True)
         .take_all()  # bounded: |types| x |distinct cents|
@@ -2603,7 +2595,27 @@ def value_rank_by_type(sf_dir: str):
         }
     )
     kv = df["kv"].str.split("\x1f", expand=True)
-    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+    return df.assign(k=kv[0], v=kv[1].astype(np.int64))
+
+
+def value_rank_by_type(sf_dir: str):
+    """Per-group rank transform (the quantile/percentile-normalization
+    primitive): for EVERY event, the number of same-type events with a
+    strictly smaller value (n_lt), with an equal value (n_eq), and the
+    group size (n_group) — the integer ingredients of rank /
+    percent_rank / cume_dist, exact by construction (no float division
+    in the contract).
+
+    Shape: one scan builds the per-(type, cents) count histogram
+    (_type_cents_histogram — dimension-bounded), the driver turns it
+    into per-type cumulative counts, and a second map-only pass looks
+    every row up via broadcast searchsorted. No per-row window shuffle:
+    the classic SQL `RANK() OVER (PARTITION BY ...)` sort is replaced by
+    an O(|types| x |distinct values|) table + O(1) per-row lookups."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    df = _type_cents_histogram(ev)
     luts = {}
     for k, grp in df.groupby("k", sort=False):
         grp = grp.sort_values("v")
@@ -2619,26 +2631,26 @@ def value_rank_by_type(sf_dir: str):
             pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        types = t["event_type"].to_pylist()
-        n_lt = np.empty(len(types), np.int64)
-        n_eq = np.empty(len(types), np.int64)
-        n_g = np.empty(len(types), np.int64)
+        n = len(t)
+        n_lt = np.empty(n, np.int64)
+        n_eq = np.empty(n, np.int64)
+        n_g = np.empty(n, np.int64)
         # group rows by type within the batch so each type is ONE
-        # vectorized searchsorted, not a per-row dict hit
-        order = np.argsort(np.asarray(types, dtype=object), kind="stable")
-        i = 0
-        while i < len(order):
-            j = i
-            ty = types[order[i]]
-            while j < len(order) and types[order[j]] == ty:
-                j += 1
-            idx = order[i:j]
-            vs, cs, cum_lt, total = lu[ty]
+        # vectorized searchsorted: dictionary-encode to integer codes
+        # (vectorized argsort, no per-row Python string compares), then
+        # one slice per distinct type in the batch (|types|-bounded).
+        enc = pc.dictionary_encode(t["event_type"]).combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        cuts = np.flatnonzero(np.diff(sorted_codes)) + 1
+        for idx in np.split(order, cuts) if n else []:
+            vs, cs, cum_lt, total = lu[cats[codes[idx[0]]]]
             pos = np.searchsorted(vs, cents[idx])
             n_lt[idx] = cum_lt[pos]
             n_eq[idx] = cs[pos]
             n_g[idx] = total
-            i = j
         return pa.table(
             {
                 "event_id": t["event_id"].cast(pa.int64()),
@@ -2791,43 +2803,14 @@ def value_mad_by_type(sf_dir: str):
     off the heavy tail that inflates mean/stddev). Money rides as integer
     cents, so every statistic is engine-exact.
 
-    ONE corpus scan: per-block (type, cents) count partials -> native
-    groupby sum -> a dimension-bounded histogram (|types| x |distinct
-    cents|) on the driver, from which the median, the abs-deviation
-    HISTOGRAM (a pure re-key of the value histogram — no second scan),
-    the MAD, and the outlier count all derive. percentile_disc semantics
-    (smallest value with cumulative count >= ceil(q*n)), matching the
-    SQL twin."""
+    ONE corpus scan (_type_cents_histogram) -> a dimension-bounded
+    histogram (|types| x |distinct cents|) on the driver, from which the
+    median, the abs-deviation HISTOGRAM (a pure re-key of the value
+    histogram — no second scan), the MAD, and the outlier count all
+    derive. percentile_disc semantics (smallest value with cumulative
+    count >= ceil(q*n)), matching the SQL twin."""
     ev = _read(sf_dir, "events", ["event_type", "value"])
-
-    def part(t: pa.Table) -> pa.Table:
-        cents = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
-        packed = pc.binary_join_element_wise(
-            t["event_type"], pc.cast(cents, pa.string()), "\x1f"
-        )
-        g = (
-            pa.table({"kv": packed})
-            .group_by(["kv"])
-            .aggregate([("kv", "count")])
-        )
-        return g.rename_columns(["kv", "cnt"])
-
-    rows = (
-        ev.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("kv")
-        .sum("cnt", ignore_nulls=True)
-        .take_all()  # bounded: |types| x |distinct cents|
-    )
-    import pandas as pd
-
-    df = pd.DataFrame(
-        {
-            "kv": [r["kv"] for r in rows],
-            "cnt": [int(r["sum(cnt)"]) for r in rows],
-        }
-    )
-    kv = df["kv"].str.split("\x1f", expand=True)
-    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+    df = _type_cents_histogram(ev)
 
     def disc(vs: np.ndarray, cnts: np.ndarray, q: float) -> int:
         order = np.argsort(vs, kind="stable")

@@ -93,8 +93,8 @@ def char_shingles(text: str, k: int = 5) -> list:
 
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Unique murmur3-64 hashes of all char-k-shingles — vectorized via a
-    sliding-window view (one padded matrix, one hash pass; k <= 15 keeps
-    every shingle on murmur's tail-only path)."""
+    sliding-window view (one padded matrix, one hash pass; any k — the
+    pad_keys matrix carries a zero block past the longest shingle)."""
     b = text.encode()
     if len(b) < k:
         return murmur3_64_batch([b], 0) if b else np.empty(0, dtype=np.uint64)
@@ -614,9 +614,10 @@ def _doc_gram_hashes(texts, n: int, distinct: bool = True):
     (document order, duplicates kept) with ``distinct=False`` (the
     winnowing consumer needs gram positions)."""
     if not 1 <= n <= 3:
-        # utf-32 grams ride murmur's pure-tail path, which holds < 16
-        # bytes: 4n <= 12. n=4 would be exactly one full block and the
-        # tail-only kernel indexes past the padded matrix (reproduced).
+        # the raw sliding-window matrix below is exactly 16 bytes wide
+        # with NO extra zero block (unlike pad_keys), so keys must stay
+        # < 16 bytes: 4n <= 12. n=4 is exactly one full block and the
+        # tail gather indexes past the matrix (reproduced).
         raise ValueError("n must be in [1, 3] (4n bytes < one murmur block)")
     from ..kernel.murmur3 import murmur3_64_padded
 
