@@ -139,6 +139,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_gram_docs": A.shared_gram_docs,
         "pretrain_gate_ids": A.pretrain_gate_ids,
         "value_zscore_by_type": A.value_zscore_by_type,
+        "supplier_region_revenue": A.supplier_region_revenue,
+        "promo_brand_revenue": A.promo_brand_revenue,
+        "late_shipment_priority": A.late_shipment_priority,
     }
 
 
@@ -712,6 +715,44 @@ def oracle_sql() -> dict[str, str]:
             "CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)) / "
             "(CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE))), 6) AS z "
             "FROM c JOIN g USING (event_type) ORDER BY event_id"
+        ),
+        # supply-side region rollup: lineitem x supplier x nation x region
+        "supplier_region_revenue": (
+            "SELECT r.r_name AS region, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_centicents, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM lineitem l "
+            "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+            "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY r.r_name ORDER BY region"
+        ),
+        # conditional revenue split per brand (Q14 flavor, grouped)
+        "promo_brand_revenue": (
+            "SELECT p.p_brand, "
+            "CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN cc ELSE 0 END) "
+            "AS BIGINT) AS promo_centicents, "
+            "CAST(sum(cc) AS BIGINT) AS revenue_centicents, "
+            "CAST(count(*) FILTER (p.p_type = 'PROMO') AS BIGINT) "
+            "AS n_promo_items, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem) l "
+            "JOIN part p ON l.l_partkey = p.p_partkey "
+            "GROUP BY p.p_brand ORDER BY p_brand"
+        ),
+        # EXISTS(shipdate > orderdate + 60d) == max(shipdate) beats it
+        "late_shipment_priority": (
+            "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late "
+            "FROM orders o JOIN (SELECT l_orderkey, max(l_shipdate) AS m "
+            "FROM lineitem GROUP BY l_orderkey) s "
+            "ON s.l_orderkey = o.o_orderkey "
+            "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
         ),
         # full pretraining admission gate = conjunction of the gopher,
         # exact-dedup-winner and SemDeDup(k=1) twins over aligned tables

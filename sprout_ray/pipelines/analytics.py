@@ -3120,3 +3120,215 @@ def value_zscore_by_type(sf_dir: str):
     return zscore_by_group(
         ev, key="event_type", val_col="value", id_col="event_id"
     )
+
+
+def supplier_region_revenue(sf_dir: str):
+    """Supply-side revenue rollup to REGION: lineitem x supplier x nation
+    x region (the mirror of revenue_by_nation's demand-side chain —
+    together they cover both TPC-H join directions and the last two
+    untouched tables).
+
+    Scale shape: ONE size-guarded join between corpus-scaled tables
+    (lineitem x supplier on suppkey via broadcast_lookup_join — at this
+    sf supplier broadcasts once via ray.put; at 100 TB it is a
+    volume-clamped distributed hash join, both plans tested equal for
+    the sibling query). nation (25) x region (5) compose driver-side
+    into ONE nationkey -> region-name lookup shipped once. Money in
+    integer centi-cents end to end (q1_pricing_summary conventions)."""
+    import ray
+
+    from ..stages.joins import broadcast_lookup_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).take_all()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    rmap = {r["r_regionkey"]: r["r_name"] for r in reg}
+    nkeys = np.array([r["n_nationkey"] for r in nat], dtype=np.int64)
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    rnames = np.array(
+        [rmap[nat[int(i)]["n_regionkey"]] for i in order]
+    )
+    lut_ref = ray.put((nkeys, rnames))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]),
+        batch_format="pyarrow",
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()  # metadata
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_suppkey": t["l_suppkey"], "rev_cc": rev_cc})
+
+    li = _read(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+    n_li = _read(sf_dir, "lineitem", ["l_suppkey"]).count()  # metadata
+    joined = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+
+    def attach_region(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(lut_ref)
+        nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        if not (keys[pos] == nk).all():
+            raise ValueError("s_nationkey not present in nation table")
+        return pa.table(
+            {"region": pa.array(names[pos]), "rev_cc": t["rev_cc"]}
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        joined.map_batches(attach_region, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(
+            Sum("rev_cc", alias_name="revenue_centicents"),
+            Count(alias_name="n_items"),
+        )
+    )
+    return out.sort("region")
+
+
+def promo_brand_revenue(sf_dir: str):
+    """Conditional revenue split per part brand (TPC-H Q14 flavor, kept
+    grouped): for every p_brand, the revenue from PROMO-type parts, the
+    total revenue, and the item counts — the CASE-aggregation join shape
+    (fact x attribute dimension -> flag -> conditional sums).
+
+    Scale shape: lineitem x part on partkey through the size-guarded
+    broadcast/hash join, then per-block (brand, flag) pre-aggregation so
+    only |brands|-bounded partials reach the ONE native groupby. Integer
+    centi-cents throughout."""
+    from ..stages.joins import broadcast_lookup_join
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["p_partkey"],
+                "p_brand": t["p_brand"],
+                "is_promo": pc.equal(t["p_type"], "PROMO"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_part = _read(sf_dir, "part", ["p_partkey"]).count()  # metadata
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table({"l_partkey": t["l_partkey"], "rev_cc": rev_cc})
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(prep_li, batch_format="pyarrow")
+    n_li = _read(sf_dir, "lineitem", ["l_partkey"]).count()  # metadata
+    joined = broadcast_lookup_join(
+        li, part, on="l_partkey", right_count=n_part, left_count=n_li
+    )
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        promo = t["is_promo"].to_numpy(zero_copy_only=False)
+        cc = t["rev_cc"].to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "p_brand": t["p_brand"],
+                    "promo_cc": pa.array(np.where(promo, cc, 0)),
+                    "cc": t["rev_cc"],
+                    "promo_n": pa.array(promo.astype(np.int64)),
+                }
+            )
+            .group_by(["p_brand"])
+            .aggregate([("promo_cc", "sum"), ("cc", "sum"), ("promo_n", "sum"), ("cc", "count")])
+        )
+        # pyarrow group_by emits key column first, then aggregates in
+        # call order (CLAUDE.md) — rename relies on that contract
+        return g.rename_columns(
+            ["p_brand", "promo_centicents", "revenue_centicents", "n_promo_items", "n_items"]
+        )
+
+    out = (
+        joined.map_batches(pre_agg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .sum(
+            ["promo_centicents", "revenue_centicents", "n_promo_items", "n_items"],
+            ignore_nulls=True,
+        )
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["p_brand", "promo_centicents", "revenue_centicents", "n_promo_items", "n_items"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort("p_brand")
+
+
+def late_shipment_priority(sf_dir: str):
+    """Orders whose latest lineitem shipped > 60 days after the order
+    date, counted per order priority — the EXISTS-with-predicate
+    fact-fact shape, rewritten shuffle-light: EXISTS(l.shipdate >
+    o.orderdate + 60d) == max(l.shipdate) > o.orderdate + 60d, so ONE
+    native groupby-max thins lineitem to a keyed per-order stream before
+    the size-guarded join against orders (never a row-expanding
+    fact-fact join)."""
+    from ..stages.joins import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    maxship = (
+        li.groupby("o_orderkey")
+        .max("ship_us", ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "max_ship_us"]),
+            batch_format="pyarrow",
+        )
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
+    # maxship is orderkey-unique with <= n_orders rows: sound guard bound
+    joined = broadcast_lookup_join(
+        orders, maxship, on="o_orderkey", right_count=n_orders,
+        left_count=n_orders,
+    )
+    late_us = 60 * 86_400 * 1_000_000
+
+    def late_flags(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["max_ship_us"], pc.add(t["ord_us"], pa.scalar(late_us, pa.int64()))
+        )
+        return pa.table({"o_orderpriority": t["o_orderpriority"]}).filter(late)
+
+    out = (
+        joined.map_batches(late_flags, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .count()
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_late"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort("o_orderpriority")

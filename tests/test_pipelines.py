@@ -1240,3 +1240,77 @@ def test_value_rank_by_type_planted(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True).astype(want.dtypes.to_dict()), want
     )
+
+
+def test_supplier_region_revenue_paths_and_oracle(monkeypatch):
+    """Supply-side region rollup: broadcast and hash plans agree, and the
+    result matches the 4-way DuckDB join at sf0.001."""
+    import duckdb
+
+    import __ray_entry__ as E
+    import sprout_ray.stages.joins as J
+
+    a = _pd(A.supplier_region_revenue(SF)).reset_index(drop=True)
+    monkeypatch.setattr(J, "DIM_BROADCAST_MAX", 0)  # force hash join
+    b = _pd(A.supplier_region_revenue(SF)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.execute(E.oracle_sql()["supplier_region_revenue"]).df()
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+
+
+def test_promo_brand_revenue_invariants():
+    """Promo split: promo <= total per brand, and the global totals equal
+    the unconditional lineitem revenue (every item lands in one brand)."""
+    import duckdb
+
+    out = _pd(A.promo_brand_revenue(SF))
+    assert (out["promo_centicents"] <= out["revenue_centicents"]).all()
+    assert (out["n_promo_items"] <= out["n_items"]).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    tot = con.execute(
+        "SELECT CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)"
+        "*(100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT), "
+        "count(*) FROM lineitem"
+    ).fetchone()
+    assert int(out["revenue_centicents"].sum()) == int(tot[0])
+    assert int(out["n_items"].sum()) == int(tot[1])
+
+
+def test_late_shipment_priority_planted(tmp_path, ray_session):
+    """Planted regime: the >60d boundary is strict, orders without
+    lineitems drop (inner semantics), priorities aggregate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us = 86_400 * 1_000_000  # one day
+    t0 = 1_600_000_000_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([t0] * 4, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["HI", "HI", "LO", "LO"]),
+        }
+    )
+    # order 1: ship at exactly +60d (NOT late, strict >); order 2: +61d
+    # (late); order 3: two items, max +90d (late); order 4: no lineitems
+    li = pa.table(
+        {
+            "l_orderkey": pa.array([1, 2, 3, 3], pa.int64()),
+            "l_shipdate": pa.array(
+                [t0 + 60 * us, t0 + 61 * us, t0 + 10 * us, t0 + 90 * us],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    out = _pd(A.late_shipment_priority(str(tmp_path)))
+    assert out["o_orderpriority"].tolist() == ["HI", "LO"]
+    assert out["n_late"].tolist() == [1, 1]
