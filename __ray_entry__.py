@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_revenue": A.supplier_region_revenue,
         "promo_brand_revenue": A.promo_brand_revenue,
         "late_shipment_priority": A.late_shipment_priority,
+        "user_gap_stats": A.user_gap_stats,
     }
 
 
@@ -753,6 +754,16 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # distributed LAG: per-user gap stats; singletons pinned to 0/0
+        "user_gap_stats": (
+            "WITH g AS (SELECT user_id, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), "
+            "ts) AS gap FROM events) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(coalesce(sum(gap), 0) AS BIGINT) AS sum_gap_us, "
+            "CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us "
+            "FROM g GROUP BY user_id ORDER BY user_id"
         ),
         # full pretraining admission gate = conjunction of the gopher,
         # exact-dedup-winner and SemDeDup(k=1) twins over aligned tables

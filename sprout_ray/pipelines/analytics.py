@@ -3332,3 +3332,17 @@ def late_shipment_priority(sf_dir: str):
         )
     )
     return out.sort("o_orderpriority")
+
+
+def user_gap_stats(sf_dir: str):
+    """Per-user inter-event gap statistics — the distributed LAG window
+    (stages/windows.gap_stats): event count, total and maximum gap in
+    integer microseconds, exact and tiebreak-free (gaps depend only on
+    the sorted ts multiset). One range shuffle; only O(batches) edge
+    partials reach the driver."""
+    from ..stages.windows import gap_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return gap_stats(
+        ev, key="user_id", ts_col="ts", id_col="event_id"
+    ).sort("user_id")

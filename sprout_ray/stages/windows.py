@@ -378,3 +378,135 @@ def cumulative_by_key(
     return sorted_ds.map_batches(
         add_cum, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def gap_stats(ds, key: str = "user_id", ts_col: str = "ts", id_col: str = "event_id"):
+    """Per-key inter-event gap statistics — the distributed LAG window:
+    ``date_diff(lag(ts) OVER (PARTITION BY key ORDER BY ts, id), ts)``
+    folded to per-key (n_events, sum_gap_us, max_gap_us). Keys with a
+    single event emit 0/0 (the oracle's coalesce pin); gaps depend only
+    on the sorted ts sequence, so ties are tiebreak-free.
+
+    Scale shape (the sessionize pattern): ONE range shuffle (sort by
+    key, ts, id), then per-block numpy segment reductions via
+    ``reduceat`` — per-key partials with first/last timestamps. Interior
+    keys (not a block's first or last) finalize in-block; only the
+    O(batches) edge partials reach the driver, where same-key runs
+    chain-merge with their block-boundary gaps folded into sum and max.
+    """
+    import ray.data as rd
+
+    cols = [key, "n_events", "sum_gap_us", "max_gap_us"]
+
+    def _empty() -> pa.Table:
+        kt = ds.schema().base_schema.field(key).type
+        return pa.table(
+            {
+                key: pa.array([], kt),
+                "n_events": pa.array([], pa.int64()),
+                "sum_gap_us": pa.array([], pa.int64()),
+                "max_gap_us": pa.array([], pa.int64()),
+                "first_us": pa.array([], pa.int64()),
+                "last_us": pa.array([], pa.int64()),
+                "_edge": pa.array([], pa.bool_()),
+            }
+        )
+
+    def block_parts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty()
+        key_type = t.schema.field(key).type
+        keys = t[key].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(key_change)
+        ends = np.append(starts[1:], n)
+        gaps = np.diff(ts_us)  # slot i = gap between row i and i+1
+        valid = keys[1:] == keys[:-1]  # cross-key slots masked out
+        # pad one trailing neutral slot so reduceat segments
+        # [starts[i], starts[i+1]) cover every key's gap run in bounds
+        gsum = np.concatenate([np.where(valid, gaps, 0), [0]])
+        gmax = np.concatenate([np.where(valid, gaps, -1), [-1]])
+        sum_gap = np.add.reduceat(gsum, starts)
+        max_gap = np.maximum.reduceat(gmax, starts)  # -1 == "no gap yet"
+        s_key = keys[starts]
+        edge = (s_key == keys[0]) | (s_key == keys[-1])
+        return pa.table(
+            {
+                key: pa.array(s_key, key_type),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "sum_gap_us": pa.array(sum_gap.astype(np.int64)),
+                "max_gap_us": pa.array(max_gap.astype(np.int64)),
+                "first_us": pa.array(ts_us[starts]),
+                "last_us": pa.array(ts_us[ends - 1]),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    parts = (
+        ds.sort([key, ts_col, id_col])
+        .map_batches(
+            block_parts,
+            batch_format="pyarrow",
+            batch_size=None,  # whole sorted blocks -> fewest edge rows
+            zero_copy_batch=True,
+        )
+        .materialize()  # consumed twice (interior filter + edge collect)
+    )
+
+    def finalize_interior(t: pa.Table) -> pa.Table:
+        mg = t["max_gap_us"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key: t[key],
+                "n_events": t["n_events"],
+                "sum_gap_us": t["sum_gap_us"],
+                "max_gap_us": pa.array(np.maximum(mg, 0)),
+            }
+        )
+
+    interior = (
+        parts.filter(expr="_edge == False")
+        .map_batches(finalize_interior, batch_format="pyarrow")
+    )
+    edge_rows = parts.filter(expr="_edge == True").take_all()
+    if not edge_rows:
+        return interior
+    e = pd.DataFrame(edge_rows).sort_values(
+        [key, "first_us"], kind="stable"
+    )
+    k = e[key].to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    bgap = np.concatenate(
+        [[0], e["first_us"].to_numpy()[1:] - e["last_us"].to_numpy()[:-1]]
+    )
+    e = e.assign(
+        _bg=np.where(same, bgap, 0), _bgm=np.where(same, bgap, -1)
+    )
+    g = (
+        e.groupby(key, sort=True)
+        .agg(
+            n_events=("n_events", "sum"),
+            _sg=("sum_gap_us", "sum"),
+            _bgs=("_bg", "sum"),
+            _m1=("max_gap_us", "max"),
+            _m2=("_bgm", "max"),
+        )
+        .reset_index()
+    )
+    key_type = parts.schema().base_schema.field(key).type
+    out_tbl = pa.table(
+        {
+            key: pa.array(g[key].to_numpy(), type=key_type),
+            "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+            "sum_gap_us": pa.array(
+                (g["_sg"] + g["_bgs"]).to_numpy(), pa.int64()
+            ),
+            "max_gap_us": pa.array(
+                np.maximum(np.maximum(g["_m1"], g["_m2"]), 0).to_numpy(),
+                pa.int64(),
+            ),
+        }
+    )
+    return interior.union(rd.from_arrow(out_tbl)).select_columns(cols)
