@@ -237,6 +237,10 @@ def query_suite(sf_dir: str) -> dict:
         # sf0.01 by the driver instead
         ("pmi_top_bigrams", A.pmi_top_bigrams),
         ("leakage_safe_split", A.leakage_safe_split),
+        ("supplier_region_revenue", A.supplier_region_revenue),
+        ("promo_brand_revenue", A.promo_brand_revenue),
+        ("late_shipment_priority", A.late_shipment_priority),
+        ("user_gap_stats", A.user_gap_stats),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -3170,24 +3170,32 @@ def supplier_region_revenue(sf_dir: str):
         li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
     )
 
-    def attach_region(t: pa.Table) -> pa.Table:
+    def region_partials(t: pa.Table) -> pa.Table:
         keys, names = ray.get(lut_ref)
         nk = t["s_nationkey"].to_numpy(zero_copy_only=False)
         pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
         if not (keys[pos] == nk).all():
             raise ValueError("s_nationkey not present in nation table")
-        return pa.table(
-            {"region": pa.array(names[pos]), "rev_cc": t["rev_cc"]}
+        # per-block pre-agg: only |regions|-bounded partials shuffle
+        # (a bare groupby here sort-shuffles the whole joined stream)
+        g = (
+            pa.table({"region": pa.array(names[pos]), "rev_cc": t["rev_cc"]})
+            .group_by(["region"])
+            .aggregate([("rev_cc", "sum"), ("rev_cc", "count")])
+        )
+        return g.rename_columns(
+            ["region", "revenue_centicents", "n_items"]
         )
 
-    from ray.data.aggregate import Count, Sum
-
     out = (
-        joined.map_batches(attach_region, batch_format="pyarrow")
+        joined.map_batches(region_partials, batch_format="pyarrow")
         .groupby("region")
-        .aggregate(
-            Sum("rev_cc", alias_name="revenue_centicents"),
-            Count(alias_name="n_items"),
+        .sum(["revenue_centicents", "n_items"], ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["region", "revenue_centicents", "n_items"]
+            ),
+            batch_format="pyarrow",
         )
     )
     return out.sort("region")
@@ -3316,16 +3324,23 @@ def late_shipment_priority(sf_dir: str):
     )
     late_us = 60 * 86_400 * 1_000_000
 
-    def late_flags(t: pa.Table) -> pa.Table:
+    def late_partials(t: pa.Table) -> pa.Table:
         late = pc.greater(
             t["max_ship_us"], pc.add(t["ord_us"], pa.scalar(late_us, pa.int64()))
         )
-        return pa.table({"o_orderpriority": t["o_orderpriority"]}).filter(late)
+        # per-block pre-agg: only |priorities|-bounded partials shuffle
+        g = (
+            pa.table({"o_orderpriority": t["o_orderpriority"]})
+            .filter(late)
+            .group_by(["o_orderpriority"])
+            .aggregate([("o_orderpriority", "count")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_late"])
 
     out = (
-        joined.map_batches(late_flags, batch_format="pyarrow")
+        joined.map_batches(late_partials, batch_format="pyarrow")
         .groupby("o_orderpriority")
-        .count()
+        .sum("n_late", ignore_nulls=True)
         .map_batches(
             lambda t: t.rename_columns(["o_orderpriority", "n_late"]),
             batch_format="pyarrow",
