@@ -1345,13 +1345,27 @@ def revenue_by_nation(sf_dir: str):
         li, ordersn, on="l_orderkey", right_count=n_orders, left_count=n_li
     )
 
-    from ray.data.aggregate import Count, Sum
+    def nation_partials(t: pa.Table) -> pa.Table:
+        # per-block pre-agg: only |nations|-bounded partials shuffle
+        # (a bare groupby here sort-shuffles the whole joined stream)
+        g = (
+            t.select(["nation", "rev_cc"])
+            .group_by(["nation"])
+            .aggregate([("rev_cc", "sum"), ("rev_cc", "count")])
+        )
+        return g.rename_columns(["nation", "revenue_centicents", "n_items"])
 
     out = (
-        joined.groupby("nation")
-        .aggregate(
-            Sum("rev_cc", alias_name="revenue_centicents"),
-            Count(alias_name="n_items"),
+        joined.map_batches(
+            nation_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("nation")
+        .sum(["revenue_centicents", "n_items"], ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(
+                ["nation", "revenue_centicents", "n_items"]
+            ),
+            batch_format="pyarrow",
         )
     )
     return out.sort("nation")
