@@ -58,10 +58,23 @@ def exact_distinct_source(sf_dir: str):
 
 
 def exact_lang_counts(sf_dir: str):
-    """Exact per-lang doc counts — the exact twin of CMS(lang)."""
-    ds = _read(sf_dir, "documents", ["lang"]).groupby("lang").count()
-    return ds.map_batches(
-        lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+    """Exact per-lang doc counts — the exact twin of CMS(lang).
+
+    Per-block count partials -> groupby-sum: only |langs|-bounded rows
+    shuffle (the corpus never does)."""
+    ds = _read(sf_dir, "documents", ["lang"]).map_batches(
+        lambda t: t.group_by(["lang"])
+        .aggregate([("lang", "count")])
+        .rename_columns(["lang", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        ds.groupby("lang")
+        .sum("n", ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["lang", "n"]), batch_format="pyarrow"
+        )
     )
 
 
@@ -98,21 +111,34 @@ def doc_quality(sf_dir: str):
 
 
 def nchars_stats_by_lang(sf_dir: str):
-    """Distributed min/max/sum/count of n_chars per lang (integer-exact)."""
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    out = (
-        ds.groupby("lang")
+    """Distributed min/max/sum/count of n_chars per lang (integer-exact).
+
+    Per-block partials (pyarrow min/max/sum/count per lang) -> one
+    groupby re-aggregating the partials (min of mins, max of maxes,
+    sums of sums/counts): only |langs|-bounded rows shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    parts = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        lambda t: t.group_by(["lang"])
         .aggregate(
-            *[
-                agg
-                for agg in _std_aggs("n_chars")
+            [
+                ("n_chars", "min"),
+                ("n_chars", "max"),
+                ("n_chars", "sum"),
+                ("n_chars", "count"),
             ]
         )
-    )
-    return out.map_batches(
-        lambda t: t.rename_columns(["lang", "min_chars", "max_chars", "sum_chars", "n"]),
+        .rename_columns(["lang", "min_chars", "max_chars", "sum_chars", "n"]),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    out = parts.groupby("lang").aggregate(
+        Min("min_chars", alias_name="min_chars"),
+        Max("max_chars", alias_name="max_chars"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("n", alias_name="n"),
+    )
+    return out
 
 
 def _oround(arr, ndigits: int = 0):
@@ -120,12 +146,6 @@ def _oround(arr, ndigits: int = 0):
     default is half-to-even. Arrow's half_towards_infinity rounds halves away
     from zero for BOTH signs (0.5->1, -0.5->-1), matching DuckDB exactly."""
     return pc.round(arr, ndigits=ndigits, round_mode="half_towards_infinity")
-
-
-def _std_aggs(col):
-    from ray.data.aggregate import Count, Max, Min, Sum
-
-    return [Min(col), Max(col), Sum(col), Count()]
 
 
 def q1_pricing_summary(sf_dir: str):
@@ -144,46 +164,91 @@ def q1_pricing_summary(sf_dir: str):
         disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
         # discounted revenue in centi-cents: base_cents * (100 - disc_pct)
         disc_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty": qty,
-                "base_cents": base_c,
-                "disc_centicents": disc_cc,
-            }
+        # per-block pre-agg: only |flag x status|-bounded partials shuffle
+        # (a bare groupby would sort-shuffle the whole fact stream)
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty": qty,
+                    "base_cents": base_c,
+                    "disc_centicents": disc_cc,
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("base_cents", "sum"),
+                    ("disc_centicents", "sum"),
+                    ("qty", "count"),
+                ]
+            )
         )
-
-    from ray.data.aggregate import Count, Sum
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_cents",
+                "sum_disc_centicents",
+                "count_order",
+            ]
+        )
 
     out = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_cents", alias_name="sum_base_cents"),
-            Sum("disc_centicents", alias_name="sum_disc_centicents"),
-            Count(alias_name="count_order"),
+        .sum(
+            ["sum_qty", "sum_base_cents", "sum_disc_centicents", "count_order"],
+            ignore_nulls=True,
+        )
+        .map_batches(
+            lambda t: t.rename_columns(
+                [
+                    "l_returnflag",
+                    "l_linestatus",
+                    "sum_qty",
+                    "sum_base_cents",
+                    "sum_disc_centicents",
+                    "count_order",
+                ]
+            ),
+            batch_format="pyarrow",
         )
     )
     return out
 
 
+def _event_type_count_ds(sf_dir: str):
+    """Per-block count partials -> groupby-sum (only |types|-bounded rows
+    shuffle, never the event stream)."""
+    parts = _read(sf_dir, "events", ["event_type"]).map_batches(
+        lambda t: t.group_by(["event_type"])
+        .aggregate([("event_type", "count")])
+        .rename_columns(["event_type", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        parts.groupby("event_type")
+        .sum("n", ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def event_type_counts(sf_dir: str):
     """Exact event-type frequencies (heavy-hitter ground truth)."""
-    out = _read(sf_dir, "events", ["event_type"]).groupby("event_type").count()
-    return out.map_batches(
-        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow"
-    )
+    return _event_type_count_ds(sf_dir)
 
 
 def top_event_types(sf_dir: str):
     """Top-3 event types by exact count (sort + limit readout)."""
-    out = _read(sf_dir, "events", ["event_type"]).groupby("event_type").count()
-    renamed = out.map_batches(
-        lambda t: t.rename_columns(["event_type", "n"]), batch_format="pyarrow"
-    )
-    return renamed.sort("n", descending=True).limit(3)
+    return _event_type_count_ds(sf_dir).sort("n", descending=True).limit(3)
 
 
 def hll_by_lang_salted(sf_dir: str):
