@@ -691,11 +691,19 @@ def bloom_probe_prune(sf_dir: str):
     )
     kept = (
         probe_filter(both, bf, on="sha256", mode="maybe", concurrency=2)
+        .map_batches(
+            lambda t: t.select(["is_member"])
+            .group_by(["is_member"])
+            .aggregate([("is_member", "count")])
+            .rename_columns(["is_member", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("is_member")
-        .count()
+        .sum("n", ignore_nulls=True)
         .take_all()
     )
-    by_flag = {r["is_member"]: r["count()"] for r in kept}
+    by_flag = {r["is_member"]: r["sum(n)"] for r in kept}
     # in-band self-evidence: the two reference guarantees the driver's
     # rows-only record should carry — zero false negatives (bloom.go's
     # Contains contract) and measured FPR within the configured epsilon
