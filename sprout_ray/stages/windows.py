@@ -36,9 +36,27 @@ def add_tumbling_window(batch: pa.Table, ts_col: str = "ts", size_s: int = 3600,
     return batch.append_column(out, win)
 
 
+def _window_count_rollup(parts_ds, key: str):
+    """Groupby-sum of per-block (key, window, n, sum_value_micro) partials
+    — only |keys x windows-per-block|-bounded rows reach the shuffle
+    (time-clustered blocks thin far below that)."""
+    return (
+        parts_ds.groupby([key, "window"])
+        .sum(["n", "sum_value_micro"], ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(
+                [key, "window", "n", "sum_value_micro"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def tumbling_counts(ds, key: str = "event_type", ts_col: str = "ts", size_s: int = 3600):
-    """Per-(key, window) count + value sum in integer micro-units."""
-    from ray.data.aggregate import Count, Sum
+    """Per-(key, window) count + value sum in integer micro-units.
+
+    Per-block pre-agg -> groupby-sum: the shuffle carries partials, never
+    the event stream."""
 
     def prep(t: pa.Table) -> pa.Table:
         t = add_tumbling_window(t, ts_col=ts_col, size_s=size_s)
@@ -51,22 +69,21 @@ def tumbling_counts(ds, key: str = "event_type", ts_col: str = "ts", size_s: int
             ),
             pa.int64(),
         )
-        return pa.table(
-            {
-                key: t[key],
-                "window": t["window"],
-                "value_micro": vmicro,
-            }
+        g = (
+            pa.table(
+                {
+                    key: t[key],
+                    "window": t["window"],
+                    "value_micro": vmicro,
+                }
+            )
+            .group_by([key, "window"])
+            .aggregate([("value_micro", "count"), ("value_micro", "sum")])
         )
+        return g.rename_columns([key, "window", "n", "sum_value_micro"])
 
-    return (
-        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key, "window"])
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value_micro", alias_name="sum_value_micro"),
-        )
-    )
+    parts = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return _window_count_rollup(parts, key)
 
 
 def sessionize(ds, key: str = "user_id", ts_col: str = "ts", id_col: str = "event_id", gap_s: int = 1800):
@@ -200,10 +217,9 @@ def hopping_counts(
     ~size/hop overlapping windows. The explode is fully vectorized
     (repeat + cumsum-offset arange, no Python per row); the groupby is the
     only shuffle. Output fan-out is size/hop x input rows — callers pick
-    hop accordingly (exactly the tradeoff any streaming engine documents).
+    hop accordingly (exactly the tradeoff any streaming engine documents;
+    the per-block pre-agg folds it back down before the shuffle).
     """
-    from ray.data.aggregate import Count, Sum
-
     size_us = size_s * _US
     hop_us = hop_s * _US
 
@@ -225,22 +241,23 @@ def hopping_counts(
             ),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                key: t[key].take(pa.array(idx, pa.int64())),
-                "window": pa.array(windows, pa.int64()),
-                "value_micro": pa.array(vmicro[idx], pa.int64()),
-            }
+        g = (
+            pa.table(
+                {
+                    key: t[key].take(pa.array(idx, pa.int64())),
+                    "window": pa.array(windows, pa.int64()),
+                    "value_micro": pa.array(vmicro[idx], pa.int64()),
+                }
+            )
+            .group_by([key, "window"])
+            .aggregate([("value_micro", "count"), ("value_micro", "sum")])
         )
+        # per-block pre-agg folds the size/hop fan-out right back down for
+        # time-clustered blocks before the shuffle
+        return g.rename_columns([key, "window", "n", "sum_value_micro"])
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby([key, "window"])
-        .aggregate(
-            Count(alias_name="n"),
-            Sum("value_micro", alias_name="sum_value_micro"),
-        )
-    )
+    parts = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return _window_count_rollup(parts, key)
 
 
 def cumulative_by_key(
