@@ -354,6 +354,7 @@ def cmd_curate(args) -> int:
         split_fractions=fractions,
         benchmark_files=bench_files,
         decontam_n=args.decontam_n,
+        output_format=args.output_format,
     )
     print(json.dumps({"out": args.out, "metrics": metrics}))
     return 0
@@ -560,6 +561,12 @@ def main(argv=None) -> int:
     cu.add_argument("--min-tokens", type=int, default=30)
     cu.add_argument("--max-punct", type=float, default=0.3)
     cu.add_argument("--files-per-partition", type=int, default=1)
+    cu.add_argument(
+        "--output-format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+        help="shard format (jsonl = newline-delimited JSON via write_json)",
+    )
     cu.add_argument(
         "--splits",
         default=None,

@@ -38,6 +38,7 @@ def curate_corpus(
     benchmark_files: list | None = None,
     decontam_n: int = 8,
     decontam_min_shared: int = 1,
+    output_format: str = "parquet",
 ) -> dict:
     """Write the curated corpus under ``out_dir`` (resumable); returns the
     sink metrics plus the number of winner ids.
@@ -129,6 +130,7 @@ def curate_corpus(
     metrics = resumable_transform_write(
         input_files, out_dir, transform=transform,
         files_per_partition=files_per_partition,
+        output_format=output_format,
     )
     metrics["winners"] = int(n_winners)
     if benchmark_files is not None:

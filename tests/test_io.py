@@ -4,6 +4,7 @@ import os
 
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+import pytest
 
 
 def _transform(ds):
@@ -233,3 +234,47 @@ def test_curate_corpus_with_decontamination(ray_session, tmp_path):
     m3 = curate_corpus([src], out_dec, benchmark_files=[bench_path],
                        decontam_n=4)
     assert m3["resumed"] == 1 and m3["written"] == 0
+
+
+def test_curate_corpus_jsonl_output(ray_session, tmp_path):
+    """JSONL shards: same survivor rows as the parquet path, and the shards
+    round-trip through read_any (the multi-format reader)."""
+    import glob as g
+
+    import pyarrow.parquet as pq_mod
+
+    from sprout_ray.pipelines.curate import curate_corpus
+    from sprout_ray.sources.formats import read_any
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_pq = str(tmp_path / "pq")
+    out_jl = str(tmp_path / "jl")
+    curate_corpus([src], out_pq)
+    m = curate_corpus([src], out_jl, output_format="jsonl")
+    assert m["written"] == 1
+
+    jl_files = sorted(g.glob(f"{out_jl}/part=*/**/*.json*", recursive=True))
+    assert jl_files, "no jsonl shards written"
+    a = (
+        read_any(jl_files)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        pq_mod.read_table(
+            sorted(g.glob(f"{out_pq}/part=*/**/*.parquet", recursive=True))
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # 'part' is the path-derived hive column — readers surface it with
+    # different dtypes ('00000' str vs categorical int); not data
+    cols = sorted(c for c in a.columns if c != "part")
+    assert a[cols].equals(b[cols])
+
+    # a resume requesting a different shard format must fail loudly,
+    # not silently skip
+    with pytest.raises(ValueError, match="format mismatch"):
+        curate_corpus([src], out_jl, output_format="parquet")
