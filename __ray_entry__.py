@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_brand_revenue": A.promo_brand_revenue,
         "late_shipment_priority": A.late_shipment_priority,
         "user_gap_stats": A.user_gap_stats,
+        "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
     }
 
 
@@ -754,6 +755,17 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # interpolated quartiles from the histogram order stats
+        "cont_quantiles_by_lang": (
+            "SELECT lang, "
+            "round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 6)"
+            " AS p25, "
+            "round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6)"
+            " AS p50, "
+            "round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars), 6)"
+            " AS p75 "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         # distributed LAG: per-user gap stats; singletons pinned to 0/0
         "user_gap_stats": (

@@ -3448,3 +3448,69 @@ def user_gap_stats(sf_dir: str):
     return gap_stats(
         ev, key="user_id", ts_col="ts", id_col="event_id"
     ).sort("user_id")
+
+
+def cont_quantiles_by_lang(sf_dir: str):
+    """Interpolated (percentile_cont) per-lang quartiles of n_chars —
+    completes the quantile family next to the percentile_disc twin
+    (exact_quantiles_by_lang) and the sketch builds.
+
+    Better scale shape than the disc twin's whole-group map_groups: ONE
+    scan emits per-block (lang, n_chars) count partials (packed kv),
+    the groupby shuffles only the |langs| x |distinct n_chars|-bounded
+    histogram, and the driver interpolates order stats from cumulative
+    counts. Float tail is the pinned IEEE sequence DuckDB uses:
+    p = q*(n-1); v = v_lo + (p - floor(p))*(v_hi - v_lo); round 6."""
+
+    def part(t: pa.Table) -> pa.Table:
+        packed = pc.binary_join_element_wise(
+            t["lang"], pc.cast(t["n_chars"], pa.string()), "\x1f"
+        )
+        g = (
+            pa.table({"kv": packed})
+            .group_by(["kv"])
+            .aggregate([("kv", "count")])
+        )
+        return g.rename_columns(["kv", "cnt"])
+
+    rows = (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kv")
+        .sum("cnt", ignore_nulls=True)
+        .take_all()  # bounded: |langs| x |distinct n_chars|
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "kv": [r["kv"] for r in rows],
+            "cnt": [int(r["sum(cnt)"]) for r in rows],
+        }
+    )
+    kv = df["kv"].str.split("\x1f", expand=True)
+    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+
+    out = []
+    for lang, grp in df.groupby("k", sort=True):
+        grp = grp.sort_values("v")
+        vs = grp["v"].to_numpy()
+        cum = np.cumsum(grp["cnt"].to_numpy())
+        n = int(cum[-1])
+
+        def order_stat(i: int) -> float:
+            # 0-based i-th smallest via cumulative counts
+            return float(vs[np.searchsorted(cum, i + 1)])
+
+        row = {"lang": lang}
+        for q in (0.25, 0.5, 0.75):
+            p = q * (n - 1)
+            lo = int(np.floor(p))
+            hi = int(np.ceil(p))
+            vlo = order_stat(lo)
+            v = vlo + (p - lo) * (order_stat(hi) - vlo)
+            row[f"p{int(q * 100)}"] = float(
+                np.floor(v * 1e6 + 0.5) / 1e6 if v >= 0 else np.ceil(v * 1e6 - 0.5) / 1e6
+            )
+        out.append(row)
+    return pa.Table.from_pylist(out)

@@ -1314,3 +1314,36 @@ def test_late_shipment_priority_planted(tmp_path, ray_session):
     out = _pd(A.late_shipment_priority(str(tmp_path)))
     assert out["o_orderpriority"].tolist() == ["HI", "LO"]
     assert out["n_late"].tolist() == [1, 1]
+
+
+def test_cont_quantiles_planted(tmp_path, ray_session):
+    """Interpolation actually fires (even-count group: p50 halfway between
+    the two middle values) and the DuckDB percentile_cont twin agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table(
+        {
+            "lang": pa.array(["a"] * 4 + ["b"] * 3),
+            "n_chars": pa.array([10, 20, 30, 41, 5, 6, 100], pa.int64()),
+        }
+    )
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.cont_quantiles_by_lang(str(tmp_path)))
+    # lang a: sorted [10,20,30,41]; p25 at 0.75 -> 17.5; p50 -> 25.0;
+    # p75 at 2.25 -> 30 + 0.25*11 = 32.75. lang b: [5,6,100] exact stats.
+    a_row = out[out["lang"] == "a"].iloc[0]
+    assert (a_row["p25"], a_row["p50"], a_row["p75"]) == (17.5, 25.0, 32.75)
+    b_row = out[out["lang"] == "b"].iloc[0]
+    assert (b_row["p25"], b_row["p50"], b_row["p75"]) == (5.5, 6.0, 53.0)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["cont_quantiles_by_lang"]).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False
+    )
