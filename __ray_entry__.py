@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": A.late_shipment_priority,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
+        "ann_filtered_topk": A.ann_filtered_topk,
     }
 
 
@@ -755,6 +756,20 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # filtered vector retrieval: predicate at the scan, then top-5
+        "ann_filtered_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 4), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS s "
+            "FROM q CROSS JOIN embeddings e WHERE e.label = 3), "
+            "ranked AS (SELECT query_id, vec_id, s, "
+            "row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn "
+            "FROM scored) "
+            "SELECT query_id, vec_id, round(s, 6) AS score FROM ranked "
+            "WHERE rn <= 5 ORDER BY query_id, vec_id"
         ),
         # interpolated quartiles from the histogram order stats
         "cont_quantiles_by_lang": (

@@ -3514,3 +3514,27 @@ def cont_quantiles_by_lang(sf_dir: str):
             )
         out.append(row)
     return pa.Table.from_pylist(out)
+
+
+def ann_filtered_topk(sf_dir: str):
+    """Filtered vector retrieval — the metadata-predicate + top-k shape
+    every production vector store serves (search only label-3 vectors):
+    the predicate applies AT THE SCAN (Ray filter pushdown — the pruned
+    corpus never enters the top-k stage), queries are the 4 lowest
+    vec_ids of the UNFILTERED stream, scores are exact float64 cosine
+    with the ann_brute_topk ranking/rounding conventions (rank on the
+    unrounded score, vec_id tiebreak, round half-away to 6 after)."""
+    from ..stages.similarity import ann_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    qrows = ds.sort("vec_id").take(4)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    corpus = ds.filter(expr="label == 3").select_columns(
+        ["vec_id", "embedding"]
+    )
+    df = ann_topk(corpus, q, k=5, concurrency=2, dtype="float64")
+    df["query_id"] = qids[df["query_id"].to_numpy()]
+    s = df["score"].to_numpy()
+    df["score"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)

@@ -1347,3 +1347,21 @@ def test_cont_quantiles_planted(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_ann_filtered_topk_respects_predicate(ray_session):
+    """Every returned neighbor satisfies the label predicate, and the
+    filter genuinely changes the result vs the unfiltered brute top-k."""
+    import pyarrow.parquet as pq_mod
+
+    out = _pd(A.ann_filtered_topk(SF))
+    lab = pq_mod.read_table(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()
+    labels = dict(zip(lab["vec_id"], lab["label"]))
+    assert all(labels[v] == 3 for v in out["vec_id"])
+    assert len(out) == 4 * 5
+    brute = _pd(A.ann_brute_topk(SF))
+    # the unfiltered top-10 contains non-label-3 neighbors the filtered
+    # search must exclude
+    assert any(labels[v] != 3 for v in brute["vec_id"])
