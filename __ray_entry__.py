@@ -145,8 +145,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
+        "hybrid_rrf_topk": A.hybrid_rrf_topk,
     }
 
+
+# shared by bm25_topk and hybrid_rrf_topk: the WITH-chain ending in the
+# per-query BM25 ranking (rn = row_number over score DESC, doc ASC)
+_BM25_RANKED_CTES = (
+    "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
+    "lower(trim(text, ' ')), '\\s+')) AS tok FROM documents), "
+    "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
+    "tf AS (SELECT doc_id, tok, count(*) AS c FROM tok2 "
+    "GROUP BY doc_id, tok), "
+    "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), "
+    "stats AS (SELECT (SELECT count(*) FROM documents) AS nd, "
+    "(SELECT count(*) FROM tok2) AS tt), "
+    "q AS (SELECT DISTINCT doc_id AS qid, tok FROM tok2 "
+    "WHERE doc_id < 10), "
+    "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 "
+    "WHERE tok IN (SELECT tok FROM q) GROUP BY tok), "
+    "scored AS (SELECT q.qid, tf.doc_id, "
+    "CAST(sum(CAST(floor(ln((CAST(s.nd AS DOUBLE) - "
+    "CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) "
+    "+ 1.0) * ((CAST(tf.c AS DOUBLE) * 2.5) / (CAST(tf.c AS DOUBLE) "
+    "+ 1.5 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / "
+    "(CAST(s.tt AS DOUBLE) / CAST(s.nd AS DOUBLE)))))) "
+    "* 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro "
+    "FROM q JOIN tf ON q.tok = tf.tok AND tf.doc_id <> q.qid "
+    "JOIN df ON df.tok = q.tok "
+    "JOIN dl ON dl.doc_id = tf.doc_id "
+    "CROSS JOIN stats s "
+    "GROUP BY q.qid, tf.doc_id), "
+    "ranked AS (SELECT qid, doc_id, score_micro, row_number() OVER "
+    "(PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn "
+    "FROM scored)"
+)
 
 _PLANTED_DUP_PAIRS_SQL = (
     "WITH corpus AS ("
@@ -574,36 +607,39 @@ def oracle_sql() -> dict[str, str]:
         # IDENTICAL operand grouping as stages/similarity.bm25_topk, and
         # both engines' ln is libm, so score_micro matches bit-for-bit
         "bm25_topk": (
-            "WITH toks AS (SELECT doc_id, unnest(string_split_regex("
-            "lower(trim(text, ' ')), '\\s+')) AS tok FROM documents), "
-            "tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), "
-            "tf AS (SELECT doc_id, tok, count(*) AS c FROM tok2 "
-            "GROUP BY doc_id, tok), "
-            "dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id), "
-            "stats AS (SELECT (SELECT count(*) FROM documents) AS nd, "
-            "(SELECT count(*) FROM tok2) AS tt), "
-            "q AS (SELECT DISTINCT doc_id AS qid, tok FROM tok2 "
-            "WHERE doc_id < 10), "
-            "df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok2 "
-            "WHERE tok IN (SELECT tok FROM q) GROUP BY tok), "
-            "scored AS (SELECT q.qid, tf.doc_id, "
-            "CAST(sum(CAST(floor(ln((CAST(s.nd AS DOUBLE) - "
-            "CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) "
-            "+ 1.0) * ((CAST(tf.c AS DOUBLE) * 2.5) / (CAST(tf.c AS DOUBLE) "
-            "+ 1.5 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / "
-            "(CAST(s.tt AS DOUBLE) / CAST(s.nd AS DOUBLE)))))) "
-            "* 100000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro "
-            "FROM q JOIN tf ON q.tok = tf.tok AND tf.doc_id <> q.qid "
-            "JOIN df ON df.tok = q.tok "
-            "JOIN dl ON dl.doc_id = tf.doc_id "
-            "CROSS JOIN stats s "
-            "GROUP BY q.qid, tf.doc_id), "
-            "ranked AS (SELECT qid, doc_id, score_micro, row_number() OVER "
-            "(PARTITION BY qid ORDER BY score_micro DESC, doc_id) AS rn "
-            "FROM scored) "
-            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            _BM25_RANKED_CTES
+            + " SELECT CAST(qid AS BIGINT) AS query_id, "
             "CAST(doc_id AS BIGINT) AS match_id, score_micro "
             "FROM ranked WHERE rn <= 5 ORDER BY query_id, match_id"
+        ),
+        # RRF hybrid: integer 1e-8 rank units, 60-smoothed, both heads
+        "hybrid_rrf_topk": (
+            _BM25_RANKED_CTES
+            + ", lexpts AS (SELECT qid AS query_id, doc_id, "
+            "100000000 // (60 + rn) AS pts FROM ranked "
+            "WHERE rn <= 5 AND qid < 4), "
+            "vq AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 4), "
+            "vscored AS (SELECT vq.query_id, e.vec_id AS doc_id, "
+            "round(list_cosine_similarity(CAST(vq.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])), 6) AS s "
+            "FROM vq CROSS JOIN embeddings e), "
+            "vranked AS (SELECT query_id, doc_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn "
+            "FROM vscored), "
+            "vecpts AS (SELECT query_id, doc_id, 100000000 // (60 + rn) "
+            "AS pts FROM vranked WHERE rn <= 10), "
+            "fused AS (SELECT query_id, doc_id, "
+            "CAST(sum(pts) AS BIGINT) AS rrf_units FROM "
+            "(SELECT * FROM lexpts UNION ALL SELECT * FROM vecpts) "
+            "GROUP BY query_id, doc_id), "
+            "frank AS (SELECT query_id, doc_id, rrf_units, row_number() "
+            "OVER (PARTITION BY query_id ORDER BY rrf_units DESC, doc_id) "
+            "AS rn FROM fused) "
+            "SELECT CAST(query_id AS BIGINT) AS query_id, "
+            "CAST(doc_id AS BIGINT) AS doc_id, rrf_units "
+            "FROM frank WHERE rn <= 5 "
+            "ORDER BY query_id, rrf_units DESC, doc_id"
         ),
         # C4-style span dedup: keep-first over 10-token windows; kept iff
         # the occurrence is the (doc_id, span_no)-lexicographic first of

@@ -3538,3 +3538,78 @@ def ann_filtered_topk(sf_dir: str):
     s = df["score"].to_numpy()
     df["score"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
     return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def hybrid_rrf_topk(sf_dir: str):
+    """Hybrid retrieval via Reciprocal-Rank Fusion (Cormack et al. 2009):
+    fuse the BM25 lexical top-5 (bm25_topk) with the exact-cosine vector
+    top-10 (the ann_brute_topk machinery) for the 4 shared query docs
+    (vec_id == doc_id in the corpus), score = sum over lists of
+    floor(1e8 / (60 + rank)) — integer units, so the fusion is
+    addition-order-free and oracle-exact. Missing from a list = 0
+    contribution (the standard RRF convention). Top-5 per query by
+    (rrf DESC, doc_id ASC).
+
+    Scale shape: both retrieval legs are the existing distributed ops;
+    fusion itself runs on the O(queries x k) HEADS only — the production
+    shape (rank fusion always operates on the already-reduced top-k
+    lists, never the corpus)."""
+    from ..stages.similarity import ann_topk
+    from ..stages.similarity import bm25_topk as _bm25
+
+    K = 60
+
+    lex = _bm25(
+        _read(sf_dir, "documents", ["doc_id", "text"]), query_max_id=10, k=5
+    ).to_pandas()
+    lex = lex[lex["query_id"] < 4]
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").take(4)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    vec = ann_topk(ds, q, k=10, concurrency=2, dtype="float64")
+    vec["query_id"] = qids[vec["query_id"].to_numpy()]
+    s = vec["score"].to_numpy()
+    # rank on the ROUNDED score (the twin's pinned convention), doc asc
+    vec["score"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+
+    import pandas as pd
+
+    lex = lex.sort_values(
+        ["query_id", "score_micro", "match_id"],
+        ascending=[True, False, True],
+    )
+    lex["rank"] = lex.groupby("query_id").cumcount() + 1
+    lex_pts = pd.DataFrame(
+        {
+            "query_id": lex["query_id"].to_numpy(),
+            "doc_id": lex["match_id"].to_numpy(),
+            "pts": 10**8 // (K + lex["rank"].to_numpy()),
+        }
+    )
+    vec = vec.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    vec["rank"] = vec.groupby("query_id").cumcount() + 1
+    vec_pts = pd.DataFrame(
+        {
+            "query_id": vec["query_id"].to_numpy(),
+            "doc_id": vec["vec_id"].to_numpy(),
+            "pts": 10**8 // (K + vec["rank"].to_numpy()),
+        }
+    )
+    fused = (
+        pd.concat([lex_pts, vec_pts])
+        .groupby(["query_id", "doc_id"], as_index=False)["pts"]
+        .sum()
+        .sort_values(["query_id", "pts", "doc_id"], ascending=[True, False, True])
+    )
+    top = fused.groupby("query_id").head(5)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "rrf_units": pa.array(top["pts"].to_numpy(), pa.int64()),
+        }
+    )

@@ -1365,3 +1365,24 @@ def test_ann_filtered_topk_respects_predicate(ray_session):
     # the unfiltered top-10 contains non-label-3 neighbors the filtered
     # search must exclude
     assert any(labels[v] != 3 for v in brute["vec_id"])
+
+
+def test_hybrid_rrf_fuses_both_lists(ray_session):
+    """RRF output: a doc on BOTH heads carries both contributions
+    (rrf_units > max single-list points), rank-1 vector hit is the query
+    doc itself (cos=1), and all units are exact integer 1e8//(60+r)."""
+    out = _pd(A.hybrid_rrf_topk(SF))
+    assert len(out) == 20  # 4 queries x top-5
+    valid_single = {10**8 // (60 + r) for r in range(1, 11)}
+    valid = valid_single | {
+        a + b for a in valid_single for b in valid_single
+    }
+    assert set(out["rrf_units"]) <= valid
+    # the query doc itself ranks 1 on the vector side (cosine 1.0):
+    # its fused score includes the max vector contribution 1e8//61
+    for q in (0, 1, 2, 3):
+        self_row = out[(out["query_id"] == q) & (out["doc_id"] == q)]
+        assert len(self_row) == 1
+        assert self_row["rrf_units"].iloc[0] >= 10**8 // 61
+    # at least one doc fused from both lists (score above any single max)
+    assert (out["rrf_units"] > 10**8 // 61).any()
