@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
         "hybrid_rrf_topk": A.hybrid_rrf_topk,
+        "lang_source_rollup": A.lang_source_rollup,
     }
 
 
@@ -792,6 +793,14 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # ROLLUP with GROUPING() as the explicit level marker
+        "lang_source_rollup": (
+            "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(grouping(lang) + grouping(source) AS BIGINT) AS level "
+            "FROM documents GROUP BY ROLLUP(lang, source) "
+            "ORDER BY level, lang, source"
         ),
         # filtered vector retrieval: predicate at the scan, then top-5
         "ann_filtered_topk": (

@@ -3613,3 +3613,72 @@ def hybrid_rrf_topk(sf_dir: str):
             "rrf_units": pa.array(top["pts"].to_numpy(), pa.int64()),
         }
     )
+
+
+def lang_source_rollup(sf_dir: str):
+    """Multi-level aggregate (SQL ROLLUP): doc count + total chars at
+    (lang, source), (lang) and grand-total levels, with NULL as the
+    rolled-up marker (the DuckDB ROLLUP convention) and an explicit
+    ``level`` column so rolled NULLs can never collide with data values.
+
+    ONE corpus scan: per-block (lang, source) partials -> one
+    dimension-bounded groupby; the coarser levels fold from the finest
+    level's |langs| x |sources| rows on the driver (pure re-aggregation
+    — no second scan, the rollup identity)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "source": t["source"],
+                    "n_chars": t["n_chars"],
+                }
+            )
+            .group_by(["lang", "source"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return g.rename_columns(["lang", "source", "n_docs", "sum_chars"])
+
+    rows = (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .sum(["n_docs", "sum_chars"], ignore_nulls=True)
+        .take_all()  # bounded: |langs| x |sources|
+    )
+    import pandas as pd
+
+    fine = pd.DataFrame(
+        {
+            "lang": [r["lang"] for r in rows],
+            "source": [r["source"] for r in rows],
+            "n_docs": [int(r["sum(n_docs)"]) for r in rows],
+            "sum_chars": [int(r["sum(sum_chars)"]) for r in rows],
+        }
+    )
+    by_lang = (
+        fine.groupby("lang", as_index=False)[["n_docs", "sum_chars"]]
+        .sum()
+        .assign(source=None)
+    )
+    total = pd.DataFrame(
+        {
+            "lang": [None],
+            "source": [None],
+            "n_docs": [int(fine["n_docs"].sum())],
+            "sum_chars": [int(fine["sum_chars"].sum())],
+        }
+    )
+    out = pd.concat(
+        [fine.assign(level=0), by_lang.assign(level=1), total.assign(level=2)]
+    ).sort_values(["level", "lang", "source"], na_position="first")
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "source": pa.array(out["source"].tolist(), pa.string()),
+            "n_docs": pa.array(out["n_docs"].to_numpy(), pa.int64()),
+            "sum_chars": pa.array(out["sum_chars"].to_numpy(), pa.int64()),
+            "level": pa.array(out["level"].to_numpy(), pa.int64()),
+        }
+    )

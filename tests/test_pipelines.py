@@ -1386,3 +1386,18 @@ def test_hybrid_rrf_fuses_both_lists(ray_session):
         assert self_row["rrf_units"].iloc[0] >= 10**8 // 61
     # at least one doc fused from both lists (score above any single max)
     assert (out["rrf_units"] > 10**8 // 61).any()
+
+
+def test_lang_source_rollup_identity(ray_session):
+    """Rollup identity: each level re-aggregates the finer one exactly."""
+    out = _pd(A.lang_source_rollup(SF))
+    fine = out[out["level"] == 0]
+    mid = out[out["level"] == 1]
+    top = out[out["level"] == 2]
+    assert len(top) == 1
+    for col in ("n_docs", "sum_chars"):
+        assert int(fine[col].sum()) == int(top[col].iloc[0])
+        assert int(mid[col].sum()) == int(top[col].iloc[0])
+    got_mid = fine.groupby("lang")["n_docs"].sum().to_dict()
+    assert got_mid == dict(zip(mid["lang"], mid["n_docs"]))
+    assert mid["source"].isna().all() and top["lang"].isna().all()
