@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": A.ann_filtered_topk,
         "hybrid_rrf_topk": A.hybrid_rrf_topk,
         "lang_source_rollup": A.lang_source_rollup,
+        "nation_revenue_share": A.nation_revenue_share,
+        "snapshot_changes": A.snapshot_changes,
     }
 
 
@@ -793,6 +795,39 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # CDC diff vs the planted-churn snapshot (FULL OUTER JOIN twin)
+        "snapshot_changes": (
+            "WITH newsnap AS ("
+            "SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || ' v2' "
+            "ELSE text END AS text FROM documents WHERE doc_id % 13 <> 0 "
+            "UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20), "
+            "oldsnap AS (SELECT doc_id, text FROM documents) "
+            "SELECT CAST(COALESCE(o.doc_id, n.doc_id) AS BIGINT) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS change "
+            "FROM oldsnap o FULL OUTER JOIN newsnap n "
+            "ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.text <> n.text "
+            "ORDER BY doc_id"
+        ),
+        # share-of-total window in exact integer ppm (floor division)
+        "nation_revenue_share": (
+            "WITH rev AS (SELECT n.n_name AS nation, "
+            "CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_centicents "
+            "FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name) "
+            "SELECT nation, revenue_centicents, "
+            "CAST(revenue_centicents * 1000000 // "
+            "(SELECT sum(revenue_centicents) FROM rev) AS BIGINT) "
+            "AS share_ppm FROM rev ORDER BY nation"
         ),
         # ROLLUP with GROUPING() as the explicit level marker
         "lang_source_rollup": (

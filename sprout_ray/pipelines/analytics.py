@@ -3682,3 +3682,68 @@ def lang_source_rollup(sf_dir: str):
             "level": pa.array(out["level"].to_numpy(), pa.int64()),
         }
     )
+
+
+def nation_revenue_share(sf_dir: str):
+    """Share-of-total window (`SUM() OVER ()` family): each nation's
+    revenue as exact parts-per-million of the grand total, floor
+    semantics (ppm = rev_cc * 1e6 // total_cc — pure integer math, so
+    both engines agree bit-for-bit). The grand total folds from the
+    |nations|-bounded rollup on the driver; the corpus is scanned once
+    by the underlying revenue_by_nation machinery."""
+    rows = revenue_by_nation(sf_dir).take_all()
+    total = sum(int(r["revenue_centicents"]) for r in rows)
+    if total == 0:
+        raise ValueError("nation_revenue_share: zero total revenue")
+    out = sorted(rows, key=lambda r: r["nation"])
+    return pa.table(
+        {
+            "nation": pa.array([r["nation"] for r in out], pa.string()),
+            "revenue_centicents": pa.array(
+                [int(r["revenue_centicents"]) for r in out], pa.int64()
+            ),
+            "share_ppm": pa.array(
+                [int(r["revenue_centicents"]) * 1_000_000 // total for r in out],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def snapshot_changes(sf_dir: str):
+    """Change-data capture between two corpus snapshots
+    (stages/joins.snapshot_diff): old = documents; new = documents with
+    deterministic planted churn (doc_id % 13 == 0 dropped; doc_id % 11
+    == 0 gets ' v2' appended; ids < 20 duplicated at doc_id + 1000000 as
+    additions — the corpus itself has no second snapshot, so churn is
+    planted the pii_redacted way). Emits (doc_id, change) for every
+    added / removed / changed key, exact (values compare directly, no
+    hashing), join-free: the two sides union with a side tag and ONE
+    keyed groupby carries presence counts and both values."""
+    from ..stages.joins import snapshot_diff
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def churn(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 13 != 0
+        kept = t.filter(pa.array(keep))
+        kids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        text = pc.binary_join_element_wise(
+            kept["text"],
+            pa.array(np.where(kids % 11 == 0, " v2", "").astype(str)),
+            "",
+        )
+        base = pa.table({"doc_id": kept["doc_id"], "text": text})
+        add_mask = ids < 20
+        added = pa.table(
+            {
+                "doc_id": pa.array(ids[add_mask] + 1_000_000, pa.int64()),
+                "text": t.filter(pa.array(add_mask))["text"],
+            }
+        )
+        return pa.concat_tables([base, added])
+
+    new = old.map_batches(churn, batch_format="pyarrow")
+    out = snapshot_diff(old, new, key="doc_id", val_col="text")
+    return out.sort("doc_id")

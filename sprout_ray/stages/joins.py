@@ -422,3 +422,77 @@ def broadcast_lookup_join(
     vol = max(int(right_count), int(left_count or 0))
     parts = max(2, vol // partition_rows)
     return left.join(right, join_type="inner", num_partitions=parts, on=(on,))
+
+
+def snapshot_diff(old_ds, new_ds, key: str, val_col: str):
+    """Change-data capture between two keyed snapshots: emit (key, change)
+    with change in {'added', 'removed', 'changed'} (unchanged rows are
+    dropped). Both sides must be key-unique (each key's single value is
+    recovered with a max-aggregate; duplicates would silently pick one,
+    so presence counts are checked and raise).
+
+    Scale shape: NO join — the two sides union with a side tag and ONE
+    native groupby aggregates per key (n_old, n_new, the old value, the
+    new value) in a single shuffle; the comparison is a vectorized
+    map over the aggregate rows. Exact: values compare directly (string
+    max over a singleton), never through a hash."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    def tag(side: int):
+        def _t(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            val = t[val_col]
+            null = pa.nulls(n, t.schema.field(val_col).type)
+            return pa.table(
+                {
+                    key: t[key],
+                    "_n_old": pa.array(
+                        np.full(n, 1 - side, dtype=np.int64)
+                    ),
+                    "_n_new": pa.array(np.full(n, side, dtype=np.int64)),
+                    "_v_old": val if side == 0 else null,
+                    "_v_new": val if side == 1 else null,
+                }
+            )
+
+        return _t
+
+    both = old_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    agg = both.groupby(key).aggregate(
+        Sum("_n_old", alias_name="n_old"),
+        Sum("_n_new", alias_name="n_new"),
+        Max("_v_old", alias_name="v_old"),
+        Max("_v_new", alias_name="v_new"),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        n_old = t["n_old"].to_numpy(zero_copy_only=False)
+        n_new = t["n_new"].to_numpy(zero_copy_only=False)
+        if (n_old > 1).any() or (n_new > 1).any():
+            raise ValueError("snapshot_diff: sides must be key-unique")
+        vo, vn = t["v_old"], t["v_new"]
+        added = n_old == 0
+        removed = n_new == 0
+        # pc.equal is null when either side is null; those rows are
+        # added/removed and never consult eq, so fill arbitrarily
+        eq = (
+            pc.fill_null(pc.equal(vo, vn), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        changed = (~added) & (~removed) & (~eq)
+        status = np.where(
+            added, "added", np.where(removed, "removed", "changed")
+        )
+        keep = added | removed | changed
+        return pa.table(
+            {
+                key: t[key],
+                "change": pa.array(status.astype(str)),
+            }
+        ).filter(pa.array(keep))
+
+    return agg.map_batches(classify, batch_format="pyarrow")

@@ -1337,3 +1337,54 @@ class TestGapStats:
         assert out["n_events"].tolist() == [1, 2, 3]
         assert out["sum_gap_us"].tolist() == [0, 0, 2]
         assert out["max_gap_us"].tolist() == [0, 0, 2]
+
+
+class TestSnapshotDiff:
+    def test_all_change_kinds(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import snapshot_diff
+
+        old = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([1, 2, 3, 4], pa.int64()),
+                    "v": pa.array(["a", "b", "c", "d"]),
+                }
+            )
+        )
+        new = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([2, 3, 4, 5], pa.int64()),
+                    "v": pa.array(["b", "C", "d", "e"]),
+                }
+            )
+        )
+        out = (
+            snapshot_diff(old, new, key="k", val_col="v")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        # 1 removed, 2 unchanged (absent), 3 changed, 5 added
+        assert out["k"].tolist() == [1, 3, 5]
+        assert out["change"].tolist() == ["removed", "changed", "added"]
+
+    def test_rejects_duplicate_keys(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import snapshot_diff
+
+        old = rd.from_arrow(
+            pa.table({"k": pa.array([1, 1], pa.int64()), "v": pa.array(["a", "b"])})
+        )
+        new = rd.from_arrow(
+            pa.table({"k": pa.array([1], pa.int64()), "v": pa.array(["a"])})
+        )
+        with pytest.raises(Exception, match="key-unique"):
+            snapshot_diff(old, new, key="k", val_col="v").materialize()
