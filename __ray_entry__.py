@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
+        "fuzzy_top1": A.fuzzy_top1,
     }
 
 
@@ -795,6 +796,19 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # fuzzy match: min edit distance per query, (dist, id) tiebreak
+        "fuzzy_top1": (
+            "WITH q AS (SELECT doc_id AS qid, text AS qt FROM documents "
+            "WHERE doc_id < 4), "
+            "d AS (SELECT q.qid, d.doc_id, levenshtein(q.qt, d.text) AS "
+            "dist FROM q CROSS JOIN documents d WHERE d.doc_id <> q.qid), "
+            "r AS (SELECT qid, doc_id, dist, row_number() OVER "
+            "(PARTITION BY qid ORDER BY dist, doc_id) AS rn FROM d) "
+            "SELECT CAST(qid AS BIGINT) AS query_id, "
+            "CAST(doc_id AS BIGINT) AS match_id, "
+            "CAST(dist AS BIGINT) AS distance "
+            "FROM r WHERE rn = 1 ORDER BY query_id"
         ),
         # CDC diff vs the planted-churn snapshot (FULL OUTER JOIN twin)
         "snapshot_changes": (

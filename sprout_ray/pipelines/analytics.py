@@ -3747,3 +3747,63 @@ def snapshot_changes(sf_dir: str):
     new = old.map_batches(churn, batch_format="pyarrow")
     out = snapshot_diff(old, new, key="doc_id", val_col="text")
     return out.sort("doc_id")
+
+
+def fuzzy_top1(sf_dir: str):
+    """Fuzzy string match: for each query doc (id < 4) the single
+    minimum-edit-distance other doc — the Levenshtein member of the
+    similarity family next to cosine/BM25/Jaccard. The vectorized DP
+    kernel (stages/similarity.levenshtein_batch: slope-1 prefix-min,
+    no per-pair Python) scores whole blocks per query; each block emits
+    only its per-query best, the driver reduces O(blocks x Q) partials.
+    Deterministic: (distance ASC, doc_id ASC)."""
+    import ray
+
+    from ..stages.similarity import levenshtein_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qrows = ds.filter(expr="doc_id < 4").take_all()
+    qref = ray.put(
+        [(int(r["doc_id"]), r["text"] or "") for r in sorted(
+            qrows, key=lambda r: r["doc_id"]
+        )]
+    )
+
+    def best_per_block(t: pa.Table) -> pa.Table:
+        queries = ray.get(qref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_q, out_d, out_dist = [], [], []
+        for qid, qtext in queries:
+            dist = levenshtein_batch(qtext, texts).astype(np.int64)
+            mask = ids != qid
+            if not mask.any():
+                continue
+            # min by (dist, doc_id): pack into one key, argmin once
+            packed = dist[mask] * (1 << 33) + ids[mask]
+            w = int(np.argmin(packed))
+            out_q.append(qid)
+            out_d.append(int(ids[mask][w]))
+            out_dist.append(int(dist[mask][w]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "match_id": pa.array(out_d, pa.int64()),
+                "distance": pa.array(out_dist, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(best_per_block, batch_format="pyarrow").take_all()
+    import pandas as pd
+
+    df = pd.DataFrame(parts).sort_values(
+        ["query_id", "distance", "match_id"]
+    )
+    top = df.groupby("query_id").head(1)
+    return pa.table(
+        {
+            "query_id": pa.array(top["query_id"].to_numpy(), pa.int64()),
+            "match_id": pa.array(top["match_id"].to_numpy(), pa.int64()),
+            "distance": pa.array(top["distance"].to_numpy(), pa.int64()),
+        }
+    )

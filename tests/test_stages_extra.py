@@ -1388,3 +1388,37 @@ class TestSnapshotDiff:
         )
         with pytest.raises(Exception, match="key-unique"):
             snapshot_diff(old, new, key="k", val_col="v").materialize()
+
+
+class TestLevenshteinBatch:
+    def test_matches_pure_python_dp(self, ray_session):
+        import random
+
+        from sprout_ray.stages.similarity import levenshtein_batch
+
+        def ref(a, b):
+            m, n = len(a), len(b)
+            D = list(range(n + 1))
+            for i in range(1, m + 1):
+                prev, D[0] = D[0], i
+                for j in range(1, n + 1):
+                    prev, D[j] = D[j], min(
+                        D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                    )
+            return D[n]
+
+        random.seed(7)
+        for _ in range(50):
+            q = "".join(random.choices("abcd", k=random.randint(0, 12)))
+            docs = [
+                "".join(random.choices("abcde", k=random.randint(0, 15)))
+                for _ in range(9)
+            ] + ["", "kitten", "sitting"]
+            got = levenshtein_batch(q, docs).tolist()
+            assert got == [ref(q, d) for d in docs]
+
+    def test_unicode_codepoints(self, ray_session):
+        from sprout_ray.stages.similarity import levenshtein_batch
+
+        # one substitution in CODEPOINT space, regardless of byte width
+        assert levenshtein_batch("naïve", ["naive", "naïve", ""]).tolist() == [1, 0, 5]
