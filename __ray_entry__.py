@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
         "fuzzy_top1": A.fuzzy_top1,
+        "value_time_corr": A.value_time_corr,
     }
 
 
@@ -796,6 +797,28 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # drift correlation: pinned float tail over exact integer sums
+        "value_time_corr": (
+            "WITH t0 AS (SELECT min(epoch_us(ts)) // 1000000 AS t0 "
+            "FROM events), "
+            "c AS (SELECT event_type, "
+            "CAST(round(value * 100.0) AS BIGINT) AS x, "
+            "epoch_us(ts) // 1000000 - t0.t0 AS y "
+            "FROM events CROSS JOIN t0), "
+            "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, "
+            "CAST(sum(x*y) AS BIGINT) AS sxy, "
+            "CAST(sum(x*x) AS BIGINT) AS sxx, "
+            "CAST(sum(y*y) AS BIGINT) AS syy FROM c GROUP BY event_type) "
+            "SELECT event_type, n, "
+            "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+            "sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+            "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - "
+            "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr "
+            "FROM g ORDER BY event_type"
         ),
         # fuzzy match: min edit distance per query, (dist, id) tiebreak
         "fuzzy_top1": (

@@ -3807,3 +3807,102 @@ def fuzzy_top1(sf_dir: str):
             "distance": pa.array(top["distance"].to_numpy(), pa.int64()),
         }
     )
+
+
+def value_time_corr(sf_dir: str):
+    """Pearson correlation of event value vs event time per event_type —
+    the drift-detection statistic (is this metric trending?), and the
+    covariance/correlation member of the grouped-statistics family.
+
+    Exact integer moments: value as cents, time as seconds RELATIVE to
+    the global min ts (keeps sum(x*y) inside int64 at any corpus age;
+    shifting time changes neither covariance nor correlation). Two
+    passes: one tiny global min aggregate, then per-block (n, Sx, Sy,
+    Sxy, Sxx, Syy) partials -> one |types|-bounded groupby. The float
+    tail is ONE pinned expression over exact integer sums, mirrored
+    verbatim in the SQL twin (never DuckDB's internal corr()
+    accumulator), rounded half-away to 6."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    t0 = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda t: pa.table({"us": pc.cast(t["ts"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .min("us")
+    ) // 1_000_000
+
+    def part(t: pa.Table) -> pa.Table:
+        x = (
+            pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+            - t0
+        )
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(len(x), np.int64)),
+                    "sx": pa.array(x),
+                    "sy": pa.array(y),
+                    "sxy": pa.array(x * y),
+                    "sxx": pa.array(x * x),
+                    "syy": pa.array(y * y),
+                    "mx": pa.array(np.abs(x)),
+                    "my": pa.array(np.abs(y)),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                 ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum"),
+                 ("mx", "max"), ("my", "max")]
+            )
+        )
+        return g.rename_columns(
+            ["event_type", "n", "sx", "sy", "sxy", "sxx", "syy", "mx", "my"]
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    rows = (
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            *[Sum(c, alias_name=f"sum({c})")
+              for c in ("n", "sx", "sy", "sxy", "sxx", "syy")],
+            Max("mx", alias_name="mx"),
+            Max("my", alias_name="my"),
+        )
+        .take_all()  # |types|-bounded
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["event_type"]):
+        if int(r["sum(n)"]) * int(r["mx"]) * int(r["my"]) >= (1 << 62):
+            raise ValueError(
+                "value_time_corr: sum(x*y) risks int64 overflow "
+                f"(n={r['sum(n)']}, max|x|={r['mx']}, max|y|={r['my']}); "
+                "rescale units or shard the group"
+            )
+        n = float(r["sum(n)"])
+        sx, sy = float(r["sum(sx)"]), float(r["sum(sy)"])
+        sxy, sxx, syy = (
+            float(r["sum(sxy)"]), float(r["sum(sxx)"]), float(r["sum(syy)"])
+        )
+        corr = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        out.append(
+            {
+                "event_type": r["event_type"],
+                "n": int(r["sum(n)"]),
+                "corr": float(np.floor(corr * 1e6 + 0.5) / 1e6)
+                if corr >= 0
+                else float(np.ceil(corr * 1e6 - 0.5) / 1e6),
+            }
+        )
+    return pa.Table.from_pylist(out)

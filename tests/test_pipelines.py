@@ -1401,3 +1401,38 @@ def test_lang_source_rollup_identity(ray_session):
     got_mid = fine.groupby("lang")["n_docs"].sum().to_dict()
     assert got_mid == dict(zip(mid["lang"], mid["n_docs"]))
     assert mid["source"].isna().all() and top["lang"].isna().all()
+
+
+def test_value_time_corr_planted_signs(tmp_path, ray_session):
+    """Perfect positive/negative trends give corr = +/-1.0; the twin
+    agrees on the pinned formula."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    n = 50
+    base = 1_600_000_000_000_000
+    ts = pa.array([base + i * 60_000_000 for i in range(n)] * 2, pa.timestamp("us"))
+    t = pa.table(
+        {
+            "event_type": pa.array(["up"] * n + ["down"] * n),
+            "ts": ts,
+            "value": pa.array(
+                [float(i) for i in range(n)] + [float(n - i) for i in range(n)],
+                pa.float64(),
+            ),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.value_time_corr(str(tmp_path)))
+    got = dict(zip(out["event_type"], out["corr"]))
+    assert got == {"up": 1.0, "down": -1.0}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["value_time_corr"]).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False
+    )
