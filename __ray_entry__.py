@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_changes": A.snapshot_changes,
         "fuzzy_top1": A.fuzzy_top1,
         "value_time_corr": A.value_time_corr,
+        "props_key_stats": A.props_key_stats,
     }
 
 
@@ -797,6 +798,18 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # JSON field extraction + grouped stats; missing k -> NULL
+        "props_key_stats": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(json_extract(try_cast(props AS JSON), '$.k') AS BIGINT) "
+            "AS k FROM events) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_missing, "
+            "CAST(sum(k) AS BIGINT) AS sum_k, "
+            "CAST(min(k) AS BIGINT) AS min_k, "
+            "CAST(max(k) AS BIGINT) AS max_k "
+            "FROM c GROUP BY event_type ORDER BY event_type"
         ),
         # drift correlation: pinned float tail over exact integer sums
         "value_time_corr": (

@@ -3906,3 +3906,54 @@ def value_time_corr(sf_dir: str):
             }
         )
     return pa.Table.from_pylist(out)
+
+
+def props_key_stats(sf_dir: str):
+    """Semi-structured extraction — pull the integer ``k`` out of the
+    JSON ``props`` column and aggregate it per event_type (n, n_missing,
+    sum/min/max). The extraction is ONE vectorized RE2 kernel
+    (pc.extract_regex — the pii-redaction engine family), never
+    json.loads per row; rows without a parseable k count as missing and
+    are excluded from the numeric aggregates, exactly like the twin's
+    json_extract -> NULL. Per-block partials -> |types|-bounded groupby."""
+
+    def part(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            t["props"], r'"k"\s*:\s*(?P<k>-?\d+)'
+        )
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        missing = pc.is_null(k)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "n_missing": pc.cast(missing, pa.int64()),
+                    "k": k,
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate(
+                [("n", "sum"), ("n_missing", "sum"), ("k", "sum"),
+                 ("k", "min"), ("k", "max")]
+            )
+        )
+        return g.rename_columns(
+            ["event_type", "n", "n_missing", "sum_k", "min_k", "max_k"]
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_missing", alias_name="n_missing"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+    return out.sort("event_type")

@@ -1436,3 +1436,38 @@ def test_value_time_corr_planted_signs(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_props_key_stats_missing_keys(tmp_path, ray_session):
+    """Rows whose props lack a parseable k count as missing and stay out
+    of the numeric aggregates; the json_extract twin agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    t = pa.table(
+        {
+            "event_type": pa.array(["a", "a", "a", "b"]),
+            "props": pa.array(
+                ['{"k": 5}', '{"other": 1}', '{"k": -3}', "not json"]
+            ),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.props_key_stats(str(tmp_path)))
+    a = out[out["event_type"] == "a"].iloc[0]
+    assert (a["n"], a["n_missing"], a["sum_k"], a["min_k"], a["max_k"]) == (
+        3, 1, 2, -3, 5,
+    )
+    b = out[out["event_type"] == "b"].iloc[0]
+    assert b["n_missing"] == 1 and pd.isna(b["sum_k"])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["props_key_stats"]).df()
+    pd.testing.assert_frame_equal(
+        out.reset_index(drop=True), want, check_dtype=False
+    )
