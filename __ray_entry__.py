@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_top1": A.fuzzy_top1,
         "value_time_corr": A.value_time_corr,
         "props_key_stats": A.props_key_stats,
+        "user_moving_value": A.user_moving_value,
     }
 
 
@@ -798,6 +799,18 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # bounded window frame: ROWS 3 PRECEDING .. CURRENT per user
+        "user_moving_value": (
+            "WITH c AS (SELECT user_id, event_id, ts, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS mov_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS mov_n "
+            "FROM c WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "ORDER BY event_id"
         ),
         # JSON field extraction + grouped stats; missing k -> NULL
         "props_key_stats": (

@@ -3957,3 +3957,33 @@ def props_key_stats(sf_dir: str):
         )
     )
     return out.sort("event_type")
+
+
+def user_moving_value(sf_dir: str):
+    """Bounded window frame — per-user moving sum + count of value cents
+    over ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW`` (ordered by ts,
+    event_id), one row out per event (stages/windows.moving_sum_by_key:
+    one range sort, vectorized prefix-sum windows, O(blocks x frame)
+    edge rows fixed on the driver). The bounded-frame sibling of
+    user_running_value's unbounded scan."""
+    from ..stages.windows import moving_sum_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    _oround(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = moving_sum_by_key(
+        ev, key="user_id", ts_col="ts", id_col="event_id",
+        val_col="cents", frame=3,
+    )
+    return out.sort("event_id")

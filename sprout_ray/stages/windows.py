@@ -527,3 +527,127 @@ def gap_stats(ds, key: str = "user_id", ts_col: str = "ts", id_col: str = "event
         }
     )
     return interior.union(rd.from_arrow(out_tbl)).select_columns(cols)
+
+
+def moving_sum_by_key(
+    ds,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    frame: int = 3,
+):
+    """Bounded window frame: per-key moving sum over ``ROWS BETWEEN
+    <frame> PRECEDING AND CURRENT ROW`` (ordered by ts, id), emitted for
+    every row. ``val_col`` must be integer (the repo's integer-unit
+    convention) so the sum is exact.
+
+    Scale shape: ONE range sort, then per-block vectorized prefix-sum
+    windows (mov[i] = cs[i] - cs[max(seg_start, i-frame) - 1]). Only
+    rows whose window could cross a block edge leave the block: the
+    first ``frame`` rows of each block's FIRST key segment (needy) and
+    the last ``frame`` rows of its LAST segment (carry). Sorted blocks
+    guarantee every true predecessor of a needy row is itself needy or
+    in some block's carry, so the driver fixes the O(blocks x frame)
+    needy set from the collected union and unions it back."""
+    import ray.data as rd
+
+    if not pa.types.is_integer(ds.schema().base_schema.field(val_col).type):
+        raise ValueError(
+            f"moving_sum_by_key: {val_col!r} must be integer "
+            "(convert units upstream)"
+        )
+
+    out_cols = [key, id_col, "mov_sum", "mov_n"]
+
+    def block_windows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key_type = t.schema.field(key).type
+        id_type = t.schema.field(id_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    id_col: pa.array([], id_type),
+                    "_ts": pa.array([], pa.int64()),
+                    "_c": pa.array([], pa.int64()),
+                    "mov_sum": pa.array([], pa.int64()),
+                    "mov_n": pa.array([], pa.int64()),
+                    "_kind": pa.array([], pa.int8()),  # 0 ok, 1 needy, 2 carry
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        c = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.arange(n)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+        cs = np.concatenate([[0], np.cumsum(c)])  # cs[i+1] = sum c[0..i]
+        win_start = np.maximum(seg_start, idx - frame)
+        mov = cs[idx + 1] - cs[win_start]
+        mov_n = idx - win_start + 1
+        pos_in_seg = idx - seg_start
+        needy = (keys == keys[0]) & (pos_in_seg < frame)
+        # last <= frame rows of the block's LAST key segment: the only
+        # rows a later block's needy head can reach back to
+        carry = idx >= max(int(seg_start[-1]), n - frame)
+        kind = np.zeros(n, np.int8)
+        kind[needy] = 1
+        kind[carry & ~needy] = 2  # a row can be both in tiny blocks: needy wins
+        return pa.table(
+            {
+                key: pa.array(keys, key_type),
+                id_col: t[id_col],
+                "_ts": pa.array(ts_us),
+                "_c": pa.array(c),
+                "mov_sum": pa.array(mov),
+                "mov_n": pa.array(mov_n.astype(np.int64)),
+                "_kind": pa.array(kind),
+            }
+        )
+
+    parts = (
+        ds.sort([key, ts_col, id_col])
+        .map_batches(
+            block_windows,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    done = parts.filter(expr="_kind != 1").map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow"
+    )
+    # needy heads + every carry row (carries also already emitted above as
+    # complete rows — they serve only as predecessor context here)
+    edge = parts.filter(expr="_kind != 0").take_all()
+    if not edge:
+        return done
+    import pandas as pd
+
+    e = pd.DataFrame(edge).sort_values(
+        [key, "_ts", id_col], kind="stable"
+    ).reset_index(drop=True)
+    k = e[key].to_numpy()
+    cvals = e["_c"].to_numpy()
+    kinds = e["_kind"].to_numpy()
+    seg = np.concatenate([[True], k[1:] != k[:-1]])
+    idx = np.arange(len(e))
+    seg_start = np.maximum.accumulate(np.where(seg, idx, 0))
+    cs = np.concatenate([[0], np.cumsum(cvals)])
+    win_start = np.maximum(seg_start, idx - frame)
+    mov = cs[idx + 1] - cs[win_start]
+    mov_n = (idx - win_start + 1).astype(np.int64)
+    needy_mask = kinds == 1
+    key_type = parts.schema().base_schema.field(key).type
+    id_type = parts.schema().base_schema.field(id_col).type
+    fixed = pa.table(
+        {
+            key: pa.array(e[key].to_numpy()[needy_mask], key_type),
+            id_col: pa.array(e[id_col].to_numpy()[needy_mask], id_type),
+            "mov_sum": pa.array(mov[needy_mask]),
+            "mov_n": pa.array(mov_n[needy_mask]),
+        }
+    )
+    return done.union(rd.from_arrow(fixed)).select_columns(out_cols)

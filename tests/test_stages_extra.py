@@ -1422,3 +1422,51 @@ class TestLevenshteinBatch:
 
         # one substitution in CODEPOINT space, regardless of byte width
         assert levenshtein_batch("naïve", ["naive", "naïve", ""]).tolist() == [1, 0, 5]
+
+
+class TestMovingSum:
+    def test_randomized_multiblock_vs_pandas(self, ray_session):
+        """Hot keys over many sorted blocks: block-edge windows (needy
+        heads reaching into earlier blocks' carries, keys spanning 3+
+        blocks) are the path under test; asserted multi-block."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import moving_sum_by_key
+
+        rng = np.random.default_rng(3)
+        n = 30_000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 4, n).astype(np.int64),
+                "ts": rng.integers(0, 10**9, n).astype(np.int64),
+                "cents": rng.integers(-500, 500, n).astype(np.int64),
+            }
+        )
+        tables = [
+            pa.Table.from_pandas(df.iloc[i : i + 3000]) for i in range(0, n, 3000)
+        ]
+        ds = rd.from_arrow(tables)
+        assert (
+            ds.sort(["user_id", "ts", "event_id"]).materialize().num_blocks() > 1
+        )
+        out = (
+            moving_sum_by_key(
+                ds, key="user_id", ts_col="ts", id_col="event_id",
+                val_col="cents", frame=3,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["user_id", "ts", "event_id"])
+        g = s.groupby("user_id")["cents"]
+        want = s.assign(
+            mov_sum=g.rolling(4, min_periods=1).sum().reset_index(0, drop=True),
+            mov_n=g.rolling(4, min_periods=1).count().reset_index(0, drop=True),
+        ).sort_values("event_id").reset_index(drop=True)
+        assert out["mov_sum"].tolist() == want["mov_sum"].astype(int).tolist()
+        assert out["mov_n"].tolist() == want["mov_n"].astype(int).tolist()
+        assert out["event_id"].tolist() == want["event_id"].tolist()
