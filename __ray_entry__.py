@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_time_corr": A.value_time_corr,
         "props_key_stats": A.props_key_stats,
         "user_moving_value": A.user_moving_value,
+        "user_time_weighted_value": A.user_time_weighted_value,
     }
 
 
@@ -799,6 +800,19 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # time-weighted value: cents held until the next event, whole-s
+        "user_time_weighted_value": (
+            "WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT user_id, cents, "
+            "(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) "
+            "- us) // 1000000 AS gap_s FROM c) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS sum_gap_s, "
+            "CAST(coalesce(sum(cents * gap_s), 0) AS BIGINT) "
+            "AS weighted_val_s "
+            "FROM g GROUP BY user_id ORDER BY user_id"
         ),
         # bounded window frame: ROWS 3 PRECEDING .. CURRENT per user
         "user_moving_value": (

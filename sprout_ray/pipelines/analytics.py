@@ -3987,3 +3987,32 @@ def user_moving_value(sf_dir: str):
         val_col="cents", frame=3,
     )
     return out.sort("event_id")
+
+
+def user_time_weighted_value(sf_dir: str):
+    """Time-weighted per-user value aggregate (the telemetry/billing
+    primitive — each reading is held until the next one): integer cents
+    x whole-second gaps, exact end to end
+    (stages/windows.time_weighted_sum; one range shuffle, O(batches)
+    edge partials carrying the previous block's last value)."""
+    from ..stages.windows import time_weighted_sum
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    _oround(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return time_weighted_sum(
+        ev, key="user_id", ts_col="ts", id_col="event_id", val_col="cents"
+    ).sort("user_id")

@@ -651,3 +651,131 @@ def moving_sum_by_key(
         }
     )
     return done.union(rd.from_arrow(fixed)).select_columns(out_cols)
+
+
+def time_weighted_sum(
+    ds, key: str, ts_col: str, id_col: str, val_col: str
+):
+    """Per-key TIME-WEIGHTED value aggregate (the telemetry/billing
+    primitive): each event's integer value is held until the key's next
+    event and weighted by the gap in whole seconds —
+    ``sum(val * ((next_ts - ts) // 1s))`` plus the matching
+    ``sum(gap_s)`` denominator and the event count. The last event of a
+    key (no successor) contributes nothing, singletons pin 0/0 (the
+    oracle's coalesce). ``val_col`` must be integer; equal-timestamp
+    ties are pinned by the (ts, id) sort in BOTH engines (a zero gap's
+    position changes which value absorbs the next span).
+
+    Scale shape (the gap_stats pattern): ONE range shuffle, per-block
+    reduceat partials carrying (first_us, last_us, last value); only
+    O(batches) edge partials reach the driver, where same-key runs
+    chain-merge — each block boundary contributes the PREVIOUS
+    partial's last value times the boundary gap."""
+    import ray.data as rd
+
+    if not pa.types.is_integer(ds.schema().base_schema.field(val_col).type):
+        raise ValueError(
+            f"time_weighted_sum: {val_col!r} must be integer"
+        )
+    cols = [key, "n_events", "sum_gap_s", "weighted_val_s"]
+
+    def _empty() -> pa.Table:
+        kt = ds.schema().base_schema.field(key).type
+        return pa.table(
+            {
+                key: pa.array([], kt),
+                "n_events": pa.array([], pa.int64()),
+                "sum_gap_s": pa.array([], pa.int64()),
+                "weighted_val_s": pa.array([], pa.int64()),
+                "first_us": pa.array([], pa.int64()),
+                "last_us": pa.array([], pa.int64()),
+                "last_c": pa.array([], pa.int64()),
+                "_edge": pa.array([], pa.bool_()),
+            }
+        )
+
+    def block_parts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return _empty()
+        key_type = t.schema.field(key).type
+        keys = t[key].to_numpy(zero_copy_only=False)
+        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        c = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        starts = np.flatnonzero(key_change)
+        ends = np.append(starts[1:], n)
+        valid = keys[1:] == keys[:-1]
+        gaps_s = np.where(valid, np.diff(ts_us) // _US, 0)
+        contrib = c[:-1] * gaps_s
+        gpad = np.concatenate([gaps_s, [0]])
+        wpad = np.concatenate([contrib, [0]])
+        sum_gap = np.add.reduceat(gpad, starts)
+        wsum = np.add.reduceat(wpad, starts)
+        s_key = keys[starts]
+        edge = (s_key == keys[0]) | (s_key == keys[-1])
+        return pa.table(
+            {
+                key: pa.array(s_key, key_type),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "sum_gap_s": pa.array(sum_gap.astype(np.int64)),
+                "weighted_val_s": pa.array(wsum.astype(np.int64)),
+                "first_us": pa.array(ts_us[starts]),
+                "last_us": pa.array(ts_us[ends - 1]),
+                "last_c": pa.array(c[ends - 1]),
+                "_edge": pa.array(edge),
+            }
+        )
+
+    parts = (
+        ds.sort([key, ts_col, id_col])
+        .map_batches(
+            block_parts,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    interior = parts.filter(expr="_edge == False").map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
+    )
+    edge_rows = parts.filter(expr="_edge == True").take_all()
+    if not edge_rows:
+        return interior
+    e = pd.DataFrame(edge_rows).sort_values(
+        [key, "first_us"], kind="stable"
+    )
+    k = e[key].to_numpy()
+    same = np.concatenate([[False], k[1:] == k[:-1]])
+    fu = e["first_us"].to_numpy()
+    lu = e["last_us"].to_numpy()
+    lc = e["last_c"].to_numpy()
+    bg = np.concatenate([[0], (fu[1:] - lu[:-1]) // _US])
+    bw = np.concatenate([[0], lc[:-1] * bg[1:]])
+    e = e.assign(
+        _bg=np.where(same, bg, 0), _bw=np.where(same, bw, 0)
+    )
+    g = (
+        e.groupby(key, sort=True)
+        .agg(
+            n_events=("n_events", "sum"),
+            _sg=("sum_gap_s", "sum"),
+            _bgs=("_bg", "sum"),
+            _w=("weighted_val_s", "sum"),
+            _bws=("_bw", "sum"),
+        )
+        .reset_index()
+    )
+    key_type = parts.schema().base_schema.field(key).type
+    out_tbl = pa.table(
+        {
+            key: pa.array(g[key].to_numpy(), type=key_type),
+            "n_events": pa.array(g["n_events"].to_numpy(), pa.int64()),
+            "sum_gap_s": pa.array((g["_sg"] + g["_bgs"]).to_numpy(), pa.int64()),
+            "weighted_val_s": pa.array(
+                (g["_w"] + g["_bws"]).to_numpy(), pa.int64()
+            ),
+        }
+    )
+    return interior.union(rd.from_arrow(out_tbl)).select_columns(cols)

@@ -1470,3 +1470,57 @@ class TestMovingSum:
         assert out["mov_sum"].tolist() == want["mov_sum"].astype(int).tolist()
         assert out["mov_n"].tolist() == want["mov_n"].astype(int).tolist()
         assert out["event_id"].tolist() == want["event_id"].tolist()
+
+
+class TestTimeWeightedSum:
+    def test_randomized_multiblock_vs_pandas(self, ray_session):
+        """Keys spanning blocks: the boundary gap must be weighted by the
+        PREVIOUS partial's last value (the carried last_c)."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import time_weighted_sum
+
+        rng = np.random.default_rng(11)
+        n = 24_000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 4, n).astype(np.int64),
+                "ts": rng.integers(0, 10**15, n).astype(np.int64),
+                "cents": rng.integers(-100, 100, n).astype(np.int64),
+            }
+        )
+        tables = [
+            pa.Table.from_pandas(df.iloc[i : i + 3000]) for i in range(0, n, 3000)
+        ]
+        ds = rd.from_arrow(tables)
+        assert (
+            ds.sort(["user_id", "ts", "event_id"]).materialize().num_blocks() > 1
+        )
+        out = (
+            time_weighted_sum(
+                ds, key="user_id", ts_col="ts", id_col="event_id",
+                val_col="cents",
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        rows = []
+        for u, grp in df.sort_values(["user_id", "ts", "event_id"]).groupby(
+            "user_id"
+        ):
+            gaps = np.diff(grp["ts"].to_numpy()) // 1_000_000
+            c = grp["cents"].to_numpy()[:-1]
+            rows.append(
+                {
+                    "user_id": u,
+                    "n_events": len(grp),
+                    "sum_gap_s": int(gaps.sum()),
+                    "weighted_val_s": int((c * gaps).sum()),
+                }
+            )
+        want = pd.DataFrame(rows)
+        pd.testing.assert_frame_equal(out, want, check_dtype=False)
