@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": A.props_key_stats,
         "user_moving_value": A.user_moving_value,
         "user_time_weighted_value": A.user_time_weighted_value,
+        "embedding_dim_stats": A.embedding_dim_stats,
     }
 
 
@@ -800,6 +801,20 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # per-dimension embedding stats via zipped unnest ordinality
+        "embedding_dim_stats": (
+            "WITH u AS (SELECT unnest(embedding) AS x, "
+            "unnest(range(0, len(embedding))) AS dim FROM embeddings), "
+            "c AS (SELECT dim, "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS m "
+            "FROM u) "
+            "SELECT CAST(dim AS BIGINT) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(m) AS BIGINT) AS sum_micro, "
+            "CAST(min(m) AS BIGINT) AS min_micro, "
+            "CAST(max(m) AS BIGINT) AS max_micro "
+            "FROM c GROUP BY dim ORDER BY dim"
         ),
         # time-weighted value: cents held until the next event, whole-s
         "user_time_weighted_value": (

@@ -4016,3 +4016,55 @@ def user_time_weighted_value(sf_dir: str):
     return time_weighted_sum(
         ev, key="user_id", ts_col="ts", id_col="event_id", val_col="cents"
     ).sort("user_id")
+
+
+def embedding_dim_stats(sf_dir: str):
+    """Per-DIMENSION statistics of the embedding column (n, sum, min,
+    max in exact integer micro-units) — the feature-normalization scan
+    every embedding pipeline runs before whitening, and the
+    unnest-with-ordinality family member. NO per-row explode: each
+    block reduces its (rows x dim) matrix along axis 0 in one numpy
+    pass and emits |dim| partial rows; the groupby shuffles only
+    |dim| x blocks rows."""
+    from ..stages.similarity import _emb_matrix
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_micro": pa.array([], pa.int64()),
+                    "min_micro": pa.array([], pa.int64()),
+                    "max_micro": pa.array([], pa.int64()),
+                }
+            )
+        m = _emb_matrix(t["embedding"], dtype=np.float64)
+        micro = np.floor(np.abs(m) * 1e6 + 0.5).astype(np.int64) * np.where(
+            m >= 0, 1, -1
+        )
+        d = micro.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, micro.shape[0], np.int64)),
+                "sum_micro": pa.array(micro.sum(axis=0)),
+                "min_micro": pa.array(micro.min(axis=0)),
+                "max_micro": pa.array(micro.max(axis=0)),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_micro", alias_name="sum_micro"),
+            Min("min_micro", alias_name="min_micro"),
+            Max("max_micro", alias_name="max_micro"),
+        )
+    )
+    return out.sort("dim")
