@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_moving_value": A.user_moving_value,
         "user_time_weighted_value": A.user_time_weighted_value,
         "embedding_dim_stats": A.embedding_dim_stats,
+        "lang_sources_concat": A.lang_sources_concat,
     }
 
 
@@ -801,6 +802,13 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # string aggregation: sorted distinct sources joined per lang
+        "lang_sources_concat": (
+            "SELECT lang, "
+            "string_agg(DISTINCT source, ',' ORDER BY source) AS sources, "
+            "CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            "FROM documents GROUP BY lang ORDER BY lang"
         ),
         # per-dimension embedding stats via zipped unnest ordinality
         "embedding_dim_stats": (

@@ -4068,3 +4068,43 @@ def embedding_dim_stats(sf_dir: str):
         )
     )
     return out.sort("dim")
+
+
+def lang_sources_concat(sf_dir: str):
+    """String aggregation (the string_agg/group_concat family): per
+    lang, the comma-joined ASC-sorted list of DISTINCT sources. The
+    distinct pair set reduces engine-side (per-block dedup partials ->
+    one groupby over |langs| x |sources| rows); the join to one string
+    per lang folds on the driver over that bounded set."""
+
+    def pair_part(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([("source", "count")])
+        )
+        return g.select(["lang", "source"])
+
+    rows = (
+        _read(sf_dir, "documents", ["lang", "source"])
+        .map_batches(pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .count()
+        .take_all()  # bounded: |langs| x |sources|
+    )
+    pairs = sorted((r["lang"], r["source"]) for r in rows)
+    out = {}
+    for lang, src in pairs:
+        out.setdefault(lang, []).append(src)
+    langs = sorted(out)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "sources": pa.array(
+                [",".join(out[lang]) for lang in langs], pa.string()
+            ),
+            "n_sources": pa.array(
+                [len(out[lang]) for lang in langs], pa.int64()
+            ),
+        }
+    )
