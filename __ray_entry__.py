@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": A.user_time_weighted_value,
         "embedding_dim_stats": A.embedding_dim_stats,
         "lang_sources_concat": A.lang_sources_concat,
+        "latest_user_event": A.latest_user_event,
     }
 
 
@@ -802,6 +803,16 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # latest-per-key snapshot: ts DESC, event_id DESC winner
+        "latest_user_event": (
+            "WITH r AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS ts_us, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) "
+            "AS rn FROM events) "
+            "SELECT user_id, event_id, event_type, "
+            "CAST(ts_us AS BIGINT) AS ts_us "
+            "FROM r WHERE rn = 1 ORDER BY user_id"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

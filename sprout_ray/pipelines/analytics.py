@@ -4108,3 +4108,79 @@ def lang_sources_concat(sf_dir: str):
             ),
         }
     )
+
+
+def latest_user_event(sf_dir: str):
+    """Latest-state snapshot (the CDC-compaction readout): each user's
+    most recent event — ORDER BY ts DESC, event_id DESC per user. The
+    winner rides ONE native groupby-max over a packed int64 key
+    (rel_ts_us * 2^20 + event_id: the canonical_docs argmax trick;
+    min-shifted timestamps keep the pack in range, asserted loudly),
+    then the winning rows attach via the size-guarded broadcast/hash
+    join on the packed key — no row ever carries more than (user,
+    packed) into the shuffle."""
+    from ..stages.joins import broadcast_lookup_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    t0 = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda t: pa.table({"us": pc.cast(t["ts"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .min("us")
+    )
+
+    def pack(t: pa.Table) -> pa.Table:
+        rel = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) - t0
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        if rel.max(initial=0) >= (1 << 43) or eid.max(initial=0) >= (1 << 20):
+            raise ValueError(
+                "latest_user_event: packed key out of range "
+                "(ts span >= 2^43 us or event_id >= 2^20)"
+            )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "packed": pa.array(rel * (1 << 20) + eid),
+            }
+        )
+
+    packed = ev.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    winners = (
+        packed.groupby("user_id")
+        .max("packed", ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "packed"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_users = winners.count()
+    rows = ev.map_batches(
+        lambda t: pack(t).append_column("event_id", t["event_id"]).append_column(
+            "event_type", t["event_type"]
+        ).append_column("ts", t["ts"]),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_lookup_join(
+        rows.map_batches(
+            lambda t: t.select(["packed", "event_id", "event_type", "ts"]),
+            batch_format="pyarrow",
+        ),
+        winners.map_batches(
+            lambda t: t.select(["packed", "user_id"]), batch_format="pyarrow"
+        ),
+        on="packed",
+        right_count=n_users,
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("user_id")
