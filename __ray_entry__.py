@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
         "hybrid_rrf_topk": A.hybrid_rrf_topk,
+        "classifier_scores": A.classifier_scores,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
@@ -651,6 +652,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) AS doc_id, rrf_units "
             "FROM frank WHERE rn <= 5 "
             "ORDER BY query_id, rrf_units DESC, doc_id"
+        ),
+        # linear classifier inference: the deterministic weight fixture
+        # w_j = (((j*37)%19)-9)/10 is generated identically on both
+        # engines; accept gates on the ROUNDED logit (bit-deterministic
+        # boundary, same convention as curation_survivors)
+        "classifier_scores": (
+            "WITH w AS (SELECT list_transform(range(0, 64), "
+            "j -> CAST((((j*37)%19)-9) AS DOUBLE)/10.0) AS wv), "
+            "s AS (SELECT vec_id, round(list_dot_product("
+            "CAST(embedding AS DOUBLE[]), (SELECT wv FROM w)), 6) AS logit "
+            "FROM embeddings) "
+            "SELECT vec_id, logit, logit >= 0 AS accept "
+            "FROM s ORDER BY vec_id"
         ),
         # C4-style span dedup: keep-first over 10-token windows; kept iff
         # the occurrence is the (doc_id, span_no)-lexicographic first of

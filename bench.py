@@ -241,6 +241,7 @@ def query_suite(sf_dir: str) -> dict:
         ("promo_brand_revenue", A.promo_brand_revenue),
         ("late_shipment_priority", A.late_shipment_priority),
         ("user_gap_stats", A.user_gap_stats),
+        ("classifier_scores", A.classifier_scores),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

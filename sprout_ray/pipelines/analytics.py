@@ -3615,6 +3615,40 @@ def hybrid_rrf_topk(sf_dir: str):
     )
 
 
+def classifier_scores(sf_dir: str):
+    """Linear quality-classifier inference over the embedding column — the
+    model-scoring stage of a curation pipeline (RefinedWeb/FineWeb-style:
+    score every doc with a trained linear head, keep logit >= threshold).
+
+    The model here is a deterministic fixture both engines can state
+    exactly: w_j = (((j*37) % 19) - 9) / 10 over the 64 dims, bias 0 —
+    standing in for trained weights, which would ship the same way (one
+    ``ray.put``, loaded once per actor in ``LinearScorer.__init__``).
+    Scale shape: no shuffle, one float64 matmul per batch, output is
+    (vec_id, logit, accept). Oracle: DuckDB ``list_dot_product`` against
+    the same generated weight list; both engines round the logit 6dp
+    half-away-from-zero and gate ``accept`` on the ROUNDED value so the
+    boundary is bit-deterministic."""
+    from ..stages.similarity import linear_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    dim = len(ds.take(1)[0]["embedding"])
+    w = (((np.arange(dim, dtype=np.int64) * 37) % 19) - 9) / 10.0
+    scored = linear_scores(ds, w, concurrency=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        logit = _oround(t["logit"], 6)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "logit": logit,
+                "accept": pc.greater_equal(logit, 0.0),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow").sort("vec_id")
+
+
 def lang_source_rollup(sf_dir: str):
     """Multi-level aggregate (SQL ROLLUP): doc count + total chars at
     (lang, source), (lang) and grand-total levels, with NULL as the

@@ -100,6 +100,73 @@ def ann_topk(ds, queries: np.ndarray, k: int = 10, emb_col: str = "embedding", i
     )
 
 
+class LinearScorer:
+    """Linear-model inference over an embedding column — the shape of the
+    quality-classifier scoring stage every curation pipeline runs (fasttext /
+    logistic-regression doc scoring: score every row, gate on the logit).
+
+    The actor-pool contract: model "load" (materializing the weight vector;
+    in production, reading a model artifact from storage) happens ONCE per
+    actor in ``__init__``; ``__call__`` is one float64 matmul per batch — no
+    per-row Python, weights ride the actor, never the batches. At 100 TB the
+    stage is embarrassingly parallel: no shuffle, output is (id, logit).
+
+    ``weights_ref`` is a ``ray.put`` handle so a real-sized model ships to
+    each actor once via the object store (zero-copy for numpy), not pickled
+    into every task."""
+
+    def __init__(
+        self,
+        weights_ref,
+        bias: float = 0.0,
+        emb_col: str = "embedding",
+        id_col: str = "vec_id",
+        out_col: str = "logit",
+    ):
+        w = ray.get(weights_ref) if not isinstance(weights_ref, np.ndarray) else weights_ref
+        self.w = np.asarray(w, dtype=np.float64)
+        self.b = float(bias)
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _emb_matrix(batch[self.emb_col], dtype=np.float64)
+        logit = (emb @ self.w + self.b) if emb.size else np.empty(0, np.float64)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                self.out_col: pa.array(logit, pa.float64()),
+            }
+        )
+
+
+def linear_scores(
+    ds,
+    weights: np.ndarray,
+    bias: float = 0.0,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 2,
+):
+    """Score every row's embedding with a broadcast linear model; returns a
+    Dataset of (id_col, logit). The streaming map stage — chain a filter or
+    join on the logit downstream."""
+    ref = ray.put(np.asarray(weights, dtype=np.float64))
+    return ds.map_batches(
+        LinearScorer,
+        fn_constructor_kwargs={
+            "weights_ref": ref,
+            "bias": bias,
+            "emb_col": emb_col,
+            "id_col": id_col,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures: bucket id = sign-bit pattern of n_planes
     projections. Cosine-similar vectors collide with high probability."""

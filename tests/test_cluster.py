@@ -109,6 +109,49 @@ class TestIVFDistributedTraining:
         )
 
 
+class TestLinearScorer:
+    def test_matches_direct_matmul_and_broadcast_once(self, ray_session):
+        """Actor-pool inference == the in-process float64 matmul, exactly;
+        weights ship via one ray.put handle."""
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import linear_scores
+
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((137, 8)).astype(np.float32)
+        w = rng.standard_normal(8)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(137), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+        out = (
+            linear_scores(rd.from_arrow(t), w, bias=0.25, concurrency=1)
+            .sort("vec_id")
+            .to_pandas()
+        )
+        expect = emb.astype(np.float64) @ w + 0.25
+        assert out["vec_id"].tolist() == list(range(137))
+        np.testing.assert_array_equal(out["logit"].to_numpy(), expect)
+
+    def test_empty_input_keeps_schema(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.similarity import linear_scores
+
+        t = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+        out = linear_scores(rd.from_arrow(t), np.ones(4), concurrency=1)
+        tbl = out.take_batch(1, batch_format="pyarrow") if out.count() else None
+        assert out.count() == 0
+        assert tbl is None
+
+
 class TestSemanticDedup:
     def _naive_survivors(self, ids, mat, thr):
         """Global greedy keep-min-id over exact cosines."""
