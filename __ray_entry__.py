@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered_topk": A.ann_filtered_topk,
         "hybrid_rrf_topk": A.hybrid_rrf_topk,
         "classifier_scores": A.classifier_scores,
+        "bloom_set_cardinalities": A.bloom_set_cardinalities,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,

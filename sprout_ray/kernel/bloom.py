@@ -278,6 +278,32 @@ class BloomFilter:
             prob=self.err_rate,
         )
 
+    def set_bit_count(self) -> int:
+        """Number of set bits across the k slices (popcount of the usable
+        bit space; the slack bytes past ``k*m`` can never be set)."""
+        if self._bits is None and not self._pending:
+            return 0
+        return int(np.unpackbits(self.bits).sum())
+
+    def approx_cardinality(self) -> float:
+        """Distinct-element estimate from the fill ratio (Swamidass & Baldi
+        2007, adapted to the partitioned layout): each element sets exactly
+        one bit per m-bit slice, so with T total set bits across k slices
+        the per-slice MLE is ``n = ln(1 - T/(k*m)) / ln(1 - 1/m)`` using the
+        pooled fill. This is what turns a membership filter into an
+        analytic sketch: cardinalities of unions (bit-OR of two filters)
+        and, by inclusion-exclusion, intersections — without ever
+        shuffling raw keys. A saturated filter (every usable bit set)
+        has no finite MLE; returns ``inf`` there."""
+        t = self.set_bit_count()
+        total = self.m * self.k
+        if t == 0:
+            return 0.0
+        if t >= total:
+            return float("inf")
+        # log1p for accuracy at low fill; both logs are negative
+        return math.log1p(-t / total) / math.log1p(-1.0 / self.m)
+
     # ---- serialization ------------------------------------------------
 
     def to_bytes(self) -> bytes:

@@ -3649,6 +3649,100 @@ def classifier_scores(sf_dir: str):
     return scored.map_batches(finish, batch_format="pyarrow").sort("vec_id")
 
 
+def bloom_set_cardinalities(sf_dir: str):
+    """Set-operation cardinalities from Bloom filters ALONE (Swamidass &
+    Baldi 2007 fill-ratio estimator, kernel/bloom.approx_cardinality):
+    distinct click users, purchase users, their union (bit-OR sketch
+    merge) and intersection (inclusion-exclusion on the three
+    estimates) — no raw keys ever shuffle; ONE scan builds a bloom per
+    event_type via the grouped mergeable aggregate (O(blocks x groups)
+    sketch partials cross the exchange), and the set algebra runs on
+    sketch bytes. This is the reference's membership filter promoted to
+    an analytic sketch.
+
+    SELF-EVIDENCE in-band (the hll_by_lang convention): exact counts via
+    per-block flag dedupe -> native groupby-max -> count partials, the
+    absolute error, and a bound check |err| <= 0.05 * exact_union, so the
+    rows-only driver record carries the accuracy claim. The bound is
+    generous vs the estimator's actual variance at these fills (pytest
+    pins 1%-level accuracy on a 20k/15k planted overlap)."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.builder import build_grouped
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    n_rows = ds.count()
+    spec = SketchSpec.of("bloom", 0.01, max(n_rows, 11))
+    sk_rows = build_grouped(ds, spec, on="user_id", key="event_type", alias="sk").take_all()
+    sk = {r["event_type"]: spec.from_bytes(r["sk"]) for r in sk_rows}
+    a, b = sk["click"], sk["purchase"]
+    est_a, est_b = a.approx_cardinality(), b.approx_cardinality()
+    a.merge(b)  # bit-OR union on the sketch bytes
+    est_u = a.approx_cardinality()
+    est_i = est_a + est_b - est_u
+
+    def flags(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"]))
+        t = t.filter(keep)
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "c": pc.equal(t["event_type"], "click").cast(pa.int64()),
+                    "p": pc.equal(t["event_type"], "purchase").cast(pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("c", "max"), ("p", "max")])
+        )
+        return g.rename_columns(["user_id", "c", "p"])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        p = t["p"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nA": pa.array([int(c.sum())], pa.int64()),
+                "nB": pa.array([int(p.sum())], pa.int64()),
+                "nI": pa.array([int((c & p).sum())], pa.int64()),
+            }
+        )
+
+    ex = (
+        ds.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("c"), Max("p"))
+        .map_batches(
+            lambda t: cnt(t.rename_columns(["user_id", "c", "p"])),
+            batch_format="pyarrow",
+        )
+        .aggregate(Sum("nA"), Sum("nB"), Sum("nI"))
+    )
+    n_a, n_b, n_i = int(ex["sum(nA)"]), int(ex["sum(nB)"]), int(ex["sum(nI)"])
+    n_u = n_a + n_b - n_i
+    tol = 0.05 * max(n_u, 1)
+    rows = [
+        ("click_users", est_a, n_a),
+        ("purchase_users", est_b, n_b),
+        ("union_users", est_u, n_u),
+        ("intersection_users", est_i, n_i),
+    ]
+    return pa.table(
+        {
+            "measure": pa.array([r[0] for r in rows], pa.string()),
+            "estimate": pa.array(
+                [float(np.floor(r[1] * 1e3 + 0.5) / 1e3) for r in rows], pa.float64()
+            ),
+            "exact": pa.array([r[2] for r in rows], pa.int64()),
+            "abs_err": pa.array(
+                [float(np.floor(abs(r[1] - r[2]) * 1e3 + 0.5) / 1e3) for r in rows],
+                pa.float64(),
+            ),
+            "within_bound": pa.array([abs(r[1] - r[2]) <= tol for r in rows], pa.bool_()),
+        }
+    )
+
+
 def lang_source_rollup(sf_dir: str):
     """Multi-level aggregate (SQL ROLLUP): doc count + total chars at
     (lang, source), (lang) and grand-total levels, with NULL as the

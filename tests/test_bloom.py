@@ -211,3 +211,35 @@ def test_arrow_input():
     res = bf.contains_batch(pa.array(["a", "zzz"]))
     assert res[0]
     assert bf.count == 3
+
+
+def test_approx_cardinality_counts_distinct():
+    """Fill-ratio estimate (Swamidass-Baldi) counts DISTINCT adds: dups set
+    the same bits. 1%-level accuracy at moderate fill."""
+    bf = BloomFilter(err_rate=0.01, capacity=50_000)
+    bf.add_batch([f"user-{i}" for i in range(20_000)] * 2)  # 40k adds, 20k distinct
+    est = bf.approx_cardinality()
+    assert abs(est - 20_000) / 20_000 < 0.01
+    assert bf.count == 40_000  # add-count semantics untouched
+
+
+def test_approx_cardinality_set_algebra():
+    """Union via bit-OR merge; intersection via inclusion-exclusion.
+    Planted 20k/15k sets with 5k overlap -> union 30k, intersection 5k."""
+    a = BloomFilter(err_rate=0.01, capacity=50_000)
+    b = BloomFilter(err_rate=0.01, capacity=50_000)
+    a.add_batch([f"user-{i}" for i in range(20_000)])
+    b.add_batch([f"user-{i}" for i in range(15_000, 30_000)])
+    ea, eb = a.approx_cardinality(), b.approx_cardinality()
+    a.merge(b)
+    eu = a.approx_cardinality()
+    ei = ea + eb - eu
+    assert abs(eu - 30_000) / 30_000 < 0.01
+    assert abs(ei - 5_000) <= 0.02 * 30_000  # abs err vs union scale
+
+
+def test_approx_cardinality_edges():
+    bf = BloomFilter(err_rate=0.01, capacity=1000)
+    assert bf.approx_cardinality() == 0.0
+    bf.bits = np.full(bf.bit_width, 0xFF, dtype=np.uint8)  # saturate
+    assert bf.approx_cardinality() == float("inf")
