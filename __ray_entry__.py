@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf_topk": A.hybrid_rrf_topk,
         "classifier_scores": A.classifier_scores,
         "bloom_set_cardinalities": A.bloom_set_cardinalities,
+        "hll_hourly_users": A.hll_hourly_users,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,

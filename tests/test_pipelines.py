@@ -523,6 +523,26 @@ def test_sketch_self_evidence_columns():
     assert (cms["overcount"] >= 0).all() and cms["within_bound"].all()
 
 
+def test_windowed_hll_and_bloom_setops_self_evidence():
+    """hll_hourly_users / bloom_set_cardinalities carry in-band accuracy
+    evidence; the bloom inclusion-exclusion identity holds on estimates."""
+    wh = _pd(A.hll_hourly_users(SF))
+    assert {"window", "est_users", "n_users", "rel_err", "within_bound"} <= set(
+        wh.columns
+    )
+    assert wh["within_bound"].all()
+    assert len(wh) == wh["window"].nunique()
+    bs = _pd(A.bloom_set_cardinalities(SF)).set_index("measure")
+    assert bs["within_bound"].all()
+    # inclusion-exclusion is exact BY CONSTRUCTION on the estimates
+    est = bs["estimate"]
+    assert abs(
+        est["click_users"] + est["purchase_users"]
+        - est["union_users"] - est["intersection_users"]
+    ) <= 2e-3  # rounding of the four 3dp readouts
+    assert (bs["exact"] >= 0).all()
+
+
 def test_overlap_and_cardinality_self_evidence():
     """kmv_user_overlap / hll_cardinalities carry in-band exactness
     evidence from distributed passes."""
