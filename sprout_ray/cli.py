@@ -322,6 +322,51 @@ def cmd_skew(args) -> int:
     return 0
 
 
+def cmd_setops(args) -> int:
+    """Set-operation cardinalities from Bloom filters (Swamidass-Baldi
+    fill-ratio MLE, kernel/bloom.approx_cardinality): distinct keys in the
+    --a and --b partitions of --by, their union (bit-OR merge) and
+    intersection (inclusion-exclusion). ONE scan builds a bloom per
+    partition via the grouped mergeable aggregate; raw keys never shuffle."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from .kernel.sketch import SketchSpec
+    from .stages.builder import build_grouped
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    ds = rd.read_parquet(files, columns=[args.by, args.key])
+    n_rows = ds.count()
+    spec = SketchSpec.of("bloom", args.err, max(n_rows, 11))
+    rows = build_grouped(ds, spec, on=args.key, key=args.by, alias="sk").take_all()
+    sk = {r[args.by]: spec.from_bytes(r["sk"]) for r in rows}
+    missing = [v for v in (args.a, args.b) if v not in sk]
+    if missing:
+        raise SystemExit(
+            f"--by {args.by} has no value(s) {missing}; present: {sorted(sk)}"
+        )
+    a, b = sk[args.a], sk[args.b]
+    ea, eb = a.approx_cardinality(), b.approx_cardinality()
+    a.merge(b)
+    eu = a.approx_cardinality()
+    print(
+        json.dumps(
+            {
+                "key": args.key,
+                "by": args.by,
+                "err": args.err,
+                f"n_{args.a}": round(ea, 3),
+                f"n_{args.b}": round(eb, 3),
+                "n_union": round(eu, 3),
+                "n_intersection": round(ea + eb - eu, 3),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_curate(args) -> int:
     """End-to-end curation write path: exact dedup -> quality gate ->
     optional train/val/test split -> resumable partitioned shards
@@ -549,6 +594,20 @@ def main(argv=None) -> int:
     sk.add_argument("--columns", nargs="+", required=True)
     common(sk)
     sk.set_defaults(fn=cmd_skew)
+
+    so = sub.add_parser(
+        "setops",
+        help="bloom set-op cardinalities: |A|, |B|, |A∪B|, |A∩B| of a key "
+        "column split by two partition values (no key shuffle)",
+    )
+    so.add_argument("--input", required=True, help="parquet file/dir/glob")
+    so.add_argument("--key", required=True, help="key column")
+    so.add_argument("--by", required=True, help="partition column")
+    so.add_argument("--a", required=True, help="partition value for set A")
+    so.add_argument("--b", required=True, help="partition value for set B")
+    so.add_argument("--err", type=float, default=0.01)
+    common(so)
+    so.set_defaults(fn=cmd_setops)
 
     cu = sub.add_parser(
         "curate",

@@ -937,6 +937,47 @@ class TestProfileCLI:
         assert by["doc_id"]["n_distinct"] == 500 and by["doc_id"]["distinct_exact"]
         assert by["lang"]["n_distinct"] == 5
 
+    def test_setops_cli(self):
+        """setops subcommand: bloom set-op cardinality estimates vs exact
+        DuckDB counts (1%-level at these fills; unknown --a errors loudly)."""
+        import json as j
+        import subprocess as sp
+
+        r = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "setops",
+                "--input", "/root/testdata/sf0.001/events.parquet",
+                "--key", "user_id", "--by", "event_type",
+                "--a", "click", "--b", "purchase", "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = j.loads(r.stdout.strip().splitlines()[-1])
+        import duckdb
+
+        na, nb, ni = duckdb.sql(
+            "SELECT count(DISTINCT CASE WHEN event_type='click' THEN user_id END), "
+            "count(DISTINCT CASE WHEN event_type='purchase' THEN user_id END), "
+            "count(DISTINCT CASE WHEN user_id IN "
+            "(SELECT user_id FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+            "WHERE event_type='click') AND event_type='purchase' THEN user_id END) "
+            "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        ).fetchone()
+        assert abs(out["n_click"] - na) <= max(0.02 * na, 2)
+        assert abs(out["n_purchase"] - nb) <= max(0.02 * nb, 2)
+        assert abs(out["n_intersection"] - ni) <= max(0.05 * max(na + nb - ni, 1), 2)
+        bad = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "setops",
+                "--input", "/root/testdata/sf0.001/events.parquet",
+                "--key", "user_id", "--by", "event_type",
+                "--a", "no_such_type", "--b", "purchase", "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert bad.returncode != 0 and "no_such_type" in bad.stderr
+
     def test_skew_cli(self):
         """skew subcommand: exact n/distinct/F2/max + the salting-decision
         ratio over a parquet input, cross-checked against hand counts."""
