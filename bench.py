@@ -242,6 +242,8 @@ def query_suite(sf_dir: str) -> dict:
         ("late_shipment_priority", A.late_shipment_priority),
         ("user_gap_stats", A.user_gap_stats),
         ("classifier_scores", A.classifier_scores),
+        ("bloom_set_cardinalities", A.bloom_set_cardinalities),
+        ("hll_hourly_users", A.hll_hourly_users),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
