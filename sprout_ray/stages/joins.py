@@ -424,6 +424,93 @@ def broadcast_lookup_join(
     return left.join(right, join_type="inner", num_partitions=parts, on=(on,))
 
 
+def salted_join(
+    left,
+    right,
+    on: str,
+    salt: int = 8,
+    right_count: int | None = None,
+    left_count: int | None = None,
+    partition_rows: int = 2_000_000,
+):
+    """Inner equi-join with HOT-KEY SALTING — the skew-absorbing plan for a
+    fact stream whose join key is dominated by a few hot values (the regime
+    ``stages/profile.skew_stats``' ratio flags) against a KEY-UNIQUE right
+    side too big to broadcast.
+
+    Plan: every left row scatters over ``salt`` sub-keys (its position
+    within the batch mod salt — deterministic, no RNG); the right side
+    replicates each row ``salt`` ways, once per sub-key; the distributed
+    hash join runs on one packed int64 ``murmur64(key) * salt + sub`` — so
+    a hot key's rows spread across ``salt`` hash partitions instead of
+    pinning one partition actor (Ray's hash join has no skew handling of
+    its own). Cost: right ships ``salt``x (choose salt ~ the skew ratio,
+    not the partition count); left volume is unchanged.
+
+    Collision-safe: the ORIGINAL key columns ride both sides and a
+    post-join equality filter removes any murmur3-64 collision, so the
+    result is exactly the plain inner join's (asserted in pytest on
+    planted 90%-hot-key skew, int and string keys). Right-side uniqueness
+    on ``on`` is the caller's contract (same as broadcast_lookup_join);
+    payload column names must not collide with left's."""
+    import ray
+
+    from ..functions.hashing import murmur_column
+
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    overlap = (set(left.schema().base_schema.names) - {on}) & (
+        set(right.schema().base_schema.names) - {on}
+    )
+    if overlap:
+        raise ValueError(f"salted_join: column collision {sorted(overlap)}")
+    s64 = np.int64(salt)
+    r_on = f"_sj_{on}_r"
+
+    def _key_hash(col) -> np.ndarray:
+        t = col.type
+        if not (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            col = col.cast(pa.string())  # decimal-string canon (agg convention)
+        return murmur_column(col, 0).view(np.int64)
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[on])
+        sub = np.arange(t.num_rows, dtype=np.int64) % s64
+        return t.append_column("_sj_key", pa.array(h * s64 + sub, pa.int64()))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        h = _key_hash(t[on])
+        parts = []
+        for i in range(salt):
+            parts.append(
+                t.append_column(
+                    "_sj_key", pa.array(h * s64 + np.int64(i), pa.int64())
+                )
+            )
+        out = pa.concat_tables(parts)
+        idx = out.schema.get_field_index(on)
+        return out.set_column(idx, r_on, out.column(on))
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep_right, batch_format="pyarrow", zero_copy_batch=True)
+    if right_count is None:
+        right_count = right.count()
+    vol = max(int(right_count) * salt, int(left_count or 0))
+    parts = max(2, vol // partition_rows)
+    joined = lt.join(rt, join_type="inner", num_partitions=parts, on=("_sj_key",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t[on], t[r_on])  # murmur-collision guard
+        return t.filter(keep).drop_columns(["_sj_key", r_on])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def snapshot_diff(old_ds, new_ds, key: str, val_col: str):
     """Change-data capture between two keyed snapshots: emit (key, change)
     with change in {'added', 'removed', 'changed'} (unchanged rows are

@@ -521,6 +521,62 @@ class TestBroadcastLookupJoin:
                 )
 
 
+class TestSaltedJoin:
+    """salted_join == plain inner join on PLANTED 90%-hot-key skew (the
+    regime it exists for), int and string keys, salt 1 and 8."""
+
+    def test_planted_skew_vs_pandas(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import salted_join
+
+        rng = np.random.default_rng(13)
+        n = 5_000
+        hot = np.full(int(n * 0.9), 7)
+        cold = rng.integers(0, 200, n - hot.size)
+        keys = np.concatenate([hot, cold])
+        rng.shuffle(keys)
+        left = pd.DataFrame({"k": keys, "lv": np.arange(n)})
+        rk = np.concatenate([[7], np.arange(0, 220, 2)])  # hot key PRESENT,
+        # other odd keys miss (anti-match path covered too)
+        right = pd.DataFrame({"k": rk, "rv": rk * 10})
+        for as_str in (False, True):
+            lf, rf = left.copy(), right.copy()
+            if as_str:
+                lf["k"] = lf["k"].astype(str)
+                rf["k"] = rf["k"].astype(str)
+            want = (
+                lf.merge(rf, on="k", how="inner")
+                .sort_values(["k", "lv"])
+                .reset_index(drop=True)
+            )
+            lds = rd.from_arrow(pa.Table.from_pandas(lf, preserve_index=False))
+            rds = rd.from_arrow(pa.Table.from_pandas(rf, preserve_index=False))
+            for salt in (1, 8):
+                got = (
+                    salted_join(lds, rds, on="k", salt=salt)
+                    .to_pandas()[["k", "lv", "rv"]]
+                    .sort_values(["k", "lv"])
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(
+                    got.astype(want.dtypes.to_dict()), want
+                )
+
+    def test_guards(self, ray_session):
+        import ray.data as rd
+
+        from sprout_ray.stages.joins import salted_join
+
+        t = pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array([1, 2], pa.int64())})
+        ds = rd.from_arrow(t)
+        with pytest.raises(ValueError, match="salt"):
+            salted_join(ds, ds, on="k", salt=0)
+        with pytest.raises(ValueError, match="collision"):
+            salted_join(ds, ds, on="k")  # payload column 'v' on both sides
+
+
 class TestPairStreamAndGramLut:
     def test_dedupe_pair_stream_packed_equals_fallback(self, ray_session):
         """Packed-int64-key dedup == 2-column-groupby fallback, with and
