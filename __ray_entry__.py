@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_scores": A.classifier_scores,
         "bloom_set_cardinalities": A.bloom_set_cardinalities,
         "hll_hourly_users": A.hll_hourly_users,
+        "type_weighted_value_salted": A.type_weighted_value_salted,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
@@ -654,6 +655,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) AS doc_id, rrf_units "
             "FROM frank WHERE rn <= 5 "
             "ORDER BY query_id, rrf_units DESC, doc_id"
+        ),
+        # salted-join plan twin: weighted rollup through a derived
+        # distinct-type dimension; integer micros, half-away rounding
+        "type_weighted_value_salted": (
+            "WITH d AS (SELECT DISTINCT event_type, "
+            "CAST(length(event_type) AS BIGINT) AS mult FROM events) "
+            "SELECT e.event_type, "
+            "CAST(sum(CAST(round(e.value * 1000000) AS BIGINT) * d.mult) "
+            "AS BIGINT) AS wsum_micro, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events e JOIN d USING(event_type) "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
         # linear classifier inference: the deterministic weight fixture
         # w_j = (((j*37)%19)-9)/10 is generated identically on both

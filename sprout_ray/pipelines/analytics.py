@@ -3721,6 +3721,61 @@ def classifier_scores(sf_dir: str):
     return scored.map_batches(finish, batch_format="pyarrow").sort("vec_id")
 
 
+def type_weighted_value_salted(sf_dir: str):
+    """Weighted per-type value rollup routed through the SALTED join plan
+    (stages/joins.salted_join) in its true regime: event_type has 5 values
+    at ~20% of the stream each — EVERY join key is hot, so an unsalted
+    hash join funnels the whole stream through |types| partition slots
+    while salt=8 spreads each key across 8. The derived dimension
+    (distinct type -> mult = length(type)) stands in for a key-unique
+    lookup; the oracle twin proves the salted plan exact (post-join key
+    equality makes it collision-exact by construction). Money rides as
+    integer micros, half-away rounding, both engines."""
+    from ..stages.joins import salted_join
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    dim = (
+        ev.select_columns(["event_type"])
+        .groupby("event_type")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "mult": pc.cast(pc.utf8_length(t["event_type"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = salted_join(ev, dim, on="event_type", salt=8)
+
+    def part(t: pa.Table) -> pa.Table:
+        micro = pc.cast(_oround(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "w": pc.multiply(micro, t["mult"]),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("w", "sum"), ("w", "count")])
+        )
+        return g.rename_columns(["event_type", "wsum_micro", "n"])
+
+    out = (
+        joined.map_batches(part, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum(["wsum_micro", "n"], ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "wsum_micro", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort("event_type")
+
+
 def bloom_set_cardinalities(sf_dir: str):
     """Set-operation cardinalities from Bloom filters ALONE (Swamidass &
     Baldi 2007 fill-ratio estimator, kernel/bloom.approx_cardinality):
