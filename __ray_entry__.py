@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_set_cardinalities": A.bloom_set_cardinalities,
         "hll_hourly_users": A.hll_hourly_users,
         "type_weighted_value_salted": A.type_weighted_value_salted,
+        "tdigest_hourly_value": A.tdigest_hourly_value,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,

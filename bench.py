@@ -244,6 +244,7 @@ def query_suite(sf_dir: str) -> dict:
         ("classifier_scores", A.classifier_scores),
         ("bloom_set_cardinalities", A.bloom_set_cardinalities),
         ("hll_hourly_users", A.hll_hourly_users),
+        ("tdigest_hourly_value", A.tdigest_hourly_value),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -406,6 +406,95 @@ def hll_hourly_users(sf_dir: str):
     )
 
 
+def tdigest_hourly_value(sf_dir: str):
+    """Per-hour value percentiles (p50/p95) via grouped t-digest — the
+    latency-dashboard shape: one mergeable digest per tumbling window,
+    O(windows x blocks) centroid partials across the exchange, never the
+    value stream. SELF-EVIDENCE in-band with the 100 TB-correct check:
+    instead of collecting per-window value histograms (O(corpus) rows),
+    ONE distributed rank pass broadcasts the 720 estimates and counts
+    n_le(est) per window — rank_err = |n_le/n - q| measures the digest's
+    published rank accuracy directly. Bound: |rank - q| <= 0.03 + 1.5/n:
+    at ~140 rows/window the rank GRANULARITY dominates the digest's own
+    error at delta=200, and centroid interpolation between adjacent data
+    points can cross one extra point, so the discrete floor is 1.5 rank
+    steps (observed: a 13-row window at 1.5/13)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.builder import build_grouped
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def win_col(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "window": pa.array(us // 3_600_000_000, pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    wds = ds.map_batches(win_col, batch_format="pyarrow", zero_copy_batch=True)
+    spec = SketchSpec.of("tdigest", 200.0)
+    rows = build_grouped(wds, spec, on="value", key="window", alias="sk").take_all()
+    est = {}
+    for r in rows:
+        sk = spec.from_bytes(r["sk"])
+        q50, q95 = (float(x) for x in sk.quantile([0.5, 0.95]))
+        est[int(r["window"])] = (q50, q95)
+    wins = np.array(sorted(est), dtype=np.int64)
+    p50 = np.array([est[w][0] for w in wins], dtype=np.float64)
+    p95 = np.array([est[w][1] for w in wins], dtype=np.float64)
+
+    def rank_partials(t: pa.Table) -> pa.Table:
+        w = t["window"].to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wins, w)
+        le50 = (v <= p50[pos]).astype(np.int64)
+        le95 = (v <= p95[pos]).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "window": t["window"],
+                    "n_le50": pa.array(le50, pa.int64()),
+                    "n_le95": pa.array(le95, pa.int64()),
+                    "n": pa.array(np.ones(len(w), np.int64), pa.int64()),
+                }
+            )
+            .group_by("window")
+            .aggregate([("n_le50", "sum"), ("n_le95", "sum"), ("n", "sum")])
+        )
+        return g.rename_columns(["window", "n_le50", "n_le95", "n"])
+
+    agg = (
+        wds.map_batches(rank_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window")
+        .aggregate(Sum("n_le50"), Sum("n_le95"), Sum("n"))
+        .take_all()
+    )  # bounded: one row per window
+    by_w = {int(r["window"]): r for r in agg}
+    n = np.array([by_w[int(w)]["sum(n)"] for w in wins], dtype=np.int64)
+    r50 = np.array([by_w[int(w)]["sum(n_le50)"] for w in wins]) / n
+    r95 = np.array([by_w[int(w)]["sum(n_le95)"] for w in wins]) / n
+    tol = 0.03 + 1.5 / n
+    ok = (np.abs(r50 - 0.5) <= tol) & (np.abs(r95 - 0.95) <= tol)
+
+    def r6(a):
+        return np.floor(np.abs(a) * 1e6 + 0.5) / 1e6 * np.sign(a)
+
+    return pa.table(
+        {
+            "window": pa.array(wins, pa.int64()),
+            "est_p50": pa.array(r6(p50), pa.float64()),
+            "est_p95": pa.array(r6(p95), pa.float64()),
+            "n": pa.array(n, pa.int64()),
+            "rank50": pa.array(r6(r50), pa.float64()),
+            "rank95": pa.array(r6(r95), pa.float64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def events_window_dedup(sf_dir: str):
     """Window-scoped exact dedup (streaming idempotency dedup): per tumbling
     hour, how many distinct (user_id, event_type) combinations fired vs raw

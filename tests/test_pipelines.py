@@ -532,6 +532,11 @@ def test_windowed_hll_and_bloom_setops_self_evidence():
     )
     assert wh["within_bound"].all()
     assert len(wh) == wh["window"].nunique()
+    td = _pd(A.tdigest_hourly_value(SF))
+    assert {"window", "est_p50", "est_p95", "n", "rank50", "rank95",
+            "within_bound"} <= set(td.columns)
+    assert td["within_bound"].all()
+    assert (td["est_p50"] <= td["est_p95"]).all()  # quantile monotonicity
     bs = _pd(A.bloom_set_cardinalities(SF)).set_index("measure")
     assert bs["within_bound"].all()
     # inclusion-exclusion is exact BY CONSTRUCTION on the estimates
