@@ -97,3 +97,33 @@ def test_kmv_merge_equals_single_pass(keys, k, splits):
     if n_distinct < k:
         assert acc.is_exact() and acc.estimate() == float(n_distinct)
         assert sorted(acc.sample()) == sorted(set(keys))
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5000), min_size=0, max_size=2000),
+    splits=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=40, deadline=None)
+def test_bloom_cardinality_merge_invariant(keys, splits):
+    """approx_cardinality is split/merge-order invariant (bit-OR is the
+    state) and tracks the true distinct count within the fill-ratio
+    estimator's accuracy at these fills (+2 absolute discrete floor)."""
+    from sprout_ray.kernel.bloom import BloomFilter
+
+    strs = [f"k{v}" for v in keys]
+    single = BloomFilter(err_rate=0.01, capacity=10_000)
+    if strs:
+        single.add_batch(strs)
+    parts = []
+    chunk = max(1, len(strs) // splits)
+    for i in range(0, len(strs), chunk):
+        bf = BloomFilter(err_rate=0.01, capacity=10_000)
+        bf.add_batch(strs[i : i + chunk])
+        parts.append(bf)
+    merged = BloomFilter(err_rate=0.01, capacity=10_000)
+    for bf in reversed(parts):  # reverse order: merge is commutative
+        merged.merge(bf)
+    assert merged.set_bit_count() == single.set_bit_count()
+    est = merged.approx_cardinality()
+    exact = len(set(keys))
+    assert abs(est - exact) <= max(0.02 * exact, 2.0)
