@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_hourly_users": A.hll_hourly_users,
         "type_weighted_value_salted": A.type_weighted_value_salted,
         "tdigest_hourly_value": A.tdigest_hourly_value,
+        "doc_embedding_coverage": A.doc_embedding_coverage,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
@@ -656,6 +657,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id AS BIGINT) AS doc_id, rrf_units "
             "FROM frank WHERE rn <= 5 "
             "ORDER BY query_id, rrf_units DESC, doc_id"
+        ),
+        # LEFT OUTER enrichment twin: misses survive with NULL payload
+        "doc_embedding_coverage": (
+            "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(e.vec_id) AS BIGINT) AS n_matched "
+            "FROM documents d LEFT JOIN "
+            "(SELECT vec_id FROM embeddings WHERE label = 3) e "
+            "ON d.doc_id = e.vec_id "
+            "GROUP BY d.lang ORDER BY d.lang"
         ),
         # salted-join plan twin: weighted rollup through a derived
         # distinct-type dimension; integer micros, half-away rounding

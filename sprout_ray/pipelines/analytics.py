@@ -3865,6 +3865,63 @@ def type_weighted_value_salted(sf_dir: str):
     return out.sort("event_type")
 
 
+def doc_embedding_coverage(sf_dir: str):
+    """LEFT OUTER enrichment — the join shape where misses must SURVIVE
+    (every doc keeps its row; the payload is NULL when no label-3 vector
+    exists for it): per lang, total docs and docs with a label-3 embedding
+    (vec_id == doc_id alignment, label predicate pushed to the scan).
+    Runs broadcast_lookup_join(how="left") under the same size guard as
+    the inner path (broadcast searchsorted + NULL fill below the budget,
+    Ray left_outer hash join above). Oracle: LEFT JOIN + count(vec_id)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    vecs = (
+        _read(sf_dir, "embeddings", ["vec_id", "label"])
+        .filter(expr="label == 3")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["vec_id"],
+                    "m": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    n_vecs = _read(sf_dir, "embeddings", ["vec_id"]).count()  # metadata bound
+    joined = broadcast_lookup_join(
+        docs, vecs, on="doc_id", right_count=n_vecs, how="left"
+    )
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": t["lang"],
+                    "n_docs": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                    "n_matched": pc.fill_null(t["m"], 0),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("n_docs", "sum"), ("n_matched", "sum")])
+        )
+        return g.rename_columns(["lang", "n_docs", "n_matched"])
+
+    out = (
+        joined.map_batches(part, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs"), Sum("n_matched"))
+        .map_batches(
+            lambda t: t.rename_columns(["lang", "n_docs", "n_matched"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out.sort("lang")
+
+
 def bloom_set_cardinalities(sf_dir: str):
     """Set-operation cardinalities from Bloom filters ALONE (Swamidass &
     Baldi 2007 fill-ratio estimator, kernel/bloom.approx_cardinality):

@@ -361,8 +361,9 @@ def broadcast_lookup_join(
     broadcast_max: int | None = None,
     partition_rows: int = 2_000_000,
     left_count: int | None = None,
+    how: str = "inner",
 ):
-    """Inner equi-join against a KEY-UNIQUE right side (dimension/lookup),
+    """Equi-join against a KEY-UNIQUE right side (dimension/lookup),
     with size-guarded physical plan selection.
 
     Up to ``broadcast_max`` right rows (``right_count`` lets callers pass a
@@ -370,16 +371,20 @@ def broadcast_lookup_join(
     count of a previously joined side — so the guard never forces an extra
     execution), the right table is fetched once, key-sorted, ``ray.put``
     once, and every left batch resolves map-side via ``np.searchsorted`` +
-    ``pa.Table.take`` — zero shuffle, unmatched left rows dropped (inner
-    semantics). Above the budget it is a distributed hash join with
-    partition count clamped to row volume (``Dataset.join`` costs ~0.5-1 s
-    FIXED per partition actor — CLAUDE.md).
+    ``pa.Table.take`` — zero shuffle. ``how="inner"`` drops unmatched left
+    rows; ``how="left"`` keeps them with NULL payloads (the enrichment
+    shape — misses survive). Above the budget it is a distributed hash
+    join (inner / left_outer) with partition count clamped to row volume
+    (``Dataset.join`` costs ~0.5-1 s FIXED per partition actor —
+    CLAUDE.md).
 
     The right side MUST be unique on ``on`` (asserted on the broadcast
     path); duplicate right keys would need the hash join's row expansion,
     which searchsorted cannot express."""
     import ray
 
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if broadcast_max is None:
         broadcast_max = DIM_BROADCAST_MAX  # resolved at call time (testable)
     if right_count is None:
@@ -408,6 +413,19 @@ def broadcast_lookup_join(
             pos = np.searchsorted(rkeys, lk)
             posc = np.minimum(pos, max(rkeys.size - 1, 0))
             ok = (pos < rkeys.size) & (rkeys[posc] == lk) if rkeys.size else np.zeros(len(lk), bool)
+            if how == "left":
+                if not rkeys.size:  # empty right: every payload is NULL
+                    cols = {c: batch[c] for c in batch.column_names}
+                    for c in payload_cols:
+                        cols[c] = pa.nulls(batch.num_rows, rt[c].type)
+                    return pa.table(cols)
+                taken = rt.take(pa.array(posc))
+                cols = {c: batch[c] for c in batch.column_names}
+                mask = pa.array(~ok)
+                for c in payload_cols:
+                    # NULL payload where the key missed (left-outer fill)
+                    cols[c] = pc.if_else(mask, pa.scalar(None, taken[c].type), taken[c].combine_chunks())
+                return pa.table(cols)
             kept = batch.filter(pa.array(ok))
             taken = rt.take(pa.array(posc[ok]))
             cols = {c: kept[c] for c in batch.column_names}
@@ -421,7 +439,8 @@ def broadcast_lookup_join(
     # just the build side's, determines per-partition-actor memory
     vol = max(int(right_count), int(left_count or 0))
     parts = max(2, vol // partition_rows)
-    return left.join(right, join_type="inner", num_partitions=parts, on=(on,))
+    jt = "left_outer" if how == "left" else "inner"
+    return left.join(right, join_type=jt, num_partitions=parts, on=(on,))
 
 
 def salted_join(

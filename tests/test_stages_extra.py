@@ -519,6 +519,26 @@ class TestBroadcastLookupJoin:
                 pd.testing.assert_frame_equal(
                     got.astype(want.dtypes.to_dict()), want
                 )
+            # left-outer: misses survive with NULL payload, both tiers
+            want_l = (
+                left.merge(right, on="k", how="left")
+                .sort_values(["k", "lv"])
+                .reset_index(drop=True)
+            )
+            for bmax in (10_000, 0):
+                got_l = (
+                    broadcast_lookup_join(
+                        lds, rds, on="k", broadcast_max=bmax, how="left"
+                    )
+                    .to_pandas()[["k", "lv", "rv"]]
+                    .sort_values(["k", "lv"])
+                    .reset_index(drop=True)
+                )
+                pd.testing.assert_frame_equal(
+                    got_l.astype({"k": want_l.k.dtype, "lv": want_l.lv.dtype,
+                                  "rv": "float64"}),
+                    want_l.astype({"rv": "float64"}),
+                )
 
 
 class TestSaltedJoin:
