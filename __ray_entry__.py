@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_weighted_value_salted": A.type_weighted_value_salted,
         "tdigest_hourly_value": A.tdigest_hourly_value,
         "doc_embedding_coverage": A.doc_embedding_coverage,
+        "user_trailing_hour_value": A.user_trailing_hour_value,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
@@ -898,6 +899,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM c WINDOW w AS (PARTITION BY user_id "
             "ORDER BY ts, event_id "
             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+            "ORDER BY event_id"
+        ),
+        # TIME-RANGE frame twin (unique (user, ts) ordering — no peers)
+        "user_trailing_hour_value": (
+            "WITH c AS (SELECT user_id, event_id, ts, "
+            "CAST(round(value * 100.0) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(sum(cents) OVER w AS BIGINT) AS mov_sum, "
+            "CAST(count(*) OVER w AS BIGINT) AS mov_n "
+            "FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
             "ORDER BY event_id"
         ),
         # JSON field extraction + grouped stats; missing k -> NULL

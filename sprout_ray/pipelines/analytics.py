@@ -4390,6 +4390,39 @@ def user_moving_value(sf_dir: str):
     return out.sort("event_id")
 
 
+def user_trailing_hour_value(sf_dir: str):
+    """TIME-RANGE window frame — per-user moving sum + count of value
+    cents over ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT
+    ROW`` (ordered by ts), one row out per event: the trailing-window
+    feature every real-time feature store serves
+    (stages/windows.moving_time_sum_by_key — one range sort, per-block
+    searchsorted windows over a segment-offset time axis, O(blocks x
+    rows-in-span) edge rows fixed on the driver; duplicate (user, ts)
+    pairs rejected loudly, none exist in this corpus). The time-range
+    sibling of user_moving_value's ROWS frame."""
+    from ..stages.windows import moving_time_sum_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    _oround(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = moving_time_sum_by_key(
+        ev, key="user_id", ts_col="ts", id_col="event_id",
+        val_col="cents", span_us=3_600_000_000,
+    )
+    return out.sort("event_id")
+
+
 def user_time_weighted_value(sf_dir: str):
     """Time-weighted per-user value aggregate (the telemetry/billing
     primitive — each reading is held until the next one): integer cents

@@ -653,6 +653,157 @@ def moving_sum_by_key(
     return done.union(rd.from_arrow(fixed)).select_columns(out_cols)
 
 
+def moving_time_sum_by_key(
+    ds,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    span_us: int = 3_600_000_000,
+):
+    """TIME-RANGE window frame: per-key moving sum/count over ``RANGE
+    BETWEEN <span> PRECEDING AND CURRENT ROW`` (ordered by ts) — the
+    trailing-window feature primitive (value in the last hour per user,
+    evaluated at every event). ``val_col`` must be integer (exact sums).
+
+    Ordering-uniqueness precondition: duplicate ``(key, ts)`` pairs are
+    REJECTED loudly. SQL RANGE frames include forward PEERS (equal order
+    values), which would break block-local computation whenever a tie
+    straddles a block split; with unique (key, ts) the frame is purely
+    backward. Sorted blocks put duplicates adjacent — the in-block check
+    catches same-block ties and the driver's edge-union pass catches
+    block-straddling ones.
+
+    Scale shape (the moving_sum_by_key skeleton on a time axis): ONE
+    range sort; per block each window resolves with one vectorized
+    searchsorted over a segment-offset time axis + a prefix-sum gather.
+    Only rows whose lookback crosses the block head (needy — first key
+    segment, ``ts - span < block first ts``; every in-block window member
+    of a needy row is itself needy, so the driver recompute is closed)
+    and the final-span rows of the block's last segment (carry — a
+    predecessor p of a later needy r satisfies ``ts_p >= ts_r - span >=
+    (p's block's last key ts) - span``, so the carry set provably
+    contains every cross-block predecessor; key runs spanning 3+ blocks
+    chain through carries) leave the block. The partitioning assumption
+    — events per key per span is bounded — is the one every range-window
+    engine makes; the driver fix is O(blocks x rows-in-span)."""
+    import ray.data as rd
+
+    if not pa.types.is_integer(ds.schema().base_schema.field(val_col).type):
+        raise ValueError(
+            f"moving_time_sum_by_key: {val_col!r} must be integer "
+            "(convert units upstream)"
+        )
+    span = np.int64(span_us)
+    out_cols = [key, id_col, "mov_sum", "mov_n"]
+
+    def _reject_ties(keys, ts_us, where: str) -> None:
+        if len(ts_us) > 1:
+            same = (keys[1:] == keys[:-1]) & (ts_us[1:] == ts_us[:-1])
+            if same.any():
+                raise ValueError(
+                    f"moving_time_sum_by_key: duplicate (key, ts) pair "
+                    f"({where}) — RANGE peer semantics need a unique "
+                    "(key, ts) ordering; dedupe or add a tiebreaker "
+                    "upstream"
+                )
+
+    def _windows(keys, ts_us, c):
+        """(mov, n) over a (key, ts)-sorted span via one searchsorted."""
+        n = len(keys)
+        idx = np.arange(n)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg_id = np.cumsum(key_change) - 1
+        # ts is sorted only WITHIN segments — the offset stride must clear
+        # the block's full ts range plus the span on both sides
+        big = np.int64(
+            (int(ts_us.max()) - int(ts_us.min())) + 2 * int(span) + 1
+        ) if n else np.int64(1)
+        tglob = ts_us + seg_id.astype(np.int64) * big
+        lo = np.searchsorted(tglob, tglob - span, side="left")
+        cs = np.concatenate([[0], np.cumsum(c)])
+        return cs[idx + 1] - cs[lo], (idx - lo + 1).astype(np.int64)
+
+    def block_windows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        key_type = t.schema.field(key).type
+        id_type = t.schema.field(id_col).type
+        if n == 0:
+            return pa.table(
+                {
+                    key: pa.array([], key_type),
+                    id_col: pa.array([], id_type),
+                    "_ts": pa.array([], pa.int64()),
+                    "_c": pa.array([], pa.int64()),
+                    "mov_sum": pa.array([], pa.int64()),
+                    "mov_n": pa.array([], pa.int64()),
+                    "_kind": pa.array([], pa.int8()),  # 0 ok, 1 needy, 2 carry
+                }
+            )
+        keys = t[key].to_numpy(zero_copy_only=False)
+        c = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        _reject_ties(keys, ts_us, "within a block")
+        mov, mov_n = _windows(keys, ts_us, c)
+        idx = np.arange(n)
+        key_change = np.concatenate([[True], keys[1:] != keys[:-1]])
+        seg_start = np.maximum.accumulate(np.where(key_change, idx, 0))
+        needy = (keys == keys[0]) & (ts_us - span < ts_us[0])
+        carry = (idx >= int(seg_start[-1])) & (ts_us >= ts_us[-1] - span)
+        kind = np.zeros(n, np.int8)
+        kind[needy] = 1
+        kind[carry & ~needy] = 2
+        return pa.table(
+            {
+                key: pa.array(keys, key_type),
+                id_col: t[id_col],
+                "_ts": pa.array(ts_us),
+                "_c": pa.array(c),
+                "mov_sum": pa.array(mov),
+                "mov_n": pa.array(mov_n),
+                "_kind": pa.array(kind),
+            }
+        )
+
+    parts = (
+        ds.sort([key, ts_col, id_col])
+        .map_batches(
+            block_windows,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    done = parts.filter(expr="_kind != 1").map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow"
+    )
+    edge = parts.filter(expr="_kind != 0").take_all()
+    if not edge:
+        return done
+    import pandas as pd
+
+    e = pd.DataFrame(edge).sort_values(
+        [key, "_ts", id_col], kind="stable"
+    ).reset_index(drop=True)
+    k = e[key].to_numpy()
+    ts_us = e["_ts"].to_numpy()
+    _reject_ties(k, ts_us, "straddling a block edge")
+    mov, mov_n = _windows(k, ts_us, e["_c"].to_numpy())
+    needy_mask = e["_kind"].to_numpy() == 1
+    key_type = parts.schema().base_schema.field(key).type
+    id_type = parts.schema().base_schema.field(id_col).type
+    fixed = pa.table(
+        {
+            key: pa.array(e[key].to_numpy()[needy_mask], key_type),
+            id_col: pa.array(e[id_col].to_numpy()[needy_mask], id_type),
+            "mov_sum": pa.array(mov[needy_mask]),
+            "mov_n": pa.array(mov_n[needy_mask]),
+        }
+    )
+    return done.union(rd.from_arrow(fixed)).select_columns(out_cols)
+
+
 def time_weighted_sum(
     ds, key: str, ts_col: str, id_col: str, val_col: str
 ):

@@ -1589,6 +1589,85 @@ class TestMovingSum:
         assert out["event_id"].tolist() == want["event_id"].tolist()
 
 
+class TestMovingTimeSum:
+    def test_randomized_multiblock_vs_reference(self, ray_session):
+        """Hot keys over many sorted blocks: needy heads whose trailing
+        time-span reaches into earlier blocks' carries (incl. keys
+        spanning 3+ blocks) vs a per-key searchsorted reference."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import moving_time_sum_by_key
+
+        rng = np.random.default_rng(5)
+        n = 30_000
+        span = 10**10
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n, dtype=np.int64),
+                "user_id": rng.integers(0, 4, n).astype(np.int64),
+                # globally unique ts -> no (key, ts) ties by construction
+                "ts": rng.choice(10**12, size=n, replace=False).astype(np.int64),
+                "cents": rng.integers(-500, 500, n).astype(np.int64),
+            }
+        )
+        tables = [
+            pa.Table.from_pandas(df.iloc[i : i + 3000]) for i in range(0, n, 3000)
+        ]
+        ds = rd.from_arrow(tables)
+        assert (
+            ds.sort(["user_id", "ts", "event_id"]).materialize().num_blocks() > 1
+        )
+        out = (
+            moving_time_sum_by_key(
+                ds, key="user_id", ts_col="ts", id_col="event_id",
+                val_col="cents", span_us=span,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want_sum = np.empty(n, np.int64)
+        want_n = np.empty(n, np.int64)
+        for u in range(4):
+            m = df["user_id"].to_numpy() == u
+            ts = df["ts"].to_numpy()[m]
+            c = df["cents"].to_numpy()[m]
+            order = np.argsort(ts)
+            ts_s, c_s = ts[order], c[order]
+            lo = np.searchsorted(ts_s, ts_s - span, side="left")
+            cs = np.concatenate([[0], np.cumsum(c_s)])
+            idx = np.arange(len(ts_s))
+            mv = cs[idx + 1] - cs[lo]
+            nn = idx - lo + 1
+            ids = df["event_id"].to_numpy()[m][order]
+            want_sum[ids] = mv
+            want_n[ids] = nn
+        assert out["mov_sum"].to_numpy().tolist() == want_sum.tolist()
+        assert out["mov_n"].to_numpy().tolist() == want_n.tolist()
+
+    def test_rejects_key_ts_ties(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import moving_time_sum_by_key
+
+        t = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([7, 7], pa.int64()),
+                "ts": pa.array([100, 100], pa.int64()),
+                "cents": pa.array([5, 6], pa.int64()),
+            }
+        )
+        with pytest.raises(Exception, match="RANGE peer semantics"):
+            moving_time_sum_by_key(
+                rd.from_arrow(t), key="user_id", ts_col="ts",
+                id_col="event_id", val_col="cents", span_us=10,
+            ).materialize()
+
+
 class TestTimeWeightedSum:
     def test_randomized_multiblock_vs_pandas(self, ray_session):
         """Keys spanning blocks: the boundary gap must be weighted by the
