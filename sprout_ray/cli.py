@@ -400,6 +400,7 @@ def cmd_curate(args) -> int:
         benchmark_files=bench_files,
         decontam_n=args.decontam_n,
         output_format=args.output_format,
+        partition_by=args.partition_by,
     )
     print(json.dumps({"out": args.out, "metrics": metrics}))
     return 0
@@ -625,6 +626,12 @@ def main(argv=None) -> int:
         choices=["parquet", "jsonl"],
         default="parquet",
         help="shard format (jsonl = newline-delimited JSON via write_json)",
+    )
+    cu.add_argument(
+        "--partition-by",
+        default=None,
+        help="bounded-cardinality column (lang, split): hive-style "
+        "part=<i>/<col>=<value>/ shard layout",
     )
     cu.add_argument(
         "--splits",

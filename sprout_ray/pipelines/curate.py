@@ -39,6 +39,7 @@ def curate_corpus(
     decontam_n: int = 8,
     decontam_min_shared: int = 1,
     output_format: str = "parquet",
+    partition_by: str | None = None,
 ) -> dict:
     """Write the curated corpus under ``out_dir`` (resumable); returns the
     sink metrics plus the number of winner ids.
@@ -131,6 +132,7 @@ def curate_corpus(
         input_files, out_dir, transform=transform,
         files_per_partition=files_per_partition,
         output_format=output_format,
+        partition_by=partition_by,
     )
     metrics["winners"] = int(n_winners)
     if benchmark_files is not None:

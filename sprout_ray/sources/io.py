@@ -20,6 +20,8 @@ def resumable_transform_write(
     columns=None,
     files_per_partition: int = 1,
     output_format: str = "parquet",
+    partition_by: str | None = None,
+    max_partition_values: int = 64,
 ) -> dict:
     """Apply ``transform(Dataset) -> Dataset`` per input-shard group and write
     each group's result under ``out_dir/part=<i>/``; skip completed groups.
@@ -27,6 +29,13 @@ def resumable_transform_write(
     ``output_format``: "parquet" (default) or "jsonl" (newline-delimited
     JSON via ``Dataset.write_json`` — the shard format most training
     loaders consume; round-trips through ``sources.formats.read_any``).
+
+    ``partition_by``: optional BOUNDED-CARDINALITY column (lang, split,
+    source — guarded by ``max_partition_values``); each shard group then
+    writes hive-style value dirs ``part=<i>/<col>=<value>/``, the layout
+    training loaders use to select a language/split without listing the
+    corpus. The atomic unit stays the shard group (all value dirs appear
+    under one rename), so resume semantics are unchanged.
 
     Returns metrics {partitions, written, resumed}. The unit of recovery is
     the input shard group: output for a partition appears only after its
@@ -61,6 +70,13 @@ def resumable_transform_write(
                     f"was written as {prev_fmt!r}, run requests "
                     f"{output_format!r} — use a fresh out_dir"
                 )
+            prev_pb = done[key].get("partition_by")
+            if prev_pb != partition_by:
+                raise ValueError(
+                    f"resume layout mismatch in {out_dir}: partition {pid} "
+                    f"was written with partition_by={prev_pb!r}, run "
+                    f"requests {partition_by!r} — use a fresh out_dir"
+                )
             metrics["resumed"] += 1
             continue
         ds = rd.read_parquet(files, columns=columns)
@@ -71,12 +87,41 @@ def resumable_transform_write(
             import shutil
 
             shutil.rmtree(tmp_dir)
-        if output_format == "jsonl":
-            ds.write_json(tmp_dir)
+
+        def _write(d, path):
+            if output_format == "jsonl":
+                d.write_json(path)
+            else:
+                d.write_parquet(path)
+
+        values = None
+        if partition_by is None:
+            _write(ds, tmp_dir)
         else:
-            ds.write_parquet(tmp_dir)
+            ds = ds.materialize()  # one execution shared by the value scans
+            vals = sorted(
+                {
+                    r[partition_by]
+                    for r in ds.groupby(partition_by).count().take_all()
+                    if r[partition_by] is not None
+                }
+            )
+            if len(vals) > max_partition_values:
+                raise ValueError(
+                    f"partition_by={partition_by!r} has {len(vals)} distinct "
+                    f"values in shard group {pid} (> {max_partition_values}) "
+                    "— partition_by needs a bounded-cardinality column"
+                )
+            for v in vals:
+                lit = f"{v!r}" if isinstance(v, str) else str(v)
+                sub = ds.filter(expr=f"{partition_by} == {lit}")
+                _write(sub, os.path.join(tmp_dir, f"{partition_by}={v}"))
+            values = [str(v) for v in vals]
         os.replace(tmp_dir, part_dir)
         done[key] = {"input_files": files, "format": output_format}
+        if partition_by is not None:
+            done[key]["partition_by"] = partition_by
+            done[key]["values"] = values
         with open(manifest_path, "w") as f:
             json.dump(done, f)
         metrics["written"] += 1

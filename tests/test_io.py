@@ -278,3 +278,43 @@ def test_curate_corpus_jsonl_output(ray_session, tmp_path):
     # not silently skip
     with pytest.raises(ValueError, match="format mismatch"):
         curate_corpus([src], out_jl, output_format="parquet")
+
+
+def test_partitioned_by_value_write(ray_session, tmp_path):
+    """Hive-layout partition_by: per-value dirs under each shard group,
+    content-complete, resumable, and layout-mismatch-guarded."""
+    from sprout_ray.sources.io import resumable_transform_write
+    from sprout_ray.sources.synth import ensure_corpus
+
+    corpus = ensure_corpus(str(tmp_path / "c"), 3000, n_files=3, seed=42)
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    out = str(tmp_path / "out_pb")
+    m1 = resumable_transform_write(files, out, partition_by="lang")
+    assert m1 == {"partitions": 3, "written": 3, "resumed": 0}
+    import duckdb
+
+    # every (part, lang) dir holds exactly that lang's rows; totals match
+    n_out = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/part=*/lang=*/*.parquet')"
+    ).fetchone()[0]
+    n_in = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{corpus}/part-*.parquet')"
+    ).fetchone()[0]
+    assert n_out == n_in > 0
+    langs = duckdb.sql(
+        f"SELECT DISTINCT lang FROM read_parquet('{out}/part=00000/lang=python/*.parquet')"
+    ).fetchall()
+    assert langs == [("python",)]
+    # resume skips; layout mismatch errors loudly
+    m2 = resumable_transform_write(files, out, partition_by="lang")
+    assert m2["resumed"] == 3 and m2["written"] == 0
+    with pytest.raises(ValueError, match="layout mismatch"):
+        resumable_transform_write(files, out)
+    # cardinality guard
+    with pytest.raises(ValueError, match="bounded-cardinality"):
+        resumable_transform_write(
+            files, str(tmp_path / "out_bad"), partition_by="path",
+            max_partition_values=4,
+        )
