@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_hourly_value": A.tdigest_hourly_value,
         "doc_embedding_coverage": A.doc_embedding_coverage,
         "user_trailing_hour_value": A.user_trailing_hour_value,
+        "hll_hopping_users": A.hll_hopping_users,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,

@@ -406,6 +406,110 @@ def hll_hourly_users(sf_dir: str):
     )
 
 
+def hll_hopping_users(sf_dir: str):
+    """Distinct users per HOPPING hour (1h windows every 15 min) via PANE
+    MERGING — the architectural reason mergeable sketches matter for
+    overlapping windows: each event updates ONE 15-min pane HLL (no 4x
+    fan-out of the stream), and every hop's estimate is the driver-side
+    merge of its 4 pane registers (O(hops x 4) 4 KB merges, corpus-size
+    independent). The exact twin must fan every event out 4x and shuffle
+    the (hop, user) pair stream — the cost the sketch path avoids.
+
+    SELF-EVIDENCE in-band per hop (the hll_hourly_users convention and
+    the same discrete-regime bound): exact count, rel_err, and
+    |est - n| <= max(3sigma * n, 2)."""
+    from ray.data.aggregate import Count
+
+    from ..kernel.hll import HyperLogLog
+    from ..stages.builder import build_grouped
+
+    p = 12
+    pane_s, hop_panes, span_panes = 900, 1, 4  # 15-min panes, 1h = 4 panes
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pane_col(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pane": pa.array(us // (pane_s * 1_000_000), pa.int64()),
+                "user_id": t["user_id"],
+            }
+        )
+
+    spec = SketchSpec.of("hll", p)
+    pane_rows = build_grouped(
+        ds.map_batches(pane_col, batch_format="pyarrow", zero_copy_batch=True),
+        spec,
+        on="user_id",
+        key="pane",
+        alias="sk",
+    ).take_all()  # bounded: one row per pane
+    panes = {int(r["pane"]): spec.from_bytes(r["sk"]) for r in pane_rows}
+    if not panes:
+        return pa.table(
+            {
+                "window": pa.array([], pa.int64()),
+                "est_users": pa.array([], pa.float64()),
+                "n_users": pa.array([], pa.int64()),
+                "rel_err": pa.array([], pa.float64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
+    lo, hi = min(panes), max(panes)
+    est = {}
+    for start in range(lo - span_panes + 1, hi + 1, hop_panes):
+        members = [panes[q] for q in range(start, start + span_panes) if q in panes]
+        if not members:
+            continue
+        acc = HyperLogLog(p)
+        for m in members:
+            acc.merge(m)
+        est[start] = float(acc.estimate())
+
+    # exact twin: the 4x fan-out the pane path avoids — per-block dedupe
+    # of (hop, user) pairs, then the thinned distinct-pair shuffle
+    def hop_pairs(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pane = us // (pane_s * 1_000_000)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hops = np.concatenate([pane - k for k in range(span_panes)])
+        uids = np.tile(uid, span_panes)
+        order = np.lexsort((uids, hops))
+        h, u = hops[order], uids[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (h[1:] != h[:-1]) | (u[1:] != u[:-1])
+        return pa.table({"window": pa.array(h[keep]), "user_id": pa.array(u[keep])})
+
+    pairs = ds.map_batches(hop_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = pairs.groupby(["window", "user_id"]).aggregate(Count(alias_name="_n"))
+    exact_rows = (
+        distinct.select_columns(["window"])
+        .groupby("window")
+        .aggregate(Count(alias_name="n_users"))
+        .take_all()
+    )
+    exact = {int(r["window"]): int(r["n_users"]) for r in exact_rows}
+    sigma3 = 3 * 1.04 / math.sqrt(2**p)
+    wins = sorted(set(est) & set(exact))
+    e = [est[w] for w in wins]
+    x = [exact[w] for w in wins]
+    rel = [abs(a - b) / max(b, 1) for a, b in zip(e, x)]
+    ok = [abs(a - b) <= max(sigma3 * b, 2.0) for a, b in zip(e, x)]
+    return pa.table(
+        {
+            "window": pa.array(wins, pa.int64()),
+            "est_users": pa.array(
+                [float(np.floor(a * 1e3 + 0.5) / 1e3) for a in e], pa.float64()
+            ),
+            "n_users": pa.array(x, pa.int64()),
+            "rel_err": pa.array(
+                [float(np.floor(r * 1e6 + 0.5) / 1e6) for r in rel], pa.float64()
+            ),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
+
+
 def tdigest_hourly_value(sf_dir: str):
     """Per-hour value percentiles (p50/p95) via grouped t-digest — the
     latency-dashboard shape: one mergeable digest per tumbling window,

@@ -532,6 +532,10 @@ def test_windowed_hll_and_bloom_setops_self_evidence():
     )
     assert wh["within_bound"].all()
     assert len(wh) == wh["window"].nunique()
+    hop = _pd(A.hll_hopping_users(SF))
+    assert hop["within_bound"].all()
+    # a hop covers 4 panes: its distinct count is >= each member hour's
+    assert len(hop) > 0 and (hop["n_users"] >= 1).all()
     td = _pd(A.tdigest_hourly_value(SF))
     assert {"window", "est_p50", "est_p95", "n", "rank50", "rank95",
             "within_bound"} <= set(td.columns)
