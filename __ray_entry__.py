@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_embedding_coverage": A.doc_embedding_coverage,
         "user_trailing_hour_value": A.user_trailing_hour_value,
         "hll_hopping_users": A.hll_hopping_users,
+        "label_centroids": A.label_centroids,
         "lang_source_rollup": A.lang_source_rollup,
         "nation_revenue_share": A.nation_revenue_share,
         "snapshot_changes": A.snapshot_changes,
@@ -864,6 +865,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang ORDER BY lang"
         ),
         # per-dimension embedding stats via zipped unnest ordinality
+        # grouped vector mean: centroid = sum_micro // n, floor division
+        "label_centroids": (
+            "WITH u AS (SELECT CAST(label AS BIGINT) AS label, "
+            "unnest(embedding) AS x, "
+            "unnest(range(0, len(embedding))) AS dim FROM embeddings), "
+            "c AS (SELECT label, dim, "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS m "
+            "FROM u) "
+            "SELECT label, CAST(dim AS BIGINT) AS dim, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(m) // count(*) AS BIGINT) AS centroid_micro "
+            "FROM c GROUP BY label, dim ORDER BY label, dim"
+        ),
         "embedding_dim_stats": (
             "WITH u AS (SELECT unnest(embedding) AS x, "
             "unnest(range(0, len(embedding))) AS dim FROM embeddings), "

@@ -4556,6 +4556,71 @@ def user_time_weighted_value(sf_dir: str):
     ).sort("user_id")
 
 
+def label_centroids(sf_dir: str):
+    """Per-LABEL embedding centroid in exact integer micros — the grouped
+    vector mean (the k-means E-step as an exact, oracle-checkable op, and
+    the class-prototype computation of prototypical retrieval). Same
+    no-explode shape as embedding_dim_stats widened to a (label, dim)
+    key: each block reduces its per-label (rows x dim) submatrices along
+    axis 0 and emits |labels| x |dim| partial rows; the groupby shuffles
+    only partials. The centroid is sum_micro // n (floor division both
+    engines, exact in integers; DuckDB's ``//`` truncates toward zero,
+    so the Ray side computes sign(s) * (|s| // n) — NOT numpy's floor
+    division, which rounds toward -inf on negative sums)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.similarity import _emb_matrix
+
+    def part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_micro": pa.array([], pa.int64()),
+                }
+            )
+        m = _emb_matrix(t["embedding"], dtype=np.float64)
+        micro = np.floor(np.abs(m) * 1e6 + 0.5).astype(np.int64) * np.where(
+            m >= 0, 1, -1
+        )
+        labels = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = micro.shape[1]
+        uniq = np.unique(labels)
+        outs = {"label": [], "dim": [], "n": [], "sum_micro": []}
+        for lb in uniq:
+            sel = micro[labels == lb]
+            outs["label"].append(np.full(d, lb, np.int64))
+            outs["dim"].append(np.arange(d, dtype=np.int64))
+            outs["n"].append(np.full(d, sel.shape[0], np.int64))
+            outs["sum_micro"].append(sel.sum(axis=0))
+        return pa.table({k: pa.array(np.concatenate(v)) for k, v in outs.items()})
+
+    agg = (
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "dim"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_micro", alias_name="sum_micro"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "n": pa.array(n),
+                "centroid_micro": pa.array(
+                    np.sign(s) * (np.abs(s) // n)
+                ),
+            }
+        )
+
+    return agg.map_batches(fin, batch_format="pyarrow").sort(["label", "dim"])
+
+
 def embedding_dim_stats(sf_dir: str):
     """Per-DIMENSION statistics of the embedding column (n, sum, min,
     max in exact integer micro-units) — the feature-normalization scan
