@@ -462,6 +462,57 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline (``__ray_entry__.queries()`` name) over
+    an sf-style directory of the ten standard tables; print the row count
+    and optionally write the result as parquet. ``--list`` enumerates the
+    registry (132 pipelines) without starting Ray."""
+    import importlib
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    E = importlib.import_module("__ray_entry__")
+    qs = E.queries()
+    if args.list:
+        has_oracle = set(E.oracle_sql())
+        try:
+            for name in sorted(qs):
+                tag = "oracle-exact" if name in has_oracle else "rows+self-evidence"
+                print(f"{name}\t{tag}")
+        except BrokenPipeError:  # | head closed the pipe — not an error
+            pass
+        return 0
+    if args.name not in qs:
+        import difflib
+
+        near = difflib.get_close_matches(args.name, qs, n=3)
+        raise SystemExit(
+            f"unknown query {args.name!r}" + (f"; did you mean {near}?" if near else "")
+        )
+    _init_ray(args.num_cpus)
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+    import ray.data
+
+    res = qs[args.name](args.sf)
+    if isinstance(res, ray.data.Dataset):
+        tbl = pa.concat_tables(
+            [t for t in ray.get(res.to_arrow_refs()) if t.num_rows]
+        ) if res.count() else None
+    elif isinstance(res, pd.DataFrame):
+        tbl = pa.Table.from_pandas(res, preserve_index=False)
+    else:
+        tbl = res
+    n = tbl.num_rows if tbl is not None else 0
+    if args.out and tbl is not None:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, args.out)
+    print(json.dumps({"query": args.name, "rows": int(n), "out": args.out}))
+    return 0
+
+
 def main(argv=None) -> int:
     apply_malloc_tuning()
     from .tuning import quiet_cosmetic_ray_warnings
@@ -609,6 +660,18 @@ def main(argv=None) -> int:
     so.add_argument("--err", type=float, default=0.01)
     common(so)
     so.set_defaults(fn=cmd_setops)
+
+    qy = sub.add_parser(
+        "query",
+        help="run any registered pipeline by queries() name over an "
+        "sf-style table dir; --list enumerates",
+    )
+    qy.add_argument("--name", default=None)
+    qy.add_argument("--sf", default="/root/testdata/sf0.01")
+    qy.add_argument("--out", default=None, help="optional parquet output path")
+    qy.add_argument("--list", action="store_true")
+    common(qy)
+    qy.set_defaults(fn=cmd_query)
 
     cu = sub.add_parser(
         "curate",

@@ -1013,6 +1013,41 @@ class TestProfileCLI:
         assert by["doc_id"]["n_distinct"] == 500 and by["doc_id"]["distinct_exact"]
         assert by["lang"]["n_distinct"] == 5
 
+    def test_query_cli(self, tmp_path):
+        """query subcommand: --list enumerates the registry, --name runs a
+        pipeline and writes parquet, unknown names suggest near matches."""
+        import json as j
+        import subprocess as sp
+
+        r = sp.run(
+            [sys.executable, "-m", "sprout_ray.cli", "query", "--list"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r.returncode == 0
+        lines = r.stdout.strip().splitlines()
+        assert len(lines) >= 130 and any("oracle-exact" in ln for ln in lines)
+        out = str(tmp_path / "q.parquet")
+        r2 = sp.run(
+            [
+                sys.executable, "-m", "sprout_ray.cli", "query",
+                "--name", "exact_lang_counts",
+                "--sf", "/root/testdata/sf0.001",
+                "--out", out, "--num-cpus", "2",
+            ],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        assert j.loads(r2.stdout.strip().splitlines()[-1])["rows"] == 5
+        import pyarrow.parquet as pq
+
+        assert pq.read_table(out).num_rows == 5
+        bad = sp.run(
+            [sys.executable, "-m", "sprout_ray.cli", "query",
+             "--name", "exact_lang_countz"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        assert bad.returncode != 0 and "did you mean" in bad.stderr
+
     def test_setops_cli(self):
         """setops subcommand: bloom set-op cardinality estimates vs exact
         DuckDB counts (1%-level at these fills; unknown --a errors loudly)."""
