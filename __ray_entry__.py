@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": A.embedding_dim_stats,
         "lang_sources_concat": A.lang_sources_concat,
         "latest_user_event": A.latest_user_event,
+        "user_retention_cohorts": A.user_retention_cohorts,
+        "event_transitions": A.event_transitions,
+        "funnel_stage_counts": A.funnel_stage_counts,
     }
 
 
@@ -856,6 +859,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, "
             "CAST(ts_us AS BIGINT) AS ts_us "
             "FROM r WHERE rn = 1 ORDER BY user_id"
+        ),
+        # cohort retention triangle over integer day indices
+        "user_retention_cohorts": (
+            "WITH pairs AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "cohorts AS (SELECT user_id, MIN(day) AS cohort_day "
+            "FROM pairs GROUP BY user_id) "
+            "SELECT c.cohort_day, p.day - c.cohort_day AS offset_days, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM pairs p JOIN cohorts c USING (user_id) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # first-order Markov transitions: the LAG(event_type) window
+        "event_transitions": (
+            "WITH s AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events) "
+            "SELECT prev_type, event_type AS next_type, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM s WHERE prev_type IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # strict-order funnel: each stage's earliest event strictly after
+        # the previous stage's chosen event
+        "funnel_stage_counts": (
+            "WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e "
+            "JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.ts1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e "
+            "JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.ts2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT t1.user_id, CAST(CASE WHEN t3.user_id IS NOT NULL "
+            "THEN 3 WHEN t2.user_id IS NOT NULL THEN 2 ELSE 1 END "
+            "AS BIGINT) AS funnel_stage "
+            "FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id "
+            "LEFT JOIN t3 ON t1.user_id = t3.user_id ORDER BY t1.user_id"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -4787,3 +4787,36 @@ def latest_user_event(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("user_id")
+
+
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: users bucketed by first active day,
+    counted at each later day offset they return (the product-analytics
+    staple). Distinct (user, day) pairs thin per block before the only
+    wide shuffle; the cohort join is size-guarded (stages/journeys.py)."""
+    from ..stages.journeys import retention_cohorts
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+    return retention_cohorts(ev)
+
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's time-ordered
+    event stream — the distributed LAG(event_type) window folded to a
+    |types|^2 matrix. One range sort; per-block bincount partials; O(blocks)
+    boundary rows stitch on the driver (stages/journeys.py)."""
+    from ..stages.journeys import transition_counts
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return transition_counts(ev)
+
+
+def funnel_stage_counts(sf_dir: str):
+    """Ordered view->click->purchase funnel: per user, how many stages were
+    completed in strict time order, each stage greedily taking its earliest
+    legal event. Sorted-block chain times via masked reduceat passes;
+    boundary users fold from bounded k x k summaries (stages/journeys.py)."""
+    from ..stages.journeys import funnel_stages
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return funnel_stages(ev, stages=("view", "click", "purchase"))
