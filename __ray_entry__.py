@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": A.user_retention_cohorts,
         "event_transitions": A.event_transitions,
         "funnel_stage_counts": A.funnel_stage_counts,
+        "weighted_median_price": A.weighted_median_price,
+        "peak_concurrent_sessions": A.peak_concurrent_sessions,
     }
 
 
@@ -897,6 +899,49 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS funnel_stage "
             "FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id "
             "LEFT JOIN t3 ON t1.user_id = t3.user_id ORDER BY t1.user_id"
+        ),
+        # lower weighted median: smallest value whose cumulative weight
+        # reaches half the group total (integer cents / integer weights)
+        "weighted_median_price": (
+            "WITH agg AS (SELECT l_returnflag, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents, "
+            "SUM(CAST(round(l_quantity) AS BIGINT)) AS w "
+            "FROM lineitem GROUP BY 1, 2), "
+            "tot AS (SELECT l_returnflag, SUM(w) AS tw FROM agg GROUP BY 1), "
+            "c AS (SELECT l_returnflag, price_cents, SUM(w) OVER "
+            "(PARTITION BY l_returnflag ORDER BY price_cents) AS cw FROM agg) "
+            "SELECT c.l_returnflag, "
+            "CAST(MIN(c.price_cents) AS BIGINT) AS wmedian_cents "
+            "FROM c JOIN tot t USING (l_returnflag) WHERE 2 * c.cw >= t.tw "
+            "GROUP BY c.l_returnflag ORDER BY c.l_returnflag"
+        ),
+        # interval sweep-line peak occupancy over the session windows
+        # (starts order before ends at equal ts: touching = concurrent)
+        "peak_concurrent_sessions": (
+            "WITH o AS ("
+            "  SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "    THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events"
+            "), s AS ("
+            "  SELECT user_id, ts_us,"
+            "    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "      ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM o"
+            "), sess AS ("
+            "  SELECT user_id, session_id, min(ts_us) AS start_us, "
+            "  max(ts_us) AS end_us FROM s GROUP BY user_id, session_id"
+            "), d AS ("
+            "  SELECT start_us AS ts_us, 0 AS o, 1 AS delta FROM sess "
+            "  UNION ALL SELECT end_us, 1, -1 FROM sess"
+            "), c AS ("
+            "  SELECT ts_us, SUM(delta) OVER (ORDER BY ts_us, o "
+            "  ROWS UNBOUNDED PRECEDING) AS occ FROM d"
+            "), p AS (SELECT MAX(occ) AS peak FROM c) "
+            "SELECT CAST(p.peak AS BIGINT) AS peak_sessions, "
+            "CAST(MIN(c.ts_us) AS BIGINT) AS first_peak_us "
+            "FROM c, p WHERE c.occ = p.peak GROUP BY p.peak"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -4820,3 +4820,89 @@ def funnel_stage_counts(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     return funnel_stages(ev, stages=("view", "click", "purchase"))
+
+
+def weighted_median_price(sf_dir: str):
+    """Per-returnflag QUANTITY-WEIGHTED median of l_extendedprice (integer
+    cents) — the robust-statistics selection over a fact table: smallest
+    price whose cumulative quantity reaches half the flag's total. The
+    distinct (flag, price) stream is what shuffles (per-block pyarrow
+    pre-agg); the cumulative weight rides the two-pass distributed scan
+    (stages/windows.grouped_weighted_median)."""
+    from ..stages.windows import grouped_weighted_median
+
+    li = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+    )
+
+    def to_units(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "price_cents": pc.cast(
+                    _oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+                ),
+                "qty": pc.cast(_oround(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    return grouped_weighted_median(
+        li.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True),
+        key="l_returnflag",
+        val_col="price_cents",
+        weight_col="qty",
+        out_col="wmedian_cents",
+    )
+
+
+def peak_concurrent_sessions(sf_dir: str):
+    """Interval sweep-line over the 30-min session windows: the maximum
+    number of simultaneously-open sessions corpus-wide, and the first
+    instant it is reached. Session [start, end] bounds become +1/-1
+    deltas; starts order before ends at equal ts (touching sessions count
+    as concurrent); the running occupancy is the constant-key degenerate
+    of cumulative_by_key's distributed scan — O(blocks) carry rows, no
+    driver materialization of the delta stream."""
+    from ..stages.windows import cumulative_by_key, sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sess = sessionize(ev, key="user_id", gap_s=1800)
+
+    def deltas(t: pa.Table) -> pa.Table:
+        s = t["start_us"].to_numpy(zero_copy_only=False)
+        e = t["end_us"].to_numpy(zero_copy_only=False)
+        n = len(s)
+        return pa.table(
+            {
+                "_k": pa.array(np.zeros(2 * n, np.int64)),
+                "ts_us": pa.array(np.concatenate([s, e])),
+                "o": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int64), np.ones(n, np.int64)]
+                    )
+                ),
+                "delta": pa.array(
+                    np.concatenate(
+                        [np.ones(n, np.int64), -np.ones(n, np.int64)]
+                    )
+                ),
+            }
+        )
+
+    d = sess.map_batches(deltas, batch_format="pyarrow", zero_copy_batch=True)
+    cum = cumulative_by_key(
+        d, key="_k", order_cols=["ts_us", "o"], val_col="delta",
+        sum_col="occ", count_col="_cn",
+    ).materialize()  # consumed twice: peak + first-instant scans
+    from ray.data.aggregate import Max
+
+    from ray.data.aggregate import Min
+
+    peak = int(cum.aggregate(Max("occ"))["max(occ)"])
+    first = cum.filter(expr=f"occ == {peak}").aggregate(Min("ts_us"))
+    return pa.table(
+        {
+            "peak_sessions": pa.array([peak], pa.int64()),
+            "first_peak_us": pa.array([int(first["min(ts_us)"])], pa.int64()),
+        }
+    )

@@ -930,3 +930,73 @@ def time_weighted_sum(
         }
     )
     return interior.union(rd.from_arrow(out_tbl)).select_columns(cols)
+
+
+def grouped_weighted_median(
+    ds,
+    key: str,
+    val_col: str,
+    weight_col: str,
+    out_col: str = "wmedian",
+):
+    """Lower weighted median per group: the smallest value v such that the
+    cumulative weight of all values <= v reaches half the group's total
+    weight (the classic robust-statistics selection; with unit weights it
+    degenerates to percentile_disc(0.5)).
+
+    Scale shape: the (key, value) stream pre-aggregates weights per block
+    (pyarrow group_by — the distinct-value stream is what shuffles, not the
+    rows), the cumulative weight rides ``cumulative_by_key``'s two-pass
+    distributed scan over the value-sorted stream, group totals are a tiny
+    broadcast, and the selection is a filter + groupby-min. Values and
+    weights must already be integers (the repo's integer-unit convention).
+    """
+    import ray
+
+    for c in (val_col, weight_col):
+        if not pa.types.is_integer(ds.schema().base_schema.field(c).type):
+            raise ValueError(
+                f"grouped_weighted_median: {c!r} must be integer "
+                "(convert units upstream)"
+            )
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by([key, val_col]).aggregate([(weight_col, "sum")])
+        # pyarrow emits key columns first, then aggregates in call order
+        return g.rename_columns([key, val_col, "w"])
+
+    agged = ds.map_batches(
+        pre_agg, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cum = cumulative_by_key(
+        agged,
+        key=key,
+        order_cols=[val_col],
+        val_col="w",
+        sum_col="_cw",
+        count_col="_cn",
+    ).materialize()  # consumed twice: totals + selection
+    tot_rows = cum.groupby(key).sum("w").take_all()  # one row per group
+    key_type = ds.schema().base_schema.field(key).type
+    tot_keys = pa.array([r[key] for r in tot_rows], key_type)
+    tot_w = np.array([int(r["sum(w)"]) for r in tot_rows], dtype=np.int64)
+    tot_ref = ray.put((tot_keys, tot_w))
+
+    def select(t: pa.Table) -> pa.Table:
+        keys_arr, w_arr = ray.get(tot_ref)
+        idx = pc.index_in(t[key], value_set=keys_arr).to_numpy(
+            zero_copy_only=False
+        )
+        cw = t["_cw"].to_numpy(zero_copy_only=False)
+        m = pa.array(2 * cw >= w_arr[idx])
+        return pa.table({key: t[key].filter(m), val_col: t[val_col].filter(m)})
+
+    hits = cum.map_batches(select, batch_format="pyarrow")
+    return (
+        hits.groupby(key)
+        .min(val_col)
+        .map_batches(
+            lambda t: t.rename_columns([key, out_col]), batch_format="pyarrow"
+        )
+        .sort(key)
+    )

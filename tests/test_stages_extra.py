@@ -1755,3 +1755,121 @@ class TestTimeWeightedSum:
             )
         want = pd.DataFrame(rows)
         pd.testing.assert_frame_equal(out, want, check_dtype=False)
+
+
+class TestGroupedWeightedMedian:
+    def test_randomized_vs_numpy(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import grouped_weighted_median
+
+        rng = np.random.default_rng(3)
+        n = 20_000
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(np.array(["a", "b", "c"]), n),
+                "v": rng.integers(0, 500, n).astype(np.int64),
+                "w": rng.integers(1, 9, n).astype(np.int64),
+            }
+        )
+        tables = [
+            pa.Table.from_pandas(df.iloc[i : i + 4000]) for i in range(0, n, 4000)
+        ]
+        out = (
+            grouped_weighted_median(
+                rd.from_arrow(tables), key="g", val_col="v", weight_col="w"
+            )
+            .to_pandas()
+            .set_index("g")["wmedian"]
+        )
+
+        for g, sub in df.groupby("g"):
+            s = sub.groupby("v")["w"].sum().sort_index()
+            cw = s.cumsum()
+            expect = s.index[(2 * cw >= s.sum()).values][0]
+            assert out[g] == expect, g
+
+    def test_unit_weights_equal_percentile_disc(self, ray_session):
+        """With all-1 weights the lower weighted median IS
+        percentile_disc(0.5) — the degenerate pin."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import grouped_weighted_median
+
+        rng = np.random.default_rng(4)
+        df = pd.DataFrame(
+            {
+                "g": rng.choice(np.array(["x", "y"]), 5001),
+                "v": rng.integers(0, 100, 5001).astype(np.int64),
+            }
+        )
+        df["w"] = np.ones(len(df), np.int64)
+        out = (
+            grouped_weighted_median(
+                rd.from_arrow(pa.Table.from_pandas(df)),
+                key="g",
+                val_col="v",
+                weight_col="w",
+            )
+            .to_pandas()
+            .set_index("g")["wmedian"]
+        )
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            # lower median: first position whose cumulative count reaches n/2
+            cw = np.arange(1, len(v) + 1)
+            assert out[g] == v[np.argmax(2 * cw >= len(v))]
+
+    def test_rejects_float_columns(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data as rd
+
+        from sprout_ray.stages.windows import grouped_weighted_median
+
+        df = pd.DataFrame({"g": ["a"], "v": [1.5], "w": [1]})
+        with _pytest.raises(ValueError, match="must be integer"):
+            grouped_weighted_median(
+                rd.from_arrow(pa.Table.from_pandas(df)),
+                key="g",
+                val_col="v",
+                weight_col="w",
+            )
+
+
+class TestPeakConcurrency:
+    def test_hand_computed_intervals(self, ray_session):
+        """Three users, overlapping 30-min sessions with a touching
+        boundary: start-at-end counts as concurrent (starts order first)."""
+        import pandas as pd
+
+        from sprout_ray.pipelines.analytics import peak_concurrent_sessions
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+        import tempfile, os
+
+        US = 1_000_000
+        rows = []  # (event_id, user, ts_us)
+        # u1: session [0, 600s]; u2: [300s, 900s]; u3: [600s, 600s]
+        rows += [(0, 1, 0), (1, 1, 600 * US)]
+        rows += [(2, 2, 300 * US), (3, 2, 900 * US)]
+        rows += [(4, 3, 600 * US)]
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us"])
+        t = pa.table(
+            {
+                "event_id": pa.array(df.event_id, pa.int64()),
+                "ts": pa.array(df.ts_us, pa.int64()).cast(pa.timestamp("us")),
+                "user_id": pa.array(df.user_id, pa.int64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = peak_concurrent_sessions(d).to_pandas()
+        # at t=600s: u1 still open (closes at 600), u2 open, u3 opens -> 3
+        assert out["peak_sessions"].tolist() == [3]
+        assert out["first_peak_us"].tolist() == [600 * US]
