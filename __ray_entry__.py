@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stage_counts": A.funnel_stage_counts,
         "weighted_median_price": A.weighted_median_price,
         "peak_concurrent_sessions": A.peak_concurrent_sessions,
+        "value_quartile_rollup": A.value_quartile_rollup,
+        "nation_account_coverage": A.nation_account_coverage,
     }
 
 
@@ -942,6 +944,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(p.peak AS BIGINT) AS peak_sessions, "
             "CAST(MIN(c.ts_us) AS BIGINT) AS first_peak_us "
             "FROM c, p WHERE c.occ = p.peak GROUP BY p.peak"
+        ),
+        # NTILE(4) per type (value, id ordered), rolled to tile stats
+        "value_quartile_rollup": (
+            "WITH r AS (SELECT event_type, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "NTILE(4) OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS tile FROM events) "
+            "SELECT event_type, CAST(tile AS BIGINT) AS tile, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM r GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # FULL OUTER high-balance coverage: filtered sides leave one-side
+        # nations, exercising the outer fill for real
+        "nation_account_coverage": (
+            "WITH c AS (SELECT c_nationkey AS nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer "
+            "WHERE c_acctbal > 9000 GROUP BY 1), "
+            "s AS (SELECT s_nationkey AS nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier "
+            "WHERE s_acctbal > 9000 GROUP BY 1) "
+            "SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, "
+            "COALESCE(c.n_cust, 0) AS n_cust, "
+            "COALESCE(s.n_supp, 0) AS n_supp "
+            "FROM c FULL JOIN s ON c.nationkey = s.nationkey ORDER BY 1"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -4906,3 +4906,150 @@ def peak_concurrent_sessions(sf_dir: str):
             "first_peak_us": pa.array([int(first["min(ts_us)"])], pa.int64()),
         }
     )
+
+
+def value_quartile_rollup(sf_dir: str):
+    """NTILE(4) quartile assignment per event type (ORDER BY value,
+    event_id — SQL's equal-fill tile semantics with the remainder to the
+    front), rolled up to per-(type, tile) counts and cent sums.
+
+    Shape: the exact row rank is the constant-increment degenerate of
+    cumulative_by_key's two-pass distributed scan over the (type, cents,
+    id)-sorted stream; group sizes are a tiny broadcast; the tile formula
+    is vectorized per row and the rollup pre-aggregates per block to a
+    single-string-key groupby (<= |types| x 4 rows)."""
+    import ray
+
+    from ..stages.windows import cumulative_by_key
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64()),
+                "event_id": t["event_id"],
+                "_one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    ranked = cumulative_by_key(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        key="event_type",
+        order_cols=["cents", "event_id"],
+        val_col="_one",
+        sum_col="_rank",  # 1-based row rank within the type
+        count_col="_cn",
+    )
+    sizes = ranked.groupby("event_type").max("_rank").take_all()
+    size_keys = pa.array([r["event_type"] for r in sizes], pa.string())
+    size_n = np.array([int(r["max(_rank)"]) for r in sizes], dtype=np.int64)
+    ref = ray.put((size_keys, size_n))
+    sep = "\x1f"
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys_arr, n_arr = ray.get(ref)
+        idx = pc.index_in(t["event_type"], value_set=keys_arr).to_numpy(
+            zero_copy_only=False
+        )
+        n = n_arr[idx]
+        r0 = t["_rank"].to_numpy(zero_copy_only=False) - 1
+        size, rem = n // 4, n % 4
+        cut = rem * (size + 1)
+        small = size == 0  # n < 4: every row its own (1-based r0+1) tile
+        tile = np.where(
+            small,
+            r0,
+            np.where(
+                r0 < cut,
+                r0 // np.maximum(size + 1, 1),
+                rem + (r0 - cut) // np.maximum(size, 1),
+            ),
+        ) + 1
+        g = pa.table(
+            {
+                "event_type": t["event_type"],
+                "tile": pa.array(tile.astype(np.int64)),
+                "cents": t["cents"],
+            }
+        ).group_by(["event_type", "tile"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+        # pyarrow emits key columns first, then aggregates in call order
+        tt = g["tile"].to_numpy(zero_copy_only=False)
+        pk = [f"{s}{sep}{v}" for s, v in zip(g["event_type"].to_pylist(), tt)]
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.string()),
+                "sum_cents": g["cents_sum"],
+                "n_events": g["cents_count"],
+            }
+        )
+
+    rolled = (
+        ranked.map_batches(assign, batch_format="pyarrow")
+        .groupby("pk")
+        .sum(["sum_cents", "n_events"])
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ks = t["pk"].to_pylist()
+        return pa.table(
+            {
+                "event_type": pa.array([x.split(sep)[0] for x in ks]),
+                "tile": pa.array([int(x.split(sep)[1]) for x in ks], pa.int64()),
+                "n_events": pc.cast(t["sum(n_events)"], pa.int64()),
+                "sum_cents": t["sum(sum_cents)"],
+            }
+        )
+
+    return rolled.map_batches(unpack, batch_format="pyarrow").sort(
+        ["event_type", "tile"]
+    )
+
+
+def nation_account_coverage(sf_dir: str):
+    """FULL OUTER join coverage report: per nation, how many HIGH-BALANCE
+    (acctbal > 9000) customers vs suppliers — the filtered sides leave
+    nations present on only one side, so the outer fill is exercised for
+    real. Both inputs pre-aggregate to <= |nations| rows per block before
+    the join; the join itself is a single-partition full_outer (clamped to
+    the 25-row volume, the size-guarded-join convention)."""
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def side(t: pa.Table, k: str, bal: str, out: str) -> pa.Table:
+        f = t.filter(pc.greater(t[bal], 9000.0))
+        g = f.group_by(k).aggregate([(k, "count")])
+        return g.rename_columns(["nationkey", out])
+
+    c = cust.map_batches(
+        lambda t: side(t, "c_nationkey", "c_acctbal", "n_cust"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("nationkey").sum("n_cust")
+    s = supp.map_batches(
+        lambda t: side(t, "s_nationkey", "s_acctbal", "n_supp"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).groupby("nationkey").sum("n_supp")
+    j = c.join(
+        s,
+        join_type="full_outer",
+        num_partitions=1,  # <= |nations| rows per side
+        on=("nationkey",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": t["nationkey"],
+                "n_cust": pc.coalesce(
+                    pc.cast(t["sum(n_cust)"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+                "n_supp": pc.coalesce(
+                    pc.cast(t["sum(n_supp)"], pa.int64()), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow").sort("nationkey")

@@ -1873,3 +1873,98 @@ class TestPeakConcurrency:
         # at t=600s: u1 still open (closes at 600), u2 open, u3 opens -> 3
         assert out["peak_sessions"].tolist() == [3]
         assert out["first_peak_us"].tolist() == [600 * US]
+
+
+class TestQuartileAndOuterJoin:
+    def test_ntile_small_groups_vs_duckdb(self, ray_session):
+        """Groups with n < 4 (one tile per row) and n % 4 != 0 (remainder
+        to the front) against DuckDB's NTILE on the same planted table."""
+        import os
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sprout_ray.pipelines.analytics import value_quartile_rollup
+
+        rng = np.random.default_rng(9)
+        frames = []
+        eid = 0
+        for typ, n in [("a", 2), ("b", 3), ("c", 7), ("d", 13), ("e", 40)]:
+            v = np.round(rng.uniform(0, 50, n), 2)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": np.arange(eid, eid + n, dtype=np.int64),
+                        "event_type": typ,
+                        "value": v,
+                    }
+                )
+            )
+            eid += n
+        df = pd.concat(frames, ignore_index=True)
+        t = pa.table(
+            {
+                "event_id": pa.array(df.event_id, pa.int64()),
+                "ts": pa.array(
+                    np.arange(len(df), dtype=np.int64), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(len(df), np.int64)),
+                "event_type": pa.array(df.event_type, pa.string()),
+                "value": pa.array(df.value, pa.float64()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = value_quartile_rollup(d).to_pandas()
+            ref = duckdb.connect().execute(
+                "WITH r AS (SELECT event_type, event_id, "
+                "CAST(round(value*100) AS BIGINT) AS cents, "
+                "NTILE(4) OVER (PARTITION BY event_type "
+                "ORDER BY value, event_id) AS tile "
+                f"FROM read_parquet('{d}/events.parquet')) "
+                "SELECT event_type, CAST(tile AS BIGINT) AS tile, "
+                "CAST(COUNT(*) AS BIGINT) AS n_events, "
+                "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+                "FROM r GROUP BY 1,2 ORDER BY 1,2"
+            ).fetchdf()
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True), ref, check_dtype=False
+        )
+
+    def test_full_outer_fills_both_sides(self, ray_session):
+        """Nations with only customers AND nations with only suppliers both
+        survive the full outer with zero fill."""
+        import os
+        import tempfile
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sprout_ray.pipelines.analytics import nation_account_coverage
+
+        cust = pa.table(
+            {
+                "c_custkey": pa.array([1, 2, 3], pa.int64()),
+                "c_name": pa.array(["x", "y", "z"]),
+                "c_nationkey": pa.array([10, 10, 20], pa.int64()),
+                "c_acctbal": pa.array([9500.0, 9600.0, 9700.0]),
+                "c_mktsegment": pa.array(["m"] * 3),
+            }
+        )
+        supp = pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_name": pa.array(["p", "q"]),
+                "s_nationkey": pa.array([20, 30], pa.int64()),
+                "s_acctbal": pa.array([9900.0, 9950.0]),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(cust, os.path.join(d, "customer.parquet"))
+            pq.write_table(supp, os.path.join(d, "supplier.parquet"))
+            out = nation_account_coverage(d).to_pandas()
+        assert out.values.tolist() == [[10, 2, 0], [20, 1, 1], [30, 0, 1]]
