@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrent_sessions": A.peak_concurrent_sessions,
         "value_quartile_rollup": A.value_quartile_rollup,
         "nation_account_coverage": A.nation_account_coverage,
+        "q3_shipping_priority": A.q3_shipping_priority,
+        "fk_integrity_report": A.fk_integrity_report,
     }
 
 
@@ -969,6 +971,37 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(c.n_cust, 0) AS n_cust, "
             "COALESCE(s.n_supp, 0) AS n_supp "
             "FROM c FULL JOIN s ON c.nationkey = s.nationkey ORDER BY 1"
+        ),
+        # TPC-H Q3 shape: top-10 outstanding revenue, BUILDING segment
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS revenue_cc, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us "
+            "FROM customer, orders, lineitem "
+            "WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey "
+            "AND l_orderkey = o_orderkey "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_cc DESC, l_orderkey LIMIT 10"
+        ),
+        # referential-integrity audit: orphan child rows per FK edge
+        "fk_integrity_report": (
+            "SELECT 'orders.o_custkey->customer' AS fk_edge, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orphan_rows FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "UNION ALL SELECT 'lineitem.l_orderkey->orders', "
+            "CAST(COUNT(*) AS BIGINT) FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) "
+            "UNION ALL SELECT 'lineitem.l_partkey->part', "
+            "CAST(COUNT(*) AS BIGINT) FROM lineitem "
+            "WHERE l_partkey NOT IN (SELECT p_partkey FROM part) "
+            "UNION ALL SELECT 'lineitem.l_suppkey->supplier', "
+            "CAST(COUNT(*) AS BIGINT) FROM lineitem "
+            "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier) "
+            "ORDER BY fk_edge"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

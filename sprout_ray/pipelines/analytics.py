@@ -5053,3 +5053,165 @@ def nation_account_coverage(sf_dir: str):
         )
 
     return j.map_batches(finish, batch_format="pyarrow").sort("nationkey")
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped unshipped-revenue ranking: top-10 orders by
+    outstanding revenue for the BUILDING segment, orders placed before the
+    cutoff with line items shipping after it.
+
+    Shape: lineitem pre-aggregates revenue per (orderkey) per block before
+    its groupby (only order-level partials shuffle); the
+    segment-filtered customer and date-filtered orders ride the
+    size-guarded join (broadcast at this sf, hash join above the budget);
+    top-10 folds from per-block partials — O(blocks x 10) driver rows.
+    Money in integer centi-cents; ties pinned by (revenue DESC, orderkey)."""
+    import datetime as _dt
+
+    from ..stages.joins import broadcast_lookup_join
+
+    # naive parquet timestamps are UTC-epoch both here and in DuckDB
+    cut_us = int(
+        _dt.datetime(1998, 6, 1, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"].filter(
+                    pc.equal(t["c_mktsegment"], "BUILDING")
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.less(pc.cast(t["o_orderdate"], pa.int64()), cut_us)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # upper bound
+    qual = broadcast_lookup_join(
+        orders, cust.groupby("o_custkey").count().map_batches(
+            lambda t: t.select(["o_custkey"]), batch_format="pyarrow"
+        ),
+        on="o_custkey",
+        right_count=n_cust,
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # qualifying orders: joined + counted
+    n_qual = qual.count()
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(pc.cast(t["l_shipdate"], pa.int64()), cut_us))
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        g = pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": rev}
+        ).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    per_order = (
+        li.map_batches(li_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("rev")
+    )
+    enriched = broadcast_lookup_join(
+        per_order.map_batches(
+            lambda t: t.rename_columns(["l_orderkey", "revenue_cc"]),
+            batch_format="pyarrow",
+        ),
+        qual,
+        on="l_orderkey",
+        right_count=n_qual,
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        rev = t["revenue_cc"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -rev))[:10]
+        return t.take(pa.array(np.sort(order)))
+
+    tops = enriched.map_batches(block_top, batch_format="pyarrow").take_all()
+    ok = np.array([r["l_orderkey"] for r in tops], dtype=np.int64)
+    rev = np.array([r["revenue_cc"] for r in tops], dtype=np.int64)
+    od = np.array([r["orderdate_us"] for r in tops], dtype=np.int64)
+    pick = np.lexsort((ok, -rev))[:10]
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok[pick], pa.int64()),
+            "revenue_cc": pa.array(rev[pick], pa.int64()),
+            "orderdate_us": pa.array(od[pick], pa.int64()),
+        }
+    )
+
+
+def fk_integrity_report(sf_dir: str):
+    """Referential-integrity audit: per FK edge of the star schema, the
+    number of child ROWS whose foreign key has no parent — the data-quality
+    gate a warehouse runs after every load.
+
+    Shape per edge: the child thins to distinct (fk, row-count) partials
+    per block, only distinct keys shuffle through one groupby-sum, the
+    parent set applies through the size-guarded anti filter
+    (``id_set_filter``), and the orphan row count is a sum over the
+    surviving key-count stream. Parent key sets above ``broadcast_max``
+    automatically take the distributed join plan."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import id_set_filter
+
+    edges = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ]
+    names, counts = [], []
+    for label, child, fk, parent, pk in edges:
+        ch = _read(sf_dir, child, [fk])
+
+        def key_counts(t: pa.Table, fk=fk) -> pa.Table:
+            g = t.group_by(fk).aggregate([(fk, "count")])
+            return g.rename_columns(["k", "n"])
+
+        keyed = (
+            ch.map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["k", "n"]), batch_format="pyarrow"
+            )
+        )
+        par = _read(sf_dir, parent, [pk]).map_batches(
+            lambda t, pk=pk: pa.table({"k": t[pk]}), batch_format="pyarrow"
+        )
+        n_par = _read(sf_dir, parent, [pk]).count()
+        orphans = id_set_filter(par, "k", keep=False, n_ids=n_par)(keyed)
+        agg = orphans.aggregate(Sum("n", ignore_nulls=True))
+        total = agg["sum(n)"] if agg and agg.get("sum(n)") is not None else 0
+        names.append(label)
+        counts.append(int(total or 0))
+    return pa.table(
+        {
+            "fk_edge": pa.array(names, pa.string()),
+            "n_orphan_rows": pa.array(counts, pa.int64()),
+        }
+    )

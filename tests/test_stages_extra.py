@@ -1968,3 +1968,55 @@ class TestQuartileAndOuterJoin:
             pq.write_table(supp, os.path.join(d, "supplier.parquet"))
             out = nation_account_coverage(d).to_pandas()
         assert out.values.tolist() == [[10, 2, 0], [20, 1, 1], [30, 0, 1]]
+
+
+class TestFkIntegrityReport:
+    def test_planted_orphans_counted_per_row(self, ray_session):
+        """Orphan FK values count ROWS (not distinct keys); clean edges
+        report zero."""
+        import os
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sprout_ray.pipelines.analytics import fk_integrity_report
+
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+                os.path.join(d, "customer.parquet"),
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        # custkey 9 is orphaned twice -> 2 orphan ROWS
+                        "o_orderkey": pa.array([100, 101, 102], pa.int64()),
+                        "o_custkey": pa.array([1, 9, 9], pa.int64()),
+                    }
+                ),
+                os.path.join(d, "orders.parquet"),
+            )
+            pq.write_table(
+                pa.table(
+                    {
+                        "l_orderkey": pa.array([100, 777], pa.int64()),
+                        "l_partkey": pa.array([5, 5], pa.int64()),
+                        "l_suppkey": pa.array([7, 8], pa.int64()),
+                    }
+                ),
+                os.path.join(d, "lineitem.parquet"),
+            )
+            pq.write_table(
+                pa.table({"p_partkey": pa.array([5], pa.int64())}),
+                os.path.join(d, "part.parquet"),
+            )
+            pq.write_table(
+                pa.table({"s_suppkey": pa.array([7], pa.int64())}),
+                os.path.join(d, "supplier.parquet"),
+            )
+            out = fk_integrity_report(d).to_pandas().set_index("fk_edge")
+        assert out.loc["orders.o_custkey->customer", "n_orphan_rows"] == 2
+        assert out.loc["lineitem.l_orderkey->orders", "n_orphan_rows"] == 1
+        assert out.loc["lineitem.l_partkey->part", "n_orphan_rows"] == 0
+        assert out.loc["lineitem.l_suppkey->supplier", "n_orphan_rows"] == 1
