@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_account_coverage": A.nation_account_coverage,
         "q3_shipping_priority": A.q3_shipping_priority,
         "fk_integrity_report": A.fk_integrity_report,
+        "ohlc_hourly": A.ohlc_hourly,
+        "lang_stats_unpivot": A.lang_stats_unpivot,
     }
 
 
@@ -1002,6 +1004,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) FROM lineitem "
             "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier) "
             "ORDER BY fk_edge"
+        ),
+        # OHLC bars: order-dependent open/close pinned by (ts, event_id)
+        "ohlc_hourly": (
+            "WITH b AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "row_number() OVER (PARTITION BY event_type, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts, event_id) AS rf, "
+            "row_number() OVER (PARTITION BY event_type, "
+            "epoch_us(ts) // 3600000000 ORDER BY ts DESC, event_id DESC) AS rl "
+            "FROM events) "
+            "SELECT event_type, hour, "
+            "CAST(MAX(CASE WHEN rf = 1 THEN cents END) AS BIGINT) AS open_cents, "
+            "CAST(MAX(cents) AS BIGINT) AS high_cents, "
+            "CAST(MIN(cents) AS BIGINT) AS low_cents, "
+            "CAST(MAX(CASE WHEN rl = 1 THEN cents END) AS BIGINT) AS close_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            'FROM b GROUP BY event_type, "hour" ORDER BY event_type, "hour"'
+        ),
+        # relational UNPIVOT (wide stats -> long rows)
+        "lang_stats_unpivot": (
+            "WITH w AS (SELECT lang, CAST(MIN(n_chars) AS BIGINT) AS n_min, "
+            "CAST(MAX(n_chars) AS BIGINT) AS n_max, "
+            "CAST(SUM(n_chars) AS BIGINT) AS n_sum "
+            "FROM documents GROUP BY lang) "
+            "SELECT lang, stat, value FROM "
+            "(UNPIVOT w ON n_min, n_max, n_sum INTO NAME stat VALUE value) "
+            "ORDER BY lang, stat"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -5032,6 +5032,27 @@ def nation_account_coverage(sf_dir: str):
         lambda t: side(t, "s_nationkey", "s_acctbal", "n_supp"),
         batch_format="pyarrow", zero_copy_batch=True,
     ).groupby("nationkey").sum("n_supp")
+    c, s = c.materialize(), s.materialize()
+    if c.count() == 0 or s.count() == 0:
+        # a 0-row Dataset loses its schema (CLAUDE.md) and the hash join
+        # can't resolve the key: the outer result IS the nonempty side
+        rows = (c if s.count() == 0 else s).take_all()
+        fill = "sum(n_supp)" if s.count() == 0 else "sum(n_cust)"
+        have = "sum(n_cust)" if s.count() == 0 else "sum(n_supp)"
+        rows.sort(key=lambda r: r["nationkey"])
+        return pa.table(
+            {
+                "nationkey": pa.array([r["nationkey"] for r in rows], pa.int64()),
+                "n_cust": pa.array(
+                    [r.get(have, 0) if fill == "sum(n_supp)" else 0 for r in rows],
+                    pa.int64(),
+                ),
+                "n_supp": pa.array(
+                    [0 if fill == "sum(n_supp)" else r.get(have, 0) for r in rows],
+                    pa.int64(),
+                ),
+            }
+        )
     j = c.join(
         s,
         join_type="full_outer",
@@ -5215,3 +5236,191 @@ def fk_integrity_report(sf_dir: str):
             "n_orphan_rows": pa.array(counts, pa.int64()),
         }
     )
+
+
+def ohlc_hourly(sf_dir: str):
+    """Per-(event_type, hour) OHLC bars — open/high/low/close in integer
+    cents with (ts, event_id) pinning the open/close winners: the
+    financial-rollup shape whose open/close are ORDER-dependent aggregates
+    a plain min/max groupby cannot express.
+
+    Shape: a tiny distinct pass fixes the global type vocabulary (per-block
+    thinned, broadcast once); one scan pre-aggregates per block to
+    (gkey, min_ord, max_ord, low, high, n) via lexsort + reduceat — ord
+    packs the in-hour relative ts with the event id, loudly range-checked
+    — and a native single-key groupby merges the partials; the winning
+    (gkey, ord) pairs — O(types x hours), a time-span bound independent of
+    row count — broadcast back and a second map pass extracts the open and
+    close values. No row ever shuffles with more than the packed pair."""
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    HOUR_US = 3_600_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    vocab_rows = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": pa.array(np.unique(
+                    t["event_type"].to_numpy(zero_copy_only=False)
+                ).tolist(), pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    nv = len(vocab)
+
+    def keys_of(t: pa.Table):
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        hour = us // HOUR_US
+        rel = us - hour * HOUR_US
+        if t.num_rows and (eid.max() >= (1 << 20) or hour.max() >= (1 << 24)):
+            raise ValueError("ohlc_hourly: ord pack out of range")
+        ord_ = (rel << 20) | eid
+        code = pc.index_in(t["event_type"], value_set=vocab_pa).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        gkey = (code << 24) | hour
+        cents = pc.cast(
+            _oround(pc.multiply(t["value"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return gkey, ord_, cents
+
+    def block_parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "min_ord": pa.array([], pa.int64()),
+                    "max_ord": pa.array([], pa.int64()),
+                    "low": pa.array([], pa.int64()),
+                    "high": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        gkey, ord_, cents = keys_of(t)
+        order = np.lexsort((ord_, gkey))
+        g, o, c = gkey[order], ord_[order], cents[order]
+        change = np.concatenate([[True], g[1:] != g[:-1]])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(g))
+        return pa.table(
+            {
+                "g": pa.array(g[starts]),
+                "min_ord": pa.array(o[starts]),
+                "max_ord": pa.array(o[ends - 1]),
+                "low": pa.array(np.minimum.reduceat(c, starts)),
+                "high": pa.array(np.maximum.reduceat(c, starts)),
+                "n": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    merged = (
+        ev.map_batches(block_parts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .aggregate(Min("min_ord"), Max("max_ord"), Min("low"), Max("high"), Sum("n"))
+        .take_all()  # O(types x hours) — time-span bound, not data bound
+    )
+    merged.sort(key=lambda r: r["g"])
+    gk = np.array([r["g"] for r in merged], dtype=np.int64)
+    w_min = np.array([r["min(min_ord)"] for r in merged], dtype=np.int64)
+    w_max = np.array([r["max(max_ord)"] for r in merged], dtype=np.int64)
+    ref = ray.put((gk, w_min, w_max))
+
+    def winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.int64()),
+                    "is_open": pa.array([], pa.bool_()),
+                    "cents": pa.array([], pa.int64()),
+                }
+            )
+        gkeys, wmin, wmax = ray.get(ref)
+        gkey, ord_, cents = keys_of(t)
+        pos = np.searchsorted(gkeys, gkey)
+        is_open = ord_ == wmin[pos]
+        is_close = ord_ == wmax[pos]
+        keep = is_open | is_close
+        # a single-event hour is both open and close: emit both roles
+        g2 = np.concatenate([gkey[is_open], gkey[is_close]])
+        r2 = np.concatenate(
+            [np.ones(int(is_open.sum()), bool), np.zeros(int(is_close.sum()), bool)]
+        )
+        c2 = np.concatenate([cents[is_open], cents[is_close]])
+        del keep
+        return pa.table(
+            {
+                "g": pa.array(g2),
+                "is_open": pa.array(r2),
+                "cents": pa.array(c2),
+            }
+        )
+
+    oc = ev.map_batches(winners, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    open_v = {r["g"]: r["cents"] for r in oc if r["is_open"]}
+    close_v = {r["g"]: r["cents"] for r in oc if not r["is_open"]}
+    return pa.table(
+        {
+            "event_type": pa.array(
+                [str(vocab[r["g"] >> 24]) for r in merged], pa.string()
+            ),
+            "hour": pa.array([r["g"] & ((1 << 24) - 1) for r in merged], pa.int64()),
+            "open_cents": pa.array([open_v[r["g"]] for r in merged], pa.int64()),
+            "high_cents": pa.array([r["max(high)"] for r in merged], pa.int64()),
+            "low_cents": pa.array([r["min(low)"] for r in merged], pa.int64()),
+            "close_cents": pa.array([close_v[r["g"]] for r in merged], pa.int64()),
+            "n_events": pa.array([r["sum(n)"] for r in merged], pa.int64()),
+        }
+    )
+
+
+def lang_stats_unpivot(sf_dir: str):
+    """Wide-to-long UNPIVOT (melt): the per-lang n_chars min/max/sum stats
+    emitted as (lang, stat, value) rows — the relational unpivot operator
+    over a grouped rollup. Per-block partials shuffle (the q1 pre-agg
+    shape); the melt is a constant-fanout map over the tiny wide table."""
+    ev = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate(
+            [("n_chars", "min"), ("n_chars", "max"), ("n_chars", "sum")]
+        )
+        return g.rename_columns(["lang", "n_min", "n_max", "n_sum"])
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    wide = (
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Min("n_min"), Max("n_max"), Sum("n_sum"))
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        stats = {
+            "n_min": t["min(n_min)"].to_numpy(zero_copy_only=False),
+            "n_max": t["max(n_max)"].to_numpy(zero_copy_only=False),
+            "n_sum": t["sum(n_sum)"].to_numpy(zero_copy_only=False),
+        }
+        out_l, out_s, out_v = [], [], []
+        for name, vals in stats.items():  # 3 stat names, not per-row work
+            out_l.extend(langs)
+            out_s.extend([name] * len(langs))
+            out_v.extend(vals.tolist())
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "stat": pa.array(out_s, pa.string()),
+                "value": pa.array(out_v, pa.int64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow").sort(["lang", "stat"])
