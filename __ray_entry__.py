@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_integrity_report": A.fk_integrity_report,
         "ohlc_hourly": A.ohlc_hourly,
         "lang_stats_unpivot": A.lang_stats_unpivot,
+        "type_cooccurrence": A.type_cooccurrence,
     }
 
 
@@ -1032,6 +1033,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, stat, value FROM "
             "(UNPIVOT w ON n_min, n_max, n_sum INTO NAME stat VALUE value) "
             "ORDER BY lang, stat"
+        ),
+        # market-basket support: users who did BOTH of each type pair
+        "type_cooccurrence": (
+            "WITH p AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM p a JOIN p b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -5424,3 +5424,107 @@ def lang_stats_unpivot(sf_dir: str):
         )
 
     return wide.map_batches(melt, batch_format="pyarrow").sort(["lang", "stat"])
+
+
+def type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every ORDERED pair of distinct
+    event types (a < b), how many users did both — the association-mining
+    support table behind "users who X also Y".
+
+    Shape: events thin to distinct (user, type-code) pairs per block
+    against a broadcast global vocabulary; ONE packed-key groupby
+    deduplicates globally; a per-user native SUM of distinct powers of two
+    rebuilds each user's type BITMASK (each (user, code) is unique after
+    the dedup, so sum == bitwise OR — no batch-contiguity assumption);
+    pair supports then count per block with one vectorized test per type
+    PAIR (<= |types|^2/2 iterations, never per row) and fold through a
+    final single-key groupby. Only packed ints ever shuffle."""
+    import ray
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    vocab_rows = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": pa.array(np.unique(
+                    t["event_type"].to_numpy(zero_copy_only=False)
+                ).tolist(), pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    nv = len(vocab)
+    if nv >= 63:
+        raise ValueError(
+            "type_cooccurrence: vocabulary too wide for the int64 bitmask"
+        )
+
+    def thin(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        code = pc.index_in(t["event_type"], value_set=vocab_pa).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pk = (uid << 10) | code
+        return pa.table({"pk": pa.array(np.unique(pk))})
+
+    distinct = (
+        ev.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .count()
+    )
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "uid": pa.array(pk >> 10),
+                "bit": pa.array(np.int64(1) << (pk & ((1 << 10) - 1))),
+            }
+        )
+
+    # each (user, code) pk is globally unique after the groupby, so the
+    # per-user SUM of distinct powers of two IS the bitwise OR — a native
+    # aggregate stands in for the bit_or Ray lacks
+    masks = distinct.map_batches(to_bits, batch_format="pyarrow").groupby(
+        "uid"
+    ).sum("bit")
+
+    pair_list = [(i, j) for i in range(nv) for j in range(i + 1, nv)]
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        m = t["sum(bit)"].to_numpy(zero_copy_only=False)
+        pairs, ns = [], []
+        for i, j in pair_list:  # <= |types|^2/2 iterations, not per-row
+            both = int((((m & (1 << i)) != 0) & ((m & (1 << j)) != 0)).sum())
+            if both:
+                pairs.append((i << 10) | j)
+                ns.append(both)
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        masks.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pair")
+        .sum("n")
+        .take_all()  # <= |types|^2 / 2 rows
+    )
+    counts.sort(key=lambda r: r["pair"])
+    return pa.table(
+        {
+            "type_a": pa.array(
+                [str(vocab[r["pair"] >> 10]) for r in counts], pa.string()
+            ),
+            "type_b": pa.array(
+                [str(vocab[r["pair"] & 1023]) for r in counts], pa.string()
+            ),
+            "n_users": pa.array([int(r["sum(n)"]) for r in counts], pa.int64()),
+        }
+    )
