@@ -245,6 +245,14 @@ def query_suite(sf_dir: str) -> dict:
         ("bloom_set_cardinalities", A.bloom_set_cardinalities),
         ("hll_hourly_users", A.hll_hourly_users),
         ("tdigest_hourly_value", A.tdigest_hourly_value),
+        ("user_retention_cohorts", A.user_retention_cohorts),
+        ("event_transitions", A.event_transitions),
+        ("funnel_stage_counts", A.funnel_stage_counts),
+        ("weighted_median_price", A.weighted_median_price),
+        ("ohlc_hourly", A.ohlc_hourly),
+        ("q3_shipping_priority", A.q3_shipping_priority),
+        ("fk_integrity_report", A.fk_integrity_report),
+        ("type_cooccurrence", A.type_cooccurrence),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

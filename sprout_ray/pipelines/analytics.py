@@ -5189,51 +5189,127 @@ def fk_integrity_report(sf_dir: str):
     number of child ROWS whose foreign key has no parent — the data-quality
     gate a warehouse runs after every load.
 
-    Shape per edge: the child thins to distinct (fk, row-count) partials
-    per block, only distinct keys shuffle through one groupby-sum, the
-    parent set applies through the size-guarded anti filter
-    (``id_set_filter``), and the orphan row count is a sum over the
-    surviving key-count stream. Parent key sets above ``broadcast_max``
-    automatically take the distributed join plan."""
+    Shape: EVERY child table is scanned exactly once — all of its FK
+    columns thin to distinct ((edge, fk), row-count) partials per block
+    (edge id packed into the top bits of one int64 key, loudly
+    range-checked), ONE groupby-sum deduplicates across all edges at once,
+    and a single map pass anti-probes each key against its edge's
+    broadcast sorted parent array; the per-edge orphan row counts fold
+    through a final 4-row groupby. Parent sets above ``broadcast_max``
+    fall back to the per-edge size-guarded ``id_set_filter`` plan (same
+    result, distributed join)."""
+    import ray
+
     from ray.data.aggregate import Sum
 
     from ..stages.dedup import id_set_filter
 
+    # (edge_id, label, child, fk, parent, pk)
     edges = [
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        (0, "orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        (1, "lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        (2, "lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        (3, "lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
     ]
-    names, counts = [], []
-    for label, child, fk, parent, pk in edges:
-        ch = _read(sf_dir, child, [fk])
+    broadcast_max = 4_000_000
+    parents = {}
+    total_par = 0
+    for eid, _, _, _, parent, pk in edges:
+        arr = np.sort(
+            pa.concat_tables(
+                ray.get(_read(sf_dir, parent, [pk]).to_arrow_refs())
+            )[pk].to_numpy(zero_copy_only=False)
+        )
+        parents[eid] = arr
+        total_par += len(arr)
+    if total_par > broadcast_max:
+        # fall back to the per-edge distributed plan (parents too big to
+        # broadcast): one id_set_filter anti-join per edge
+        names, counts = [], []
+        for eid, label, child, fk, parent, pk in edges:
+            ch = _read(sf_dir, child, [fk])
 
-        def key_counts(t: pa.Table, fk=fk) -> pa.Table:
-            g = t.group_by(fk).aggregate([(fk, "count")])
-            return g.rename_columns(["k", "n"])
+            def key_counts(t: pa.Table, fk=fk) -> pa.Table:
+                g = t.group_by(fk).aggregate([(fk, "count")])
+                return g.rename_columns(["k", "n"])
 
-        keyed = (
-            ch.map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("k")
-            .sum("n")
-            .map_batches(
-                lambda t: t.rename_columns(["k", "n"]), batch_format="pyarrow"
+            keyed = (
+                ch.map_batches(
+                    key_counts, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .groupby("k")
+                .sum("n")
+                .map_batches(
+                    lambda t: t.rename_columns(["k", "n"]), batch_format="pyarrow"
+                )
+            )
+            par = _read(sf_dir, parent, [pk]).map_batches(
+                lambda t, pk=pk: pa.table({"k": t[pk]}), batch_format="pyarrow"
+            )
+            n_par = _read(sf_dir, parent, [pk]).count()
+            orphans = id_set_filter(par, "k", keep=False, n_ids=n_par)(keyed)
+            agg = orphans.aggregate(Sum("n", ignore_nulls=True))
+            total = agg["sum(n)"] if agg and agg.get("sum(n)") is not None else 0
+            names.append(label)
+            counts.append(int(total or 0))
+        return pa.table(
+            {
+                "fk_edge": pa.array(names, pa.string()),
+                "n_orphan_rows": pa.array(counts, pa.int64()),
+            }
+        )
+
+    par_ref = ray.put(parents)
+    by_child: dict = {}
+    for eid, label, child, fk, _, _ in edges:
+        by_child.setdefault(child, []).append((eid, fk))
+
+    def orphan_partials(child_edges):
+        def fn(t: pa.Table) -> pa.Table:
+            pars = ray.get(par_ref)
+            eids, ns = [], []
+            for eid, fk in child_edges:
+                k = t[fk].to_numpy(zero_copy_only=False)
+                if k.size and (k.min() < 0):
+                    raise ValueError("fk_integrity_report: negative key")
+                arr = pars[eid]
+                pos = np.searchsorted(arr, k)
+                pos_c = np.minimum(pos, len(arr) - 1) if len(arr) else pos
+                miss = (
+                    np.ones(len(k), bool)
+                    if not len(arr)
+                    else arr[pos_c] != k
+                )
+                eids.append(eid)
+                ns.append(int(miss.sum()))
+            return pa.table(
+                {
+                    "eid": pa.array(eids, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
+
+        return fn
+
+    partials = []
+    for child, ce in by_child.items():
+        cols = [fk for _, fk in ce]
+        partials.append(
+            _read(sf_dir, child, cols).map_batches(
+                orphan_partials(ce), batch_format="pyarrow", zero_copy_batch=True
             )
         )
-        par = _read(sf_dir, parent, [pk]).map_batches(
-            lambda t, pk=pk: pa.table({"k": t[pk]}), batch_format="pyarrow"
-        )
-        n_par = _read(sf_dir, parent, [pk]).count()
-        orphans = id_set_filter(par, "k", keep=False, n_ids=n_par)(keyed)
-        agg = orphans.aggregate(Sum("n", ignore_nulls=True))
-        total = agg["sum(n)"] if agg and agg.get("sum(n)") is not None else 0
-        names.append(label)
-        counts.append(int(total or 0))
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.union(p)
+    rows = merged.groupby("eid").sum("n").take_all()  # <= |edges| rows
+    got = {int(r["eid"]): int(r["sum(n)"]) for r in rows}
     return pa.table(
         {
-            "fk_edge": pa.array(names, pa.string()),
-            "n_orphan_rows": pa.array(counts, pa.int64()),
+            "fk_edge": pa.array([e[1] for e in edges], pa.string()),
+            "n_orphan_rows": pa.array(
+                [got.get(e[0], 0) for e in edges], pa.int64()
+            ),
         }
     )
 
