@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_hourly": A.ohlc_hourly,
         "lang_stats_unpivot": A.lang_stats_unpivot,
         "type_cooccurrence": A.type_cooccurrence,
+        "event_session_assignment": A.event_session_assignment,
+        "user_lifespan_histogram": A.user_lifespan_histogram,
     }
 
 
@@ -1042,6 +1044,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM p a JOIN p b ON a.user_id = b.user_id "
             "AND a.event_type < b.event_type "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # row-level session assignment: the session table's s CTE itself
+        "event_session_assignment": (
+            "WITH o AS ("
+            "  SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "    THEN 1 ELSE 0 END AS new_sess"
+            "  FROM events"
+            ") SELECT user_id, event_id, CAST(ts_us AS BIGINT) AS ts_us, "
+            "CAST(SUM(new_sess) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_id FROM o ORDER BY user_id, event_id"
+        ),
+        # user lifetime curve: first-to-last-day span histogram
+        "user_lifespan_histogram": (
+            "WITH l AS (SELECT user_id, "
+            "CAST(max(epoch_us(ts) // 86400000000) - "
+            "min(epoch_us(ts) // 86400000000) AS BIGINT) AS lifespan_days "
+            "FROM events GROUP BY user_id) "
+            "SELECT lifespan_days, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM l GROUP BY 1 ORDER BY 1"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -5604,3 +5604,113 @@ def type_cooccurrence(sf_dir: str):
             "n_users": pa.array([int(r["sum(n)"]) for r in counts], pa.int64()),
         }
     )
+
+
+def event_session_assignment(sf_dir: str):
+    """Per-EVENT session enrichment: every event tagged with the
+    session_id of the 30-min gap session it belongs to — the row-level
+    point-in-interval assignment (the session table's `s` CTE), expressed
+    as sessionize -> backward as-of join of events onto their user's
+    session STARTS (the latest start <= ts IS the covering session, since
+    sessions partition each user's timeline). Inclusive bound covers the
+    session-opening event; every event matches, asserted loudly."""
+    from ..stages.joins import asof_join
+    from ..stages.windows import sessionize
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sess = sessionize(ev, key="user_id", gap_s=1800)
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["start_us"],  # int64 us — asof_join casts
+                "event_id": t["session_id"],  # right tie slot (unique: one
+                # session per (user, start) — sessions are gap-separated)
+                "session_id": pc.cast(t["session_id"], pa.float64()),
+            }
+        )
+
+    right = sess.map_batches(as_right, batch_format="pyarrow")
+    out = asof_join(
+        ev,
+        right,
+        key="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        right_payload={"session_id": "session_id"},
+        left_id_out="event_id",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sid = t["session_id"]
+        if sid.null_count:
+            raise ValueError(
+                "event_session_assignment: event with no covering session"
+            )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts_us": t["ts_us"],
+                "session_id": pc.cast(sid, pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "event_id"]
+    )
+
+
+def user_lifespan_histogram(sf_dir: str):
+    """User-lifetime distribution: days between each user's first and last
+    event, folded to a (lifespan_days, n_users) histogram — the retention
+    analyst's lifetime curve. Per-block (user, min-day, max-day) partials
+    thin before the only groupby; the histogram domain is time-span
+    bounded, not data bounded."""
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(uid, kind="stable")
+        u, d = uid[order], day[order]
+        change = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.flatnonzero(change)
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "dmin": pa.array(np.minimum.reduceat(d, starts)),
+                "dmax": pa.array(np.maximum.reduceat(d, starts)),
+            }
+        )
+
+    spans = (
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("dmin"), Max("dmax"))
+    )
+
+    def lifespan(t: pa.Table) -> pa.Table:
+        lo = t["min(dmin)"].to_numpy(zero_copy_only=False)
+        hi = t["max(dmax)"].to_numpy(zero_copy_only=False)
+        return pa.table({"lifespan_days": pa.array(hi - lo)})
+
+    return (
+        spans.map_batches(lifespan, batch_format="pyarrow")
+        .groupby("lifespan_days")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lifespan_days": t["lifespan_days"],
+                    "n_users": t["count()"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("lifespan_days")
+    )
