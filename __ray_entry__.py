@@ -180,6 +180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_cooccurrence": A.type_cooccurrence,
         "event_session_assignment": A.event_session_assignment,
         "user_lifespan_histogram": A.user_lifespan_histogram,
+        "phrase_occurrences": A.phrase_occurrences,
+        "anomalous_days": A.anomalous_days,
+        "longest_daily_streak": A.longest_daily_streak,
     }
 
 
@@ -1066,6 +1069,38 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id) "
             "SELECT lifespan_days, CAST(COUNT(*) AS BIGINT) AS n_users "
             "FROM l GROUP BY 1 ORDER BY 1"
+        ),
+        # exact phrase search with occurrence counts
+        "phrase_occurrences": (
+            "SELECT doc_id, "
+            "CAST((length(text) - length(replace(text, 'table value', ''))) "
+            "// length('table value') AS BIGINT) AS n_occurrences "
+            "FROM documents WHERE contains(text, 'table value') "
+            "ORDER BY doc_id"
+        ),
+        # exact-integer 2-sigma daily volume anomaly test
+        "anomalous_days": (
+            "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day, CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY 1), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "SUM(n_events) AS sm, SUM(n_events * n_events) AS ss FROM d) "
+            "SELECT day, n_events FROM d, s "
+            "WHERE (n * n_events - sm) * (n * n_events - sm) > "
+            "4 * (n * ss - sm * sm) ORDER BY day"
+        ),
+        # gaps-and-islands: longest consecutive-active-day run per user
+        "longest_daily_streak": (
+            "WITH days AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "isl AS (SELECT user_id, day - ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS grp FROM days), "
+            "runs AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len "
+            "FROM isl GROUP BY user_id, grp), "
+            "best AS (SELECT user_id, MAX(len) AS streak_days "
+            "FROM runs GROUP BY user_id) "
+            "SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM best GROUP BY 1 ORDER BY 1"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -5714,3 +5714,161 @@ def user_lifespan_histogram(sf_dir: str):
         )
         .sort("lifespan_days")
     )
+
+
+def phrase_occurrences(sf_dir: str, phrase: str = "table value"):
+    """Exact phrase search: documents containing the phrase, with the
+    occurrence count — the inverted-index probe expressed as a pruned scan
+    (pc.count_substring is the vectorized Arrow kernel; at index scale the
+    same query routes through the bm25 postings)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def find(t: pa.Table) -> pa.Table:
+        n = pc.count_substring(t["text"], phrase)
+        m = pc.greater(n, 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].filter(m),
+                "n_occurrences": pc.cast(n.filter(m), pa.int64()),
+            }
+        )
+
+    out = docs.map_batches(
+        find, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if out.count() == 0:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("n_occurrences", pa.int64())]
+        ).empty_table()
+    return out.sort("doc_id")
+
+
+def anomalous_days(sf_dir: str):
+    """Volume anomaly detection: days whose event count deviates from the
+    corpus mean daily count by more than 2 population standard deviations.
+    The daily rollup is per-block pre-aggregated (time-span bounded); the
+    2-sigma test runs in exact integer arithmetic — (n*c - sum)^2 compared
+    against 4 * M2 with M2 = n*sumsq - sum^2 (M2 is n^2 * variance, and
+    (n*c - sum)^2 is n^2 * (c - mean)^2, so the n^2 factors cancel) — so no float rounding can
+    flip a boundary day."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+    daily = (
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+        .take_all()  # time-span bounded
+    )
+    days = np.array([r["day"] for r in daily], dtype=np.int64)
+    cnt = np.array([int(r["sum(n)"]) for r in daily], dtype=np.int64)
+    n = len(cnt)
+    s, ss = int(cnt.sum()), int((cnt.astype(object) ** 2).sum())
+    m2 = n * ss - s * s  # n^2 * variance (population)
+    # |c - mean| > 2*sigma  <=>  (n*c - s)^2 > 4 * m2  (exact ints;
+    # both sides carry the same n^2 factor)
+    lhs = (n * cnt.astype(object) - s) ** 2
+    mask = np.array([int(v) > 4 * m2 for v in lhs], dtype=bool)
+    order = np.argsort(days[mask])
+    return pa.table(
+        {
+            "day": pa.array(days[mask][order], pa.int64()),
+            "n_events": pa.array(cnt[mask][order], pa.int64()),
+        }
+    )
+
+
+def longest_daily_streak(sf_dir: str):
+    """Gaps-and-islands, distributed: each user's LONGEST run of
+    consecutive active days, folded to a (streak_days, n_users) histogram.
+
+    Shape: distinct (user, day-offset) pairs thin per block and pack into
+    one int64; each user's active-day BITMASK rebuilds through a native
+    SUM of distinct powers of two (unique after dedup => sum == OR; span
+    loudly checked <= 62 bits); the longest consecutive run then costs
+    one `x &= x << 1` loop over BITS — 62 iterations over the whole
+    column, never per row. The oracle is the classic SQL islands trick
+    (day - dense row number is constant within an island)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    t0 = int(
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(
+            lambda t: pa.table({"d": pa.array(
+                pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )}),
+            batch_format="pyarrow",
+        )
+        .min("d")
+    )
+
+    def thin(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        off = us // 86_400_000_000 - t0
+        if off.size and off.max() >= 62:
+            raise ValueError(
+                "longest_daily_streak: day span exceeds the 62-bit mask "
+                "(chunk the span or use the sorted-run path)"
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        pk = np.unique((uid << 6) | off)
+        return pa.table({"pk": pa.array(pk)})
+
+    # global dedup FIRST: the per-block unique is only a thinning pass, and
+    # a (user, day) seen in two blocks would double its bit in the sum
+    distinct = (
+        ev.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .count()
+    )
+
+    def to_bits(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "uid": pa.array(pk >> 6),
+                "bit": pa.array(np.int64(1) << (pk & 63)),
+            }
+        )
+
+    masks = (
+        distinct.map_batches(to_bits, batch_format="pyarrow")
+        .groupby("uid")
+        .sum("bit")
+    )
+
+    def streaks(t: pa.Table) -> pa.Table:
+        x = t["sum(bit)"].to_numpy(zero_copy_only=False).copy()
+        streak = np.zeros(len(x), dtype=np.int64)
+        k = 0
+        while x.any():
+            k += 1
+            streak[x != 0] = k
+            x &= x << 1
+        u, c = np.unique(streak, return_counts=True)
+        return pa.table(
+            {"streak_days": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        masks.map_batches(streaks, batch_format="pyarrow")
+        .groupby("streak_days")
+        .sum("n")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "streak_days": t["streak_days"],
+                    "n_users": t["sum(n)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("streak_days")
+    )

@@ -2020,3 +2020,98 @@ class TestFkIntegrityReport:
         assert out.loc["lineitem.l_orderkey->orders", "n_orphan_rows"] == 1
         assert out.loc["lineitem.l_partkey->part", "n_orphan_rows"] == 0
         assert out.loc["lineitem.l_suppkey->supplier", "n_orphan_rows"] == 1
+
+
+class TestAnomalyAndStreak:
+    def test_planted_anomalous_day(self, ray_session):
+        """A spike day flags; uniform days don't; the exact-integer 2-sigma
+        comparison is checked against DuckDB on the same planted table."""
+        import os
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from sprout_ray.pipelines.analytics import anomalous_days
+
+        DAY = 86_400_000_000
+        counts = [100] * 9 + [500]  # day 9 is the spike
+        ts = np.concatenate(
+            [np.full(c, d * DAY + 5, np.int64) + np.arange(c) for d, c in enumerate(counts)]
+        )
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+                "ts": pa.array(ts).cast(pa.timestamp("us")),
+                "user_id": pa.array(np.zeros(len(ts), np.int64)),
+                "event_type": pa.array(["view"] * len(ts)),
+                "value": pa.array(np.zeros(len(ts))),
+                "props": pa.array(["{}"] * len(ts)),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = anomalous_days(d).to_pandas()
+            ref = duckdb.connect().execute(
+                "WITH d AS (SELECT CAST(epoch_us(ts)//86400000000 AS BIGINT) AS day, "
+                "CAST(COUNT(*) AS BIGINT) AS n_events FROM "
+                f"read_parquet('{d}/events.parquet') GROUP BY 1), "
+                "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(n_events) AS sm, "
+                "SUM(n_events*n_events) AS ss FROM d) "
+                "SELECT day, n_events FROM d, s "
+                "WHERE (n*n_events - sm)*(n*n_events - sm) > 4*(n*ss - sm*sm) "
+                "ORDER BY day"
+            ).fetchdf()
+        assert out["day"].tolist() == [9]
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    def test_streak_bitmask_vs_islands(self, ray_session):
+        """Randomized multiblock (user, day) activity: the bitmask streak
+        equals the SQL gaps-and-islands reference computed in pandas."""
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.pipelines.analytics import longest_daily_streak
+        import os
+        import tempfile
+        import pyarrow.parquet as pq
+
+        DAY = 86_400_000_000
+        rng = np.random.default_rng(5)
+        n = 20_000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 40, n).astype(np.int64),
+                "day": rng.integers(0, 30, n).astype(np.int64),
+            }
+        )
+        # pandas reference: longest consecutive run per user
+        expect = {}
+        for uid, g in df.drop_duplicates().groupby("user_id"):
+            ds_ = np.sort(g["day"].unique())
+            runs = np.split(ds_, np.flatnonzero(np.diff(ds_) != 1) + 1)
+            expect[uid] = max(len(r) for r in runs)
+        ref = (
+            pd.Series(expect).value_counts().sort_index().rename_axis(
+                "streak_days"
+            ).rename("n_users").reset_index()
+        )
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(df["day"].to_numpy() * DAY + 7).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array(df["user_id"].to_numpy()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(np.zeros(n)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(t, os.path.join(d, "events.parquet"))
+            out = longest_daily_streak(d).to_pandas()
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
