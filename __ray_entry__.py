@@ -183,6 +183,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_occurrences": A.phrase_occurrences,
         "anomalous_days": A.anomalous_days,
         "longest_daily_streak": A.longest_daily_streak,
+        # join-size estimation via CMS inner product (no SQL twin: the
+        # estimate is approximate by design; exact size + bound ride in
+        # band as self-evidence, and the kernel is property-tested)
+        "cms_join_size": A.cms_join_size,
     }
 
 

@@ -102,6 +102,21 @@ class CountMinSketch:
         self.table += other.table
         self.total += other.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Equi-join size estimate (Cormode & Muthukrishnan 2005 §4.2):
+        ``min_j sum_i a[j,i] * b[j,i]`` NEVER undercounts the true
+        ``sum_k f_a(k) * f_b(k)`` and overshoots by at most
+        ``eps * N_a * N_b`` with probability ``1 - delta``. Both sketches
+        must share (d, w) — and the seed lanes, which the SketchSpec
+        geometry freeze guarantees for same-spec builds."""
+        if self.w != other.w or self.d != other.d:
+            raise ValueError("CountMinSketch geometry mismatch")
+        # object dtype: w * max_count^2 can exceed uint64
+        prods = (self.table.astype(object) * other.table.astype(object)).sum(
+            axis=1
+        )
+        return int(min(prods))
+
     def result(self) -> dict:
         return {"w": self.w, "d": self.d, "total": self.total}
 

@@ -5872,3 +5872,76 @@ def longest_daily_streak(sf_dir: str):
         )
         .sort("streak_days")
     )
+
+
+def cms_join_size(sf_dir: str):
+    """Join-cardinality estimation WITHOUT executing the join: the
+    Count-Min inner product (Cormode & Muthukrishnan 2005) over two
+    same-geometry sketches — one over events.user_id, one over
+    orders.o_custkey — estimates |events JOIN orders ON user_id =
+    o_custkey|. The optimizer primitive behind join planning at 100 TB:
+    two O(blocks x sketch) builds replace an actual shuffle.
+
+    Self-evidence in band (the ams_f2_skew convention): the exact join
+    size rides along — per-key counts of BOTH sides (per-block thinned)
+    meet in a size-guarded join and sum their products — plus the
+    eps*N1*N2 overshoot bound and the never-undercounts flag."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    spec = SketchSpec.of("cms", 0.0001, 0.01)
+    ev = _read(sf_dir, "events", ["user_id"])
+    od = _read(sf_dir, "orders", ["o_custkey"])
+    a = build_sketch(ev, spec, on="user_id")
+    b = build_sketch(od, spec, on="o_custkey")
+    est = a.inner_product(b)
+
+    def counts_of(ds, col):
+        def pre(t: pa.Table) -> pa.Table:
+            u, c = np.unique(
+                t[col].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"k": pa.array(u), "n": pa.array(c.astype(np.int64))}
+            )
+
+        return (
+            ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["k", "n"]), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+
+    ca, cb = counts_of(ev, "user_id"), counts_of(od, "o_custkey")
+    joined = broadcast_lookup_join(
+        ca,
+        cb.map_batches(
+            lambda t: t.rename_columns(["k", "n_b"]), batch_format="pyarrow"
+        ),
+        on="k",
+        right_count=cb.count(),
+    )
+    prod = joined.map_batches(
+        lambda t: pa.table(
+            {
+                "p": pc.multiply(t["n"], t["n_b"]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("p"))
+    exact = int(prod["sum(p)"] or 0)
+    n1 = int(a.total)
+    n2 = int(b.total)
+    bound = est - exact <= spec.params[0] * n1 * n2
+    return pa.table(
+        {
+            "est_join_size": pa.array([est], pa.int64()),
+            "exact_join_size": pa.array([exact], pa.int64()),
+            "never_undercounts": pa.array([est >= exact]),
+            "within_eps_bound": pa.array([bool(bound)]),
+        }
+    )

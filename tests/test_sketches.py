@@ -489,3 +489,42 @@ class TestAMSF2:
             AMSF2Sketch(w=64, d=3).merge(AMSF2Sketch(w=128, d=3))
         with _pytest.raises(ValueError):
             AMSF2Sketch(w=64, d=3).merge_bytes(AMSF2Sketch(w=64, d=4).to_bytes())
+
+
+class TestCmsInnerProduct:
+    def test_never_undercounts_and_bounded(self):
+        from sprout_ray.kernel.sketch import SketchSpec
+
+        rng = np.random.default_rng(11)
+        spec = SketchSpec.of("cms", 0.001, 0.01)
+        a, b = spec.make(), spec.make()
+        ka = rng.zipf(1.3, 20_000) % 500
+        kb = rng.zipf(1.3, 30_000) % 500
+        a.update_batch(ka.astype(np.int64))
+        b.update_batch(kb.astype(np.int64))
+        fa = np.bincount(ka, minlength=500).astype(object)
+        fb = np.bincount(kb, minlength=500).astype(object)
+        exact = int((fa * fb).sum())
+        est = a.inner_product(b)
+        assert est >= exact
+        assert est - exact <= 0.001 * len(ka) * len(kb)
+
+    def test_exact_in_collision_free_regime(self):
+        """Few distinct keys vs a wide table: every counter is exact, so
+        the inner product is the exact join size."""
+        from sprout_ray.kernel.sketch import SketchSpec
+
+        spec = SketchSpec.of("cms", 0.0001, 0.01)
+        a, b = spec.make(), spec.make()
+        a.update_batch(np.array([1, 1, 2, 3], np.int64))
+        b.update_batch(np.array([1, 2, 2, 2, 9], np.int64))
+        # exact: f_a(1)*f_b(1) + f_a(2)*f_b(2) = 2*1 + 1*3 = 5
+        assert a.inner_product(b) == 5
+
+    def test_geometry_mismatch_rejected(self):
+        from sprout_ray.kernel.sketch import SketchSpec
+
+        a = SketchSpec.of("cms", 0.001, 0.01).make()
+        b = SketchSpec.of("cms", 0.01, 0.01).make()
+        with pytest.raises(ValueError, match="geometry"):
+            a.inner_product(b)
