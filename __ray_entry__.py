@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # estimate is approximate by design; exact size + bound ride in
         # band as self-evidence, and the kernel is property-tested)
         "cms_join_size": A.cms_join_size,
+        "user_type_entropy": A.user_type_entropy,
     }
 
 
@@ -1105,6 +1106,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM runs GROUP BY user_id) "
             "SELECT streak_days, CAST(COUNT(*) AS BIGINT) AS n_users "
             "FROM best GROUP BY 1 ORDER BY 1"
+        ),
+        # behavioral diversity: per-user event-type Shannon entropy in
+        # integer 1e-8 nats (the token_entropy float discipline)
+        "user_type_entropy": (
+            "WITH ct AS (SELECT user_id, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, SUM(c) AS n, "
+            "SUM(CAST(floor(ln(c) * c * 1e8) AS BIGINT)) AS s "
+            "FROM ct GROUP BY user_id) "
+            "SELECT user_id, "
+            "round(ln(n) - CAST(s AS DOUBLE) / (n * 1e8), 6) AS entropy "
+            "FROM u ORDER BY user_id"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -5945,3 +5945,87 @@ def cms_join_size(sf_dir: str):
             "within_eps_bound": pa.array([bool(bound)]),
         }
     )
+
+
+def user_type_entropy(sf_dir: str):
+    """Behavioral-diversity signal: Shannon entropy of each user's
+    event-type distribution — engine-exact vs DuckDB via the token_entropy
+    discipline: the transcendental c*ln(c) terms floor to integer 1e-8
+    nats (order-free integer sums through the shuffle), and the final
+    entropy is two pinned IEEE ops + half-away rounding at 6 dp.
+
+    Shape: (user, type) packs into one int64 (loud range check on
+    user_id vs the code width) for the only fat groupby; the per-user
+    fold is a second native integer-sum groupby over the thinned count
+    stream."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    vocab_rows = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": pa.array(np.unique(
+                    t["event_type"].to_numpy(zero_copy_only=False)
+                ).tolist(), pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    bits = max(int(np.ceil(np.log2(max(len(vocab), 2)))), 1)
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size and (uid.min() < 0 or uid.max() >= (1 << (63 - bits))):
+            raise ValueError(
+                f"user_id out of pack range for {bits}-bit type codes; "
+                "widen the pack key to two columns"
+            )
+        code = pc.index_in(t["event_type"], value_set=vocab_pa).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pk, c = np.unique((uid << bits) | code, return_counts=True)
+        return pa.table(
+            {"pk": pa.array(pk), "c": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .sum("c")
+    )
+
+    def terms(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        c = t["sum(c)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.floor(np.log(c) * c * 1e8).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(pk >> bits),
+                "n": pa.array(c.astype(np.int64)),
+                "s": pa.array(s),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        counts.map_batches(terms, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n"), Sum("s"))
+    )
+
+    def entropy(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum(s)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.log(n) - s / (n * 1e8)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "entropy": _oround(pa.array(h), 6),
+            }
+        )
+
+    return agg.map_batches(entropy, batch_format="pyarrow").sort("user_id")

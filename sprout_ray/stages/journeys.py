@@ -34,7 +34,12 @@ _BIG = np.iinfo(np.int64).max
 _DAY_US = 86_400_000_000
 
 
-def retention_cohorts(ds, key: str = "user_id", ts_col: str = "ts"):
+def retention_cohorts(
+    ds,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    broadcast_max: int | None = None,
+):
     """Cohort retention: users grouped by their first active DAY (the
     cohort), counted at each later day offset they return.
 
@@ -79,7 +84,8 @@ def retention_cohorts(ds, key: str = "user_id", ts_col: str = "ts"):
     cohorts = cohorts.map_batches(tidy_cohort, batch_format="pyarrow")
     # cohort side is <= n_pairs rows (exactly one per user)
     joined = broadcast_lookup_join(
-        pairs, cohorts, on="left_id", right_count=n_pairs
+        pairs, cohorts, on="left_id", right_count=n_pairs,
+        broadcast_max=broadcast_max,
     )
 
     def to_offsets(t: pa.Table) -> pa.Table:
