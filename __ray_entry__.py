@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # band as self-evidence, and the kernel is property-tested)
         "cms_join_size": A.cms_join_size,
         "user_type_entropy": A.user_type_entropy,
+        "large_volume_customers": A.large_volume_customers,
+        "orders_above_cust_avg": A.orders_above_cust_avg,
+        "daily_activity_union": A.daily_activity_union,
     }
 
 
@@ -1118,6 +1121,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, "
             "round(ln(n) - CAST(s AS DOUBLE) / (n * 1e8), 6) AS entropy "
             "FROM u ORDER BY user_id"
+        ),
+        # TPC-H Q18 shape: HAVING on the fat child thins to the winner
+        # set before either join
+        "large_volume_customers": (
+            "WITH w AS (SELECT l_orderkey, "
+            "CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY 1 "
+            "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 300) "
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS total_c, w.sum_qty "
+            "FROM w, orders, customer "
+            "WHERE o_orderkey = w.l_orderkey AND c_custkey = o_custkey "
+            "ORDER BY total_c DESC, o_orderkey LIMIT 100"
+        ),
+        # correlated aggregate: order value vs its customer's average,
+        # decided in integers (tc*n > s) so no float tie ambiguity
+        "orders_above_cust_avg": (
+            "WITH c AS (SELECT o_orderpriority, o_custkey, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS tc FROM orders), "
+            "w AS (SELECT o_orderpriority, tc, "
+            "SUM(tc) OVER (PARTITION BY o_custkey) AS s, "
+            "COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM c) "
+            "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above "
+            "FROM w WHERE tc * n > s GROUP BY 1 ORDER BY 1"
+        ),
+        # cross-table UNION ALL harmonized activity rollup
+        "daily_activity_union": (
+            "WITH u AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day, 'events' AS source FROM events UNION ALL "
+            "SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT), "
+            "'orders' FROM orders) "
+            "SELECT day, source, CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM u GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -6029,3 +6029,245 @@ def user_type_entropy(sf_dir: str):
         )
 
     return agg.map_batches(entropy, batch_format="pyarrow").sort("user_id")
+
+
+def large_volume_customers(sf_dir: str, min_qty: int = 300):
+    """TPC-H Q18-shaped large-volume customers: top-100 orders (by total
+    price) whose line items sum to more than ``min_qty`` units, with the
+    owning customer's nation.
+
+    Shape: lineitem pre-aggregates integer quantity per order per block
+    (only order-level partials shuffle); the HAVING filter thins to the
+    winner set BEFORE any join, so the two lookups (orders, then
+    customer) carry only winner rows on the left. Both ride the
+    size-guarded join (broadcast at this sf, distributed hash join above
+    the budget). Top-100 folds from per-block partials — O(blocks x 100)
+    driver rows. Quantities are doubles: half-away _oround -> int64
+    matches DuckDB's round() exactly (np.rint's half-to-even would
+    diverge on .5); money in integer cents."""
+    from ..stages.joins import broadcast_lookup_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partials(t: pa.Table) -> pa.Table:
+        q = pc.cast(_oround(t["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pa.table({"l_orderkey": t["l_orderkey"], "q": pa.array(q)})
+            .group_by("l_orderkey")
+            .aggregate([("q", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "q"])
+
+    per_order = (
+        li.map_batches(qty_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("q")
+    )
+    winners = per_order.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["l_orderkey"], "sum_qty": t["sum(q)"]}
+        ).filter(pc.greater(t["sum(q)"], min_qty)),
+        batch_format="pyarrow",
+    ).materialize()
+    n_win = winners.count()
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "total_c": pc.cast(
+                    _oround(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+                "orderdate_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # winners (tiny, key-unique) broadcast against the orders stream:
+    # non-winner orders drop map-side, zero shuffle
+    enriched = broadcast_lookup_join(
+        orders, winners, on="o_orderkey", right_count=n_win
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                "c_nationkey": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    full = broadcast_lookup_join(
+        enriched, cust, on="o_custkey", right_count=n_cust, left_count=n_win
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        tc = t["total_c"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -tc))[:100]
+        return t.take(pa.array(np.sort(order)))
+
+    tops = full.map_batches(block_top, batch_format="pyarrow").take_all()
+    tc = np.array([r["total_c"] for r in tops], dtype=np.int64)
+    ok = np.array([r["o_orderkey"] for r in tops], dtype=np.int64)
+    pick = np.lexsort((ok, -tc))[:100]
+    cols = ["c_custkey", "c_nationkey", "o_orderkey", "orderdate_us",
+            "total_c", "sum_qty"]
+    vals = {
+        "c_custkey": np.array([r["o_custkey"] for r in tops], dtype=np.int64),
+        "c_nationkey": np.array([r["c_nationkey"] for r in tops], dtype=np.int64),
+        "o_orderkey": ok,
+        "orderdate_us": np.array([r["orderdate_us"] for r in tops], dtype=np.int64),
+        "total_c": tc,
+        "sum_qty": np.array([r["sum_qty"] for r in tops], dtype=np.int64),
+    }
+    return pa.table({c: pa.array(vals[c][pick], pa.int64()) for c in cols})
+
+
+def orders_above_cust_avg(sf_dir: str):
+    """Correlated-aggregate shape: per order priority, how many orders
+    are STRICTLY above their own customer's average order value (the SQL
+    window twin: AVG OVER (PARTITION BY o_custkey)).
+
+    Exact in integers: instead of comparing against the float average
+    s/n, compare total_cents * n > sum_cents — one integer multiply, no
+    division, no float tie ambiguity. Shape: one pass builds per-customer
+    (sum, count) via per-block pa group_by partials + a native groupby
+    (only customer-level partials shuffle); a second pass probes the
+    per-customer table through the size-guarded join and folds per-block
+    priority counts."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]
+    )
+
+    def cust_partials(t: pa.Table) -> pa.Table:
+        tc = pc.cast(_oround(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "tc": tc})
+            .group_by("o_custkey")
+            .aggregate([("tc", "sum"), ("tc", "count")])
+        )
+        return g.rename_columns(["o_custkey", "s", "n"])
+
+    percust = (
+        orders.map_batches(
+            cust_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("s"), Sum("n"))
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "s", "n"]),
+            batch_format="pyarrow",
+        )
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # upper bound
+
+    probe = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "tc": pc.cast(
+                    _oround(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = broadcast_lookup_join(
+        probe, percust, on="o_custkey", right_count=n_cust
+    )
+
+    def above_partials(t: pa.Table) -> pa.Table:
+        tc = t["tc"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        kept = t.filter(pa.array(tc * n > s))
+        g = (
+            pa.table({"o_orderpriority": kept["o_orderpriority"]})
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_above"])
+
+    return (
+        joined.map_batches(above_partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n_above")
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_above"]),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )
+
+
+def daily_activity_union(sf_dir: str):
+    """Cross-table UNION ALL rollup: one (day, source) activity count
+    stream harmonized from two differently-shaped tables (events.ts,
+    orders.o_orderdate) via Dataset.union.
+
+    Shape: each side thins to per-block (day, count) partials BEFORE the
+    union (only O(days) rows per block cross), the day packs with a
+    1-bit source tag into one int64 so the single shuffle is a native
+    one-column groupby-sum."""
+    day_us = 86_400_000_000
+
+    def thin(col: str, src: int):
+        def _t(t: pa.Table) -> pa.Table:
+            us = pc.cast(t[col], pa.int64()).to_numpy(zero_copy_only=False)
+            day, n = np.unique(us // day_us, return_counts=True)
+            return pa.table(
+                {
+                    "pk": pa.array(day * 2 + src),
+                    "n": pa.array(n.astype(np.int64)),
+                }
+            )
+
+        return _t
+
+    parts = (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(thin("ts", 0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+                thin("o_orderdate", 1),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(pk >> 1),
+                "source": pa.array(
+                    np.where(pk & 1, "orders", "events").tolist(), pa.string()
+                ),
+                "n_rows": t["sum(n)"],
+            }
+        )
+
+    return (
+        parts.groupby("pk")
+        .sum("n")
+        .map_batches(unpack, batch_format="pyarrow")
+        .sort(["day", "source"])
+    )

@@ -2115,3 +2115,152 @@ class TestAnomalyAndStreak:
             pq.write_table(t, os.path.join(d, "events.parquet"))
             out = longest_daily_streak(d).to_pandas()
         pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+class TestRelationalEndgame2:
+    """Planted-table probes for the Q18 / correlated-avg / union family."""
+
+    @staticmethod
+    def _write(d, name, table):
+        import os
+
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+    def test_large_volume_winner_set_and_ties(self, ray_session):
+        """HAVING boundary is strict (> min_qty), half-quantities round to
+        nearest, and the top-100 tie order is (total DESC, orderkey)."""
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from sprout_ray.pipelines.analytics import large_volume_customers
+
+        li = pa.table(
+            {
+                # order 1: qty 6+5=11 (winner at min_qty=10); order 2: exactly
+                # 10 (excluded, strict >); order 3: 10.5 rounds to 11 in one
+                # line (winner)
+                "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+                "l_quantity": pa.array([6.0, 5.0, 10.0, 10.5]),
+            }
+        )
+        od = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([7, 7, 8], pa.int64()),
+                # orders 1 and 3 tie on total price -> orderkey breaks it
+                "o_totalprice": pa.array([55.5, 1.0, 55.5]),
+                "o_orderdate": pa.array([86_400_000_000 * d for d in [1, 2, 3]], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+        cu = pa.table(
+            {
+                "c_custkey": pa.array([7, 8], pa.int64()),
+                "c_nationkey": pa.array([3, 4], pa.int32()),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, "lineitem", li)
+            self._write(d, "orders", od)
+            self._write(d, "customer", cu)
+            out = large_volume_customers(d, min_qty=10).to_pandas()
+            ref = duckdb.connect().execute(
+                "WITH w AS (SELECT l_orderkey, CAST(SUM(CAST(round(l_quantity) "
+                "AS BIGINT)) AS BIGINT) AS sum_qty FROM "
+                f"read_parquet('{d}/lineitem.parquet') GROUP BY 1 "
+                "HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 10) "
+                "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+                "o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us, "
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS total_c, w.sum_qty "
+                f"FROM w, read_parquet('{d}/orders.parquet') AS o, "
+                f"read_parquet('{d}/customer.parquet') AS c "
+                "WHERE o_orderkey = w.l_orderkey AND c_custkey = o_custkey "
+                "ORDER BY total_c DESC, o_orderkey LIMIT 100"
+            ).fetchdf()
+        assert out["o_orderkey"].tolist() == [1, 3]  # tie broken by orderkey
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    def test_above_avg_strict_and_tied(self, ray_session):
+        """[100,200,300] -> only 300 beats its average; an all-equal
+        customer contributes nothing (strict >, integer-exact)."""
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from sprout_ray.pipelines.analytics import orders_above_cust_avg
+
+        od = pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "o_totalprice": pa.array([100.0, 200.0, 300.0, 50.0, 50.0]),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3 + ["2-HIGH"] * 2),
+            }
+        )
+        cu = pa.table({"c_custkey": pa.array([1, 2], pa.int64())})
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, "orders", od)
+            self._write(d, "customer", cu)
+            out = orders_above_cust_avg(d).to_pandas()
+            ref = duckdb.connect().execute(
+                "WITH c AS (SELECT o_orderpriority, o_custkey, "
+                "CAST(round(o_totalprice * 100) AS BIGINT) AS tc FROM "
+                f"read_parquet('{d}/orders.parquet')), "
+                "w AS (SELECT o_orderpriority, tc, "
+                "SUM(tc) OVER (PARTITION BY o_custkey) AS s, "
+                "COUNT(*) OVER (PARTITION BY o_custkey) AS n FROM c) "
+                "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above "
+                "FROM w WHERE tc * n > s GROUP BY 1 ORDER BY 1"
+            ).fetchdf()
+        assert out.values.tolist() == [["1-URGENT", 1]]
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    def test_union_rollup_disjoint_and_shared_days(self, ray_session):
+        """Days present in one source only appear once; shared days appear
+        under both tags; counts sum across blocks."""
+        import tempfile
+
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from sprout_ray.pipelines.analytics import daily_activity_union
+
+        DAY = 86_400_000_000
+        ev_ts = np.concatenate(
+            [np.full(4, 0 * DAY + 9), np.full(2, 1 * DAY + 9)]
+        ).astype(np.int64)
+        ev = pa.table(
+            {"ts": pa.array(ev_ts).cast(pa.timestamp("us"))}
+        )
+        od = pa.table(
+            {
+                "o_orderdate": pa.array(
+                    np.array([1 * DAY, 1 * DAY, 2 * DAY], np.int64)
+                ).cast(pa.timestamp("us"))
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            self._write(d, "events", ev)
+            self._write(d, "orders", od)
+            out = daily_activity_union(d).to_pandas()
+            ref = duckdb.connect().execute(
+                "WITH u AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+                f"AS day, 'events' AS source FROM read_parquet('{d}/events.parquet') "
+                "UNION ALL SELECT CAST(epoch_us(o_orderdate) // 86400000000 "
+                f"AS BIGINT), 'orders' FROM read_parquet('{d}/orders.parquet')) "
+                "SELECT day, source, CAST(COUNT(*) AS BIGINT) AS n_rows "
+                "FROM u GROUP BY 1, 2 ORDER BY 1, 2"
+            ).fetchdf()
+        assert out.values.tolist() == [
+            [0, "events", 4],
+            [1, "events", 2],
+            [1, "orders", 2],
+            [2, "orders", 1],
+        ]
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
