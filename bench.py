@@ -253,6 +253,16 @@ def query_suite(sf_dir: str) -> dict:
         ("q3_shipping_priority", A.q3_shipping_priority),
         ("fk_integrity_report", A.fk_integrity_report),
         ("type_cooccurrence", A.type_cooccurrence),
+        ("event_session_assignment", A.event_session_assignment),
+        ("user_lifespan_histogram", A.user_lifespan_histogram),
+        ("phrase_occurrences", A.phrase_occurrences),
+        ("anomalous_days", A.anomalous_days),
+        ("longest_daily_streak", A.longest_daily_streak),
+        ("cms_join_size", A.cms_join_size),
+        ("user_type_entropy", A.user_type_entropy),
+        ("large_volume_customers", A.large_volume_customers),
+        ("orders_above_cust_avg", A.orders_above_cust_avg),
+        ("daily_activity_union", A.daily_activity_union),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
