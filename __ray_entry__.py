@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_volume_customers": A.large_volume_customers,
         "orders_above_cust_avg": A.orders_above_cust_avg,
         "daily_activity_union": A.daily_activity_union,
+        "user_setops": A.user_setops,
+        "cube_type_weekday": A.cube_type_weekday,
+        "nations_volume_shipping": A.nations_volume_shipping,
+        "kmv_overlap_exact": A.kmv_overlap_exact,
     }
 
 
@@ -1155,6 +1159,65 @@ def oracle_sql() -> dict[str, str]:
             "'orders' FROM orders) "
             "SELECT day, source, CAST(COUNT(*) AS BIGINT) AS n_rows "
             "FROM u GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # relational INTERSECT / EXCEPT over distinct-key subqueries
+        "user_setops": (
+            "WITH c AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT CAST((SELECT count(*) FROM (SELECT user_id FROM c "
+            "INTERSECT SELECT user_id FROM p)) AS BIGINT) AS n_both, "
+            "CAST((SELECT count(*) FROM (SELECT user_id FROM c "
+            "EXCEPT SELECT user_id FROM p)) AS BIGINT) AS n_click_only, "
+            "CAST((SELECT count(*) FROM (SELECT user_id FROM p "
+            "EXCEPT SELECT user_id FROM c)) AS BIGINT) AS n_purchase_only"
+        ),
+        # GROUP BY CUBE with the GROUPING() bitmask; the Ray side expands
+        # grouping sets map-side and never folds on the driver
+        "cube_type_weekday": (
+            "WITH e AS (SELECT event_type, "
+            "CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS d, "
+            "CAST(round(value * 100) AS BIGINT) AS vc FROM events) "
+            "SELECT COALESCE(event_type, '(all)') AS event_type, "
+            "COALESCE(d, -1) AS dow, "
+            "CAST(GROUPING(event_type, d) AS BIGINT) AS gid, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(vc) AS BIGINT) AS value_c "
+            "FROM e GROUP BY CUBE(event_type, d) ORDER BY gid, event_type, dow"
+        ),
+        # TPC-H Q7 shape: revenue between nation pairs per ship year
+        "nations_volume_shipping": (
+            "WITH rev AS (SELECT l_suppkey, l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rcc, "
+            "CAST(year(l_shipdate) AS BIGINT) AS year FROM lineitem) "
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "year, CAST(SUM(rcc) AS BIGINT) AS revenue_cc, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM rev "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation n1 ON n1.n_nationkey = s_nationkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation n2 ON n2.n_nationkey = c_nationkey "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # degenerate-exact KMV overlap (k above both distinct counts);
+        # jaccard in integer ppm — non-negative floor division parity
+        "kmv_overlap_exact": (
+            "WITH c AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'click'), "
+            "p AS (SELECT DISTINCT user_id FROM events "
+            "WHERE event_type = 'purchase'), "
+            "i AS (SELECT count(*) AS n FROM (SELECT user_id FROM c "
+            "INTERSECT SELECT user_id FROM p)), "
+            "u AS (SELECT count(*) AS n FROM (SELECT user_id FROM c "
+            "UNION SELECT user_id FROM p)) "
+            "SELECT CAST(u.n AS BIGINT) AS n_union, "
+            "CAST(i.n AS BIGINT) AS n_inter, "
+            "CAST(i.n * 1000000 // GREATEST(u.n, 1) AS BIGINT) AS jaccard_ppm "
+            "FROM i, u"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

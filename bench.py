@@ -263,6 +263,10 @@ def query_suite(sf_dir: str) -> dict:
         ("large_volume_customers", A.large_volume_customers),
         ("orders_above_cust_avg", A.orders_above_cust_avg),
         ("daily_activity_union", A.daily_activity_union),
+        ("user_setops", A.user_setops),
+        ("cube_type_weekday", A.cube_type_weekday),
+        ("nations_volume_shipping", A.nations_volume_shipping),
+        ("kmv_overlap_exact", A.kmv_overlap_exact),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -6271,3 +6271,323 @@ def daily_activity_union(sf_dir: str):
         .map_batches(unpack, batch_format="pyarrow")
         .sort(["day", "source"])
     )
+
+
+def user_setops(sf_dir: str):
+    """Relational INTERSECT / EXCEPT over distinct-key subqueries: how
+    many users both clicked and purchased, clicked only, purchased only.
+
+    Shape: one scan; irrelevant event types drop map-side, then each
+    block pre-aggregates (user_id, click-flag, purchase-flag) via a
+    native ``pa.Table.group_by`` max (presence is monotone, so per-block
+    max partials compose with the one native groupby-max shuffle); the
+    final per-block combination tally ships O(blocks) 3-column rows.
+    No distinct-join and no driver-side id set ever materializes."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def flags(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.equal(t["event_type"], "click"), pa.int8())
+        p = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int8())
+        tt = pa.table({"user_id": t["user_id"], "c": c, "p": p}).filter(
+            pc.or_(pc.equal(c, 1), pc.equal(p, 1))
+        )
+        g = tt.group_by("user_id").aggregate([("c", "max"), ("p", "max")])
+        return g.rename_columns(["user_id", "c", "p"])
+
+    per_user = (
+        ev.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Max("c", alias_name="c"), Max("p", alias_name="p"))
+    )
+
+    def tally(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(bool)
+        p = t["p"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "n_both": pa.array([int((c & p).sum())], pa.int64()),
+                "n_click_only": pa.array([int((c & ~p).sum())], pa.int64()),
+                "n_purchase_only": pa.array([int((~c & p).sum())], pa.int64()),
+            }
+        )
+
+    tot = per_user.map_batches(tally, batch_format="pyarrow").sum(
+        ["n_both", "n_click_only", "n_purchase_only"]
+    )
+    return pa.table(
+        {
+            "n_both": pa.array([int(tot["sum(n_both)"])], pa.int64()),
+            "n_click_only": pa.array([int(tot["sum(n_click_only)"])], pa.int64()),
+            "n_purchase_only": pa.array(
+                [int(tot["sum(n_purchase_only)"])], pa.int64()
+            ),
+        }
+    )
+
+
+def cube_type_weekday(sf_dir: str):
+    """GROUP BY CUBE(event_type, weekday): counts and integer-cent value
+    sums at all four grouping levels, with the SQL GROUPING() bitmask
+    (bit1 = event_type aggregated, bit0 = weekday aggregated).
+
+    Shape: map-side grouping-set expansion — each block reduces to its
+    finest (type x dow) grid with a native ``pa.Table.group_by``, then
+    replicates those <= |types| x 7 partials into all four grouping sets
+    BEFORE the shuffle, packing (gid, type_code, dow) into one int64 so
+    the single native groupby-sum carries <= 4x grid rows per block.
+    Unlike the ROLLUP twin (driver fold), CUBE stays fully distributed:
+    no driver-side fold at any cardinality."""
+    day_us = 86_400_000_000
+
+    vocab_rows = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": pa.array(
+                        np.unique(
+                            t["event_type"].to_numpy(zero_copy_only=False)
+                        ).tolist(),
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    nt = len(vocab)
+    code_all, dow_all = nt, 7  # sentinels for the aggregated axes
+    span = (nt + 1) * 8  # pk = gid*span + code*8 + dow
+
+    def pre(t: pa.Table) -> pa.Table:
+        code = (
+            pc.index_in(t["event_type"], value_set=vocab_pa)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // day_us + 4) % 7  # epoch day 0 (1970-01-01) = Thursday
+        vc = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+        g = (
+            pa.table({"b": pa.array(code * 8 + dow), "v": vc})
+            .group_by("b")
+            .aggregate([("v", "sum"), ("v", "count")])
+        )
+        b = g["b"].to_numpy(zero_copy_only=False)
+        s = g["v_sum"].to_numpy(zero_copy_only=False)
+        n = g["v_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gcode, gdow = b >> 3, b & 7
+        pks, sums, cnts = [], [], []
+        for gid, (kc, kd) in enumerate(
+            [(gcode, gdow), (gcode, None), (None, gdow), (None, None)]
+        ):
+            key = (kc if kc is not None else np.full_like(b, code_all)) * 8 + (
+                kd if kd is not None else np.full_like(b, dow_all)
+            )
+            u, inv = np.unique(key, return_inverse=True)
+            pks.append(gid * span + u)
+            # exact integer accumulation (grid-sized, so np.add.at is cheap)
+            su = np.zeros(len(u), dtype=np.int64)
+            np.add.at(su, inv, s)
+            cu = np.zeros(len(u), dtype=np.int64)
+            np.add.at(cu, inv, n)
+            sums.append(su)
+            cnts.append(cu)
+        return pa.table(
+            {
+                "pk": pa.array(np.concatenate(pks)),
+                "s": pa.array(np.concatenate(sums)),
+                "n": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .sum(["s", "n"])
+    )
+
+    names = np.concatenate([vocab, np.array(["(all)"], dtype=object)])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        gid, rem = pk // span, pk % span
+        code, dow = rem >> 3, rem & 7
+        return pa.table(
+            {
+                "event_type": pa.array(names[code].tolist(), pa.string()),
+                "dow": pa.array(np.where(dow == dow_all, -1, dow)),
+                "gid": pa.array(gid),
+                "n_events": t["sum(n)"],
+                "value_c": t["sum(s)"],
+            }
+        )
+
+    return (
+        agg.map_batches(unpack, batch_format="pyarrow")
+        .sort(["gid", "event_type", "dow"])
+    )
+
+
+def nations_volume_shipping(sf_dir: str):
+    """TPC-H Q7-shaped volume shipping: revenue between every
+    (supplier nation, customer nation) pair per ship year.
+
+    Shape: the lineitem stream rides two size-guarded lookup joins —
+    supplier (suppkey -> nationkey), then the customer-enriched orders
+    dimension (orderkey -> customer nationkey), each broadcast at this
+    sf and a distributed hash join above the budget. Per-block partials
+    pack (year, supp_nat, cust_nat) into one int64 so the single native
+    groupby-sum carries only grid-bounded rows; the 25-row nation name
+    table attaches AFTER aggregation on the tiny result grid. Revenue in
+    integer centi-cents (round(ext*100) * (100 - round(disc*100)))."""
+    import ray
+
+    from ..stages.joins import broadcast_lookup_join
+
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nname = np.empty(32, dtype=object)
+    for r in nat_rows:
+        if not (0 <= int(r["n_nationkey"]) < 32):
+            raise ValueError("n_nationkey out of 5-bit pack range")
+        nname[int(r["n_nationkey"])] = r["n_name"]
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    ord_enriched = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_count=n_cust, left_count=n_orders
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nat"]), batch_format="pyarrow"
+    )
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(
+            _oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        rev_cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "o_orderkey": t["l_orderkey"],
+                "year": pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+                "rev_cc": rev_cc,
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True)
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+    li = broadcast_lookup_join(
+        li, ord_enriched, on="o_orderkey", right_count=n_orders, left_count=n_li
+    )
+
+    def grid_partials(t: pa.Table) -> pa.Table:
+        year = t["year"].to_numpy(zero_copy_only=False)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        pk = (year << 10) | (sn << 5) | cn
+        g = (
+            pa.table({"pk": pa.array(pk), "rev_cc": t["rev_cc"]})
+            .group_by("pk")
+            .aggregate([("rev_cc", "sum"), ("rev_cc", "count")])
+        )
+        return g.rename_columns(["pk", "s", "n"])
+
+    agg = (
+        li.map_batches(grid_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .sum(["s", "n"])
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "supp_nation": pa.array(
+                    nname[(pk >> 5) & 31].tolist(), pa.string()
+                ),
+                "cust_nation": pa.array(nname[pk & 31].tolist(), pa.string()),
+                "year": pa.array(pk >> 10),
+                "revenue_cc": t["sum(s)"],
+                "n_items": t["sum(n)"],
+            }
+        )
+
+    return (
+        agg.map_batches(unpack, batch_format="pyarrow")
+        .sort(["supp_nation", "cust_nation", "year"])
+    )
+
+
+def kmv_overlap_exact(sf_dir: str, k: int = 1 << 17):
+    """Degenerate-exact KMV overlap twin of ``kmv_user_overlap``: with k
+    above both distinct counts each sketch retains EVERY distinct key
+    hash, so union / intersection / Jaccard read out exactly and the
+    query takes the full rows+schema+hash oracle gate (the same
+    exact-degenerate discipline as the MG / KMV distinct twins).
+
+    Jaccard reports in integer ppm via floor division — operands are
+    non-negative, where numpy/Python ``//`` and DuckDB ``//`` agree."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    a = build_sketch(
+        ev.filter(expr="event_type == 'click'"),
+        SketchSpec.of("kmv", k),
+        on="user_id",
+    )
+    b = build_sketch(
+        ev.filter(expr="event_type == 'purchase'"),
+        SketchSpec.of("kmv", k),
+        on="user_id",
+    )
+    if not (a.is_exact() and b.is_exact()):
+        raise ValueError(
+            "kmv_overlap_exact requires k above both distinct counts; raise k"
+        )
+    ha, hb = set(a.hashes.tolist()), set(b.hashes.tolist())
+    n_union, n_inter = len(ha | hb), len(ha & hb)
+    return pa.table(
+        {
+            "n_union": pa.array([n_union], pa.int64()),
+            "n_inter": pa.array([n_inter], pa.int64()),
+            "jaccard_ppm": pa.array(
+                [(n_inter * 1_000_000) // max(n_union, 1)], pa.int64()
+            ),
+        }
+    )

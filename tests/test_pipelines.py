@@ -1500,3 +1500,163 @@ def test_props_key_stats_missing_keys(tmp_path, ray_session):
     pd.testing.assert_frame_equal(
         out.reset_index(drop=True), want, check_dtype=False
     )
+
+
+def test_user_setops_planted(tmp_path, ray_session):
+    """INTERSECT/EXCEPT combination counts on a planted user universe:
+    both / click-only / purchase-only partition correctly, other event
+    types never leak a user in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2, 3, 3, 4, 5, 5], pa.int64()),
+            "event_type": pa.array(
+                ["click", "purchase", "purchase", "click", "click",
+                 "view", "click", "view"]
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = _pd(A.user_setops(str(tmp_path)))
+    assert out["n_both"].tolist() == [1]        # user 1
+    assert out["n_click_only"].tolist() == [2]  # users 3, 5
+    assert out["n_purchase_only"].tolist() == [1]  # user 2
+
+
+def test_cube_type_weekday_planted(tmp_path, ray_session):
+    """CUBE invariants on a planted grid: every grouping level sums to
+    the same grand total, the gid=3 row IS the grand total, and the
+    DuckDB GROUP BY CUBE twin agrees bit-for-bit (incl. a planted
+    exact-.5 half-away rounding case, positive and negative)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    day_us = 86_400_000_000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [0, day_us, 2 * day_us, 2 * day_us + 1, 3 * day_us],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a", "a", "b", "b", "a"]),
+            "value": pa.array([0.125, -0.125, 1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(t, path)
+    out = _pd(A.cube_type_weekday(str(tmp_path)))
+    grand = out[out["gid"] == 3]
+    assert grand["n_events"].tolist() == [5]
+    for gid in (0, 1, 2):
+        lvl = out[out["gid"] == gid]
+        assert lvl["n_events"].sum() == 5
+        assert lvl["value_c"].sum() == grand["value_c"].iloc[0]
+    # exact-.5 half-away: 0.125 -> 13, -0.125 -> -13 (not banker's 12)
+    assert grand["value_c"].tolist() == [13 - 13 + 100 + 200 + 300]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = con.execute(E.oracle_sql()["cube_type_weekday"]).df()
+    con.close()
+    got = out.sort_values(list(out.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_nations_volume_shipping_planted(tmp_path, ray_session):
+    """Q7 join chain on a planted 5-table micro-warehouse: revenue lands
+    on the right (supp_nation, cust_nation, year) cell; DuckDB twin
+    agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int32()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 11], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int32()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([20, 21], pa.int64()),
+                "c_nationkey": pa.array([1, 0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([30, 31], pa.int64()),
+                "o_custkey": pa.array([20, 21], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([30, 30, 31], pa.int64()),
+                "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 200.0, 50.0], pa.float64()),
+                "l_discount": pa.array([0.1, 0.0, 0.05], pa.float64()),
+                "l_shipdate": pa.array(
+                    [86_400_000_000 * 9000, 86_400_000_000 * 9000,
+                     86_400_000_000 * 9500],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = _pd(A.nations_volume_shipping(str(tmp_path)))
+    # line 1: supp ALPHA -> cust BETA, 10000c * 90 = 900000 centi-cents
+    row = out[(out["supp_nation"] == "ALPHA") & (out["cust_nation"] == "BETA")]
+    assert row["revenue_cc"].tolist() == [900000]
+
+    con = duckdb.connect()
+    for tbl in ("nation", "supplier", "customer", "orders", "lineitem"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{tmp_path}/{tbl}.parquet'")
+    want = con.execute(E.oracle_sql()["nations_volume_shipping"]).df()
+    con.close()
+    got = out.sort_values(list(out.columns)).reset_index(drop=True)
+    want = want.sort_values(list(want.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_kmv_overlap_exact_guard(tmp_path, ray_session):
+    """Below-capacity requirement is loud: a k smaller than the distinct
+    count must raise, never silently fall back to the estimator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "user_id": pa.array(list(range(64)), pa.int64()),
+            "event_type": pa.array(["click"] * 64),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="raise k"):
+        A.kmv_overlap_exact(str(tmp_path), k=16)
