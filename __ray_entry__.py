@@ -195,6 +195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_type_weekday": A.cube_type_weekday,
         "nations_volume_shipping": A.nations_volume_shipping,
         "kmv_overlap_exact": A.kmv_overlap_exact,
+        "parts_pareto": A.parts_pareto,
+        "daily_counts_dense": A.daily_counts_dense,
     }
 
 
@@ -1218,6 +1220,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(i.n AS BIGINT) AS n_inter, "
             "CAST(i.n * 1000000 // GREATEST(u.n, 1) AS BIGINT) AS jaccard_ppm "
             "FROM i, u"
+        ),
+        # Pareto frontier via correlated NOT EXISTS dominance; duplicate
+        # (size, price) points are mutually non-dominating tie classes
+        "parts_pareto": (
+            "WITH p AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(round(p_retailprice * 100) AS BIGINT) AS price_c FROM part) "
+            "SELECT p_partkey, p_size, price_c FROM p "
+            "WHERE NOT EXISTS (SELECT 1 FROM p q "
+            "WHERE q.p_size <= p.p_size AND q.price_c <= p.price_c "
+            "AND (q.p_size < p.p_size OR q.price_c < p.price_c)) "
+            "ORDER BY p_partkey"
+        ),
+        # calendar densification: generated day axis LEFT JOIN counts,
+        # zero-activity days preserved
+        "daily_counts_dense": (
+            "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day FROM events), "
+            "c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM d "
+            "GROUP BY day), "
+            "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+            "cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b) "
+            "SELECT cal.day, COALESCE(c.n, 0) AS n_events "
+            "FROM cal LEFT JOIN c ON c.day = cal.day ORDER BY cal.day"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -267,6 +267,8 @@ def query_suite(sf_dir: str) -> dict:
         ("cube_type_weekday", A.cube_type_weekday),
         ("nations_volume_shipping", A.nations_volume_shipping),
         ("kmv_overlap_exact", A.kmv_overlap_exact),
+        ("parts_pareto", A.parts_pareto),
+        ("daily_counts_dense", A.daily_counts_dense),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -6591,3 +6591,119 @@ def kmv_overlap_exact(sf_dir: str, k: int = 1 << 17):
             ),
         }
     )
+
+
+def parts_pareto(sf_dir: str):
+    """Pareto frontier (2-D skyline) over part (size, price): parts not
+    dominated by any other part on (p_size <=, price <=) with at least
+    one strict inequality. Duplicate (size, price) points are mutually
+    non-dominating, so whole tie classes survive together.
+
+    Skyline is distributive: each block keeps its LOCAL skyline (sort
+    unique pairs by size, running strict-min price — vectorized), the
+    union of local skylines provably contains the global frontier, and
+    one final pass over that small candidate set (repartition(1): a 2-D
+    skyline of n random points is O(log n) sized, and the block pass
+    bounds what crosses) finishes exactly. No driver-side loop."""
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        size = t["p_size"].to_numpy(zero_copy_only=False)
+        price = t["price_c"].to_numpy(zero_copy_only=False)
+        pairs = np.stack([size, price], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        us, up = uniq[:, 0], uniq[:, 1]
+        # np.unique sorts by (size, price): the first row of each size
+        # group is that size's min price — the only candidate there (any
+        # higher price is dominated by it via strict price)
+        first_of_size = np.concatenate([[True], us[1:] != us[:-1]])
+        mins_per_size = up[first_of_size]
+        # a size's min survives iff STRICTLY below every smaller size's
+        # min (equal price at a smaller size dominates via strict size)
+        best_before = np.concatenate(
+            [[np.iinfo(np.int64).max],
+             np.minimum.accumulate(mins_per_size)[:-1]]
+        )
+        pair_ok = np.zeros(len(uniq), dtype=bool)
+        pair_ok[np.flatnonzero(first_of_size)] = mins_per_size < best_before
+        return t.filter(pa.array(pair_ok[inv]))
+
+    prep = _read(
+        sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "price_c": pc.cast(
+                    _oround(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return (
+        prep.map_batches(local_skyline, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_skyline, batch_format="pyarrow")
+        .sort("p_partkey")
+    )
+
+
+def daily_counts_dense(sf_dir: str):
+    """Calendar densification (gap filling): one row per day from the
+    first to the last event day INCLUSIVE, zero-count days preserved —
+    the generate_series LEFT JOIN shape reports rely on.
+
+    Shape: the day bounds come from one cheap min/max aggregate; the
+    dense axis is ``ray.data.range`` (generated, never materialized on
+    the driver); per-day counts pre-aggregate per block before their one
+    native groupby; the dense axis LEFT-joins the tiny count table via
+    the size-guarded lookup join (day count is bounded by the time span,
+    not the row count) and misses fill with 0."""
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_lookup_join
+
+    day_us = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def day_partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day, n = np.unique(us // day_us, return_counts=True)
+        return pa.table(
+            {"day": pa.array(day), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counts = (
+        ev.map_batches(day_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["day", "n"]), batch_format="pyarrow"
+        )
+    )
+    from ray.data.aggregate import Max, Min
+
+    bounds = counts.aggregate(Min("day"), Max("day"))
+    lo, hi = int(bounds["min(day)"]), int(bounds["max(day)"])
+    n_days = hi - lo + 1
+
+    dense = rd.range(n_days).map_batches(
+        lambda t: pa.table({"day": pa.array(t["id"].to_numpy() + lo)}),
+        batch_format="pyarrow",
+    )
+    joined = broadcast_lookup_join(
+        dense, counts, on="day", right_count=n_days, how="left"
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "day": t["day"],
+                "n_events": pc.coalesce(t["n"], pa.scalar(0, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("day")

@@ -1660,3 +1660,48 @@ def test_kmv_overlap_exact_guard(tmp_path, ray_session):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     with pytest.raises(ValueError, match="raise k"):
         A.kmv_overlap_exact(str(tmp_path), k=16)
+
+
+def test_parts_pareto_planted(tmp_path, ray_session):
+    """Skyline edge cases: duplicate-point tie classes survive together,
+    equal price at a smaller size dominates (strict size), equal size
+    higher price is dominated (strict price)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "p_size": pa.array([1, 1, 2, 2, 3, 3], pa.int32()),
+            # (1,5.0) (1,5.0) dup tie-class; (2,5.0) dominated by size 1
+            # same price; (2,3.0) survives; (3,3.0) dominated by (2,3.0);
+            # (3,1.0) survives
+            "p_retailprice": pa.array(
+                [5.0, 5.0, 5.0, 3.0, 3.0, 1.0], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = _pd(A.parts_pareto(str(tmp_path)))
+    assert out["p_partkey"].tolist() == [1, 2, 4, 6]
+
+
+def test_daily_counts_dense_gap(tmp_path, ray_session):
+    """Zero-activity days INSIDE the span materialize with n_events=0 —
+    the regime the driver testdata (no gaps) never exercises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                [10 * day_us, 10 * day_us + 1, 13 * day_us],
+                pa.timestamp("us"),
+            )
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = _pd(A.daily_counts_dense(str(tmp_path)))
+    assert out["day"].tolist() == [10, 11, 12, 13]
+    assert out["n_events"].tolist() == [2, 0, 0, 1]
