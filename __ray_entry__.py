@@ -197,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_overlap_exact": A.kmv_overlap_exact,
         "parts_pareto": A.parts_pareto,
         "daily_counts_dense": A.daily_counts_dense,
+        "orders_late_exists": A.orders_late_exists,
+        "daily_delta": A.daily_delta,
+        "docs_grouping_sets": A.docs_grouping_sets,
     }
 
 
@@ -1243,6 +1246,42 @@ def oracle_sql() -> dict[str, str]:
             "cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b) "
             "SELECT cal.day, COALESCE(c.n, 0) AS n_events "
             "FROM cal LEFT JOIN c ON c.day = cal.day ORDER BY cal.day"
+        ),
+        # TPC-H Q4 shape: EXISTS with an inequality, reduced to a
+        # per-order max on the Ray side
+        "orders_late_exists": (
+            "SELECT o_orderpriority, "
+            "CAST(count(*) AS BIGINT) AS n_late_orders FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND epoch_us(l_shipdate) > epoch_us(o_orderdate) "
+            "+ 30 * 86400000000) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        # LAG window over the densified aggregate series (NULL first row)
+        "daily_delta": (
+            "WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) "
+            "AS day FROM events), "
+            "c AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM d "
+            "GROUP BY day), "
+            "b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), "
+            "cal AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), "
+            "dense AS (SELECT cal.day, COALESCE(c.n, 0) AS n_events "
+            "FROM cal LEFT JOIN c ON c.day = cal.day) "
+            "SELECT day, n_events, "
+            "CAST(n_events - lag(n_events) OVER (ORDER BY day) AS BIGINT) "
+            "AS delta FROM dense ORDER BY day"
+        ),
+        # custom GROUPING SETS ((lang), (source)) — completes the
+        # ROLLUP / CUBE / GROUPING SETS trio
+        "docs_grouping_sets": (
+            "SELECT COALESCE(lang, '(all)') AS lang, "
+            "COALESCE(source, '(all)') AS source, "
+            "CAST(GROUPING(lang, source) AS BIGINT) AS gid, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY GROUPING SETS ((lang), (source)) "
+            "ORDER BY gid, lang, source"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

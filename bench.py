@@ -269,6 +269,9 @@ def query_suite(sf_dir: str) -> dict:
         ("kmv_overlap_exact", A.kmv_overlap_exact),
         ("parts_pareto", A.parts_pareto),
         ("daily_counts_dense", A.daily_counts_dense),
+        ("orders_late_exists", A.orders_late_exists),
+        ("daily_delta", A.daily_delta),
+        ("docs_grouping_sets", A.docs_grouping_sets),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

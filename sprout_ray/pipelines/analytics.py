@@ -6707,3 +6707,181 @@ def daily_counts_dense(sf_dir: str):
         ),
         batch_format="pyarrow",
     ).sort("day")
+
+
+def orders_late_exists(sf_dir: str, grace_days: int = 30):
+    """TPC-H Q4-shaped EXISTS with an inequality: per order priority,
+    how many ORDERS have at least one line item shipped more than
+    ``grace_days`` after the order date.
+
+    Shape: EXISTS(ship > date + g) over an order's items is equivalent
+    to max(shipdate) > date + g, so lineitem reduces to per-order max
+    partials per block (only orderkey-level rows shuffle into the one
+    native groupby-max); the tiny-by-construction comparison then rides
+    the size-guarded lookup join against orders and folds per-block
+    priority counts. Comparison in integer epoch-us on both sides."""
+    from ray.data.aggregate import Max
+
+    from ..stages.joins import broadcast_lookup_join
+
+    day_us = 86_400_000_000
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            )
+            .group_by("o_orderkey")
+            .aggregate([("ship_us", "max")])
+        )
+        return g.rename_columns(["o_orderkey", "max_ship_us"])
+
+    per_order = (
+        li.map_batches(ship_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
+    )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    joined = broadcast_lookup_join(
+        orders, per_order, on="o_orderkey", right_count=n_orders
+    )
+
+    def late_partials(t: pa.Table) -> pa.Table:
+        late = pc.greater(
+            t["max_ship_us"],
+            pc.add(t["order_us"], pa.scalar(grace_days * day_us, pa.int64())),
+        )
+        g = (
+            pa.table({"o_orderpriority": t["o_orderpriority"]})
+            .filter(late)
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_late_orders"])
+
+    return (
+        joined.map_batches(late_partials, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n_late_orders")
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderpriority", "n_late_orders"]),
+            batch_format="pyarrow",
+        )
+        .sort("o_orderpriority")
+    )
+
+
+def daily_delta(sf_dir: str):
+    """Window-over-aggregate: the dense daily event series with each
+    day's count delta vs the previous day (LAG on an aggregated axis —
+    gap days count 0, so deltas cross gaps exactly like the SQL twin).
+
+    Shape: reuses the densified series (generated day axis LEFT JOIN
+    per-day count partials); the diff runs vectorized in ONE block —
+    legal because the series is bounded by the time span in days, not
+    by the event volume."""
+    dense = daily_counts_dense(sf_dir)
+
+    def diff(t: pa.Table) -> pa.Table:
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        day = t["day"].to_numpy(zero_copy_only=False)
+        order = np.argsort(day)
+        day, n = day[order], n[order]
+        delta = np.concatenate([[0], np.diff(n)])
+        first = np.zeros(len(n), dtype=bool)
+        if len(first):
+            first[0] = True
+        return pa.table(
+            {
+                "day": pa.array(day),
+                "n_events": pa.array(n),
+                # SQL LAG yields NULL on the first row; mirror it
+                "delta": pa.array(delta, pa.int64(), mask=first),
+            }
+        )
+
+    return dense.repartition(1).map_batches(
+        diff, batch_format="pyarrow"
+    ).sort("day")
+
+
+def docs_grouping_sets(sf_dir: str):
+    """Custom GROUPING SETS ((lang), (source)) over documents — the
+    third grouping-sets variant next to the ROLLUP (driver fold) and
+    CUBE (map-side expansion) twins: counts and n_chars sums per lang
+    and per source in ONE scan, tagged with the GROUPING() bitmask.
+
+    Shape: each block pre-aggregates both sets natively and unions the
+    partials (|langs| + |sources| rows per block); one native groupby
+    over the composite string key finishes. No second scan, no driver
+    fold."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        out = []
+        # gid per DuckDB GROUPING(lang, source): bit1 = lang aggregated,
+        # bit0 = source aggregated. Set (lang) -> gid 1; (source) -> 2.
+        for col, gid in (("lang", 1), ("source", 2)):
+            g = (
+                pa.table({col: t[col], "n_chars": t["n_chars"]})
+                .group_by(col)
+                .aggregate([("n_chars", "sum"), ("n_chars", "count")])
+            )
+            key = pc.binary_join_element_wise(
+                pa.scalar(str(gid)), g[col], "|"
+            )
+            out.append(
+                pa.table(
+                    {
+                        "k": key,
+                        "s": g["n_chars_sum"],
+                        "n": pc.cast(g["n_chars_count"], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum(["s", "n"])
+    )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t["k"].to_pylist()
+        gids = np.array([int(x.split("|", 1)[0]) for x in k], dtype=np.int64)
+        vals = [x.split("|", 1)[1] for x in k]
+        lang = [v if g == 1 else "(all)" for v, g in zip(vals, gids)]
+        src = [v if g == 2 else "(all)" for v, g in zip(vals, gids)]
+        return pa.table(
+            {
+                "lang": pa.array(lang, pa.string()),
+                "source": pa.array(src, pa.string()),
+                "gid": pa.array(gids),
+                "n_docs": t["sum(n)"],
+                "sum_chars": t["sum(s)"],
+            }
+        )
+
+    return (
+        agg.map_batches(unpack, batch_format="pyarrow")
+        .sort(["gid", "lang", "source"])
+    )

@@ -1705,3 +1705,66 @@ def test_daily_counts_dense_gap(tmp_path, ray_session):
     out = _pd(A.daily_counts_dense(str(tmp_path)))
     assert out["day"].tolist() == [10, 11, 12, 13]
     assert out["n_events"].tolist() == [2, 0, 0, 1]
+
+
+def test_orders_late_exists_boundary(tmp_path, ray_session):
+    """EXISTS inequality is STRICT: a ship exactly grace_days after the
+    order date is not late; one item past the line makes the whole
+    order late exactly once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_orderdate": pa.array(
+                    [0, 0, 0], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2, 3, 3], pa.int64()),
+                # order 1: exactly 30d -> NOT late; order 2: 30d+1us ->
+                # late; order 3: two late items -> counted once
+                "l_shipdate": pa.array(
+                    [30 * day_us, 30 * day_us + 1, 31 * day_us, 40 * day_us],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = _pd(A.orders_late_exists(str(tmp_path)))
+    assert out["n_late_orders"].tolist() == [2]
+
+
+def test_daily_delta_gap_and_null(tmp_path, ray_session):
+    """Delta crosses zero-filled gap days; the first row's delta is NULL
+    (SQL LAG parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [5 * day_us, 5 * day_us + 1, 8 * day_us],
+                    pa.timestamp("us"),
+                )
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.daily_delta(str(tmp_path)))
+    assert out["day"].tolist() == [5, 6, 7, 8]
+    assert out["n_events"].tolist() == [2, 0, 0, 1]
+    assert pd.isna(out["delta"].iloc[0])
+    assert out["delta"].tolist()[1:] == [-2, 0, 1]
