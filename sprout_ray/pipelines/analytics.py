@@ -6715,19 +6715,24 @@ def orders_late_exists(sf_dir: str, grace_days: int = 30):
     ``grace_days`` after the order date.
 
     Shape: EXISTS(ship > date + g) over an order's items is equivalent
-    to max(shipdate) > date + g, so lineitem reduces to per-order max
-    partials per block (only orderkey-level rows shuffle into the one
-    native groupby-max); the tiny-by-construction comparison then rides
-    the size-guarded lookup join against orders and folds per-block
-    priority counts. Comparison in integer epoch-us on both sides."""
+    to max(shipdate) > date + g — and the orderkey equi-join resolves
+    INSIDE the same groupby: both sides union into one keyed stream
+    (lineitem thins to per-block orderkey max partials; orders carry
+    their threshold + priority code with nulls on the other side's
+    columns) and a single null-skipping groupby-max yields
+    (max_ship, thresh, pcode) per order. No broadcast, no driver
+    collect, ONE shuffle — the sort-merge-join-as-aggregate shape.
+    Orders with no line items come out null-shipped and drop (EXISTS
+    false). Comparison in integer epoch-us on both sides."""
     from ray.data.aggregate import Max
 
-    from ..stages.joins import broadcast_lookup_join
-
     day_us = 86_400_000_000
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    prio = sorted(
+        _read(sf_dir, "orders", ["o_orderpriority"]).unique("o_orderpriority")
+    )
+    prio_pa = pa.array(prio, pa.string())
 
-    def ship_partials(t: pa.Table) -> pa.Table:
+    def li_side(t: pa.Table) -> pa.Table:
         g = (
             pa.table(
                 {
@@ -6738,53 +6743,73 @@ def orders_late_exists(sf_dir: str, grace_days: int = 30):
             .group_by("o_orderkey")
             .aggregate([("ship_us", "max")])
         )
-        return g.rename_columns(["o_orderkey", "max_ship_us"])
+        n = g.num_rows
+        return pa.table(
+            {
+                "o_orderkey": g["o_orderkey"],
+                "ship_us": g["ship_us_max"],
+                "thresh_us": pa.nulls(n, pa.int64()),
+                "pcode": pa.nulls(n, pa.int64()),
+            }
+        )
 
-    per_order = (
-        li.map_batches(ship_partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("o_orderkey")
-        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
-    )
-
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(
-        lambda t: pa.table(
+    def ord_side(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
                 "o_orderkey": t["o_orderkey"],
-                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
-                "o_orderpriority": t["o_orderpriority"],
+                "ship_us": pa.nulls(t.num_rows, pa.int64()),
+                "thresh_us": pc.add(
+                    pc.cast(t["o_orderdate"], pa.int64()),
+                    pa.scalar(grace_days * day_us, pa.int64()),
+                ),
+                "pcode": pc.cast(
+                    pc.index_in(t["o_orderpriority"], value_set=prio_pa),
+                    pa.int64(),
+                ),
             }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        )
+
+    keyed = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            _read(
+                sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"],
+            ).map_batches(ord_side, batch_format="pyarrow", zero_copy_batch=True)
+        )
     )
-    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
-    joined = broadcast_lookup_join(
-        orders, per_order, on="o_orderkey", right_count=n_orders
+    per_order = keyed.groupby("o_orderkey").aggregate(
+        Max("ship_us", alias_name="ship_us"),
+        Max("thresh_us", alias_name="thresh_us"),
+        Max("pcode", alias_name="pcode"),
     )
 
     def late_partials(t: pa.Table) -> pa.Table:
-        late = pc.greater(
-            t["max_ship_us"],
-            pc.add(t["order_us"], pa.scalar(grace_days * day_us, pa.int64())),
-        )
+        # null ship (no line items) and null-threshold guards both drop
+        # via the null-propagating comparison
+        late = pc.greater(t["ship_us"], t["thresh_us"])
         g = (
-            pa.table({"o_orderpriority": t["o_orderpriority"]})
-            .filter(late)
-            .group_by("o_orderpriority")
+            pa.table({"pcode": t["pcode"]})
+            .filter(pc.fill_null(late, False))
+            .group_by("pcode")
             .aggregate([([], "count_all")])
         )
-        return g.rename_columns(["o_orderpriority", "n_late_orders"])
+        return g.rename_columns(["pcode", "n_late_orders"])
+
+    def unpack(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": pc.take(prio_pa, t["pcode"]),
+                "n_late_orders": t["sum(n_late_orders)"],
+            }
+        )
 
     return (
-        joined.map_batches(late_partials, batch_format="pyarrow")
-        .groupby("o_orderpriority")
+        per_order.map_batches(late_partials, batch_format="pyarrow")
+        .groupby("pcode")
         .sum("n_late_orders")
-        .map_batches(
-            lambda t: t.rename_columns(["o_orderpriority", "n_late_orders"]),
-            batch_format="pyarrow",
-        )
+        .map_batches(unpack, batch_format="pyarrow")
         .sort("o_orderpriority")
     )
 
