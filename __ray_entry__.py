@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late_exists": A.orders_late_exists,
         "daily_delta": A.daily_delta,
         "docs_grouping_sets": A.docs_grouping_sets,
+        "user_growth_accounting": A.user_growth_accounting,
+        "revenue_concentration": A.revenue_concentration,
     }
 
 
@@ -1282,6 +1284,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY GROUPING SETS ((lang), (source)) "
             "ORDER BY gid, lang, source"
+        ),
+        # growth accounting: DAU split into new vs returning via the
+        # per-user first-seen day
+        "user_growth_accounting": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "f AS (SELECT user_id, min(day) AS fd FROM p GROUP BY 1), "
+            "a AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active "
+            "FROM p GROUP BY 1), "
+            "nw AS (SELECT fd AS day, CAST(count(*) AS BIGINT) AS n_new "
+            "FROM f GROUP BY 1) "
+            "SELECT a.day, a.n_active, COALESCE(nw.n_new, 0) AS n_new, "
+            "a.n_active - COALESCE(nw.n_new, 0) AS n_returning "
+            "FROM a LEFT JOIN nw ON nw.day = a.day ORDER BY a.day"
+        ),
+        # revenue concentration: top-100 customer share in ppm,
+        # row_number tie-break by custkey ASC
+        "revenue_concentration": (
+            "WITH pc AS (SELECT o_custkey, "
+            "CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_c FROM orders GROUP BY 1), "
+            "r AS (SELECT rev_c, row_number() OVER "
+            "(ORDER BY rev_c DESC, o_custkey) AS rn FROM pc), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(SUM(rev_c) AS BIGINT) AS total_c FROM pc), "
+            "tp AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS top_c FROM r "
+            "WHERE rn <= 100) "
+            "SELECT t.n_customers, t.total_c, tp.top_c, "
+            "CAST(tp.top_c * 1000000 // GREATEST(t.total_c, 1) AS BIGINT) "
+            "AS top_ppm FROM t, tp"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

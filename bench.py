@@ -272,6 +272,8 @@ def query_suite(sf_dir: str) -> dict:
         ("orders_late_exists", A.orders_late_exists),
         ("daily_delta", A.daily_delta),
         ("docs_grouping_sets", A.docs_grouping_sets),
+        ("user_growth_accounting", A.user_growth_accounting),
+        ("revenue_concentration", A.revenue_concentration),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

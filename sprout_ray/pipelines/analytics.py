@@ -6910,3 +6910,164 @@ def docs_grouping_sets(sf_dir: str):
         agg.map_batches(unpack, batch_format="pyarrow")
         .sort(["gid", "lang", "source"])
     )
+
+
+def user_growth_accounting(sf_dir: str):
+    """Growth accounting: per day, active users split into NEW (first
+    day ever seen) and RETURNING — the DAU decomposition every growth
+    report starts from.
+
+    Shape: ONE distinct (user, day) pair stream (per-block packed-key
+    dedupe, one native groupby) feeds both legs: actives = per-block day
+    counts over the pair stream; news = per-user min(day) (the pair
+    stream is already user-thin) folded to per-day first-seen counts.
+    Both legs end day-bounded; the final alignment joins two tiny tables
+    via the size-guarded lookup join."""
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import broadcast_lookup_join
+
+    day_us = 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // day_us
+        if uid.size and (uid.min() < 0 or uid.max() >= (1 << 43)):
+            raise ValueError("user_id out of pack range for 20-bit days")
+        if day.size and (day.min() < 0 or day.max() >= (1 << 20)):
+            raise ValueError("day out of 20-bit pack range")
+        pk = np.unique((uid << 20) | day)
+        return pa.table({"pk": pa.array(pk)})
+
+    pairs = (
+        ev.map_batches(pair_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": pa.array(
+                        t["pk"].to_numpy(zero_copy_only=False) >> 20
+                    ),
+                    "day": pa.array(
+                        t["pk"].to_numpy(zero_copy_only=False) & ((1 << 20) - 1)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def day_counts(col_out: str):
+        def _c(t: pa.Table) -> pa.Table:
+            day, n = np.unique(
+                t["day"].to_numpy(zero_copy_only=False), return_counts=True
+            )
+            return pa.table(
+                {"day": pa.array(day), col_out: pa.array(n.astype(np.int64))}
+            )
+
+        return _c
+
+    actives = (
+        pairs.map_batches(day_counts("n_active"), batch_format="pyarrow")
+        .groupby("day")
+        .sum("n_active")
+        .map_batches(
+            lambda t: t.rename_columns(["day", "n_active"]),
+            batch_format="pyarrow",
+        )
+    )
+    firsts = (
+        pairs.groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+        .map_batches(
+            lambda t: t.select(["day"]), batch_format="pyarrow"
+        )
+        .map_batches(day_counts("n_new"), batch_format="pyarrow")
+        .groupby("day")
+        .sum("n_new")
+        .map_batches(
+            lambda t: t.rename_columns(["day", "n_new"]), batch_format="pyarrow"
+        )
+    )
+    n_days = firsts.count()  # day-bounded
+    joined = broadcast_lookup_join(
+        actives, firsts, on="day", right_count=n_days, how="left"
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "day": t["day"],
+                "n_active": t["n_active"],
+                "n_new": pc.coalesce(t["n_new"], pa.scalar(0, pa.int64())),
+                "n_returning": pc.subtract(
+                    t["n_active"],
+                    pc.coalesce(t["n_new"], pa.scalar(0, pa.int64())),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("day")
+
+
+def revenue_concentration(sf_dir: str, top_n: int = 100):
+    """Revenue concentration: what share (ppm) of all order revenue the
+    top ``top_n`` customers carry — the skew summary a partitioning
+    planner reads before choosing salting.
+
+    Shape: per-customer revenue via per-block pa group_by partials + one
+    native groupby-sum; the global top-N folds from per-block
+    (N-truncated) partials — O(blocks x N) driver rows; the grand total
+    is a native sum. Ties at the cut resolve by custkey ASC, matching
+    the SQL row_number twin. Integer cents end to end; ppm by
+    non-negative floor division."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cust_partials(t: pa.Table) -> pa.Table:
+        tc = pc.cast(_oround(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        g = (
+            pa.table({"o_custkey": t["o_custkey"], "tc": tc})
+            .group_by("o_custkey")
+            .aggregate([("tc", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "rev_c"])
+
+    per_cust = (
+        orders.map_batches(
+            cust_partials, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("o_custkey")
+        .sum("rev_c")
+        .map_batches(
+            lambda t: t.rename_columns(["o_custkey", "rev_c"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    def block_top(t: pa.Table) -> pa.Table:
+        rc = t["rev_c"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -rc))[:top_n]
+        return t.take(pa.array(np.sort(order)))
+
+    tops = per_cust.map_batches(block_top, batch_format="pyarrow").take_all()
+    rc = np.array([r["rev_c"] for r in tops], dtype=np.int64)
+    ck = np.array([r["o_custkey"] for r in tops], dtype=np.int64)
+    pick = np.lexsort((ck, -rc))[:top_n]
+    top_cc = int(rc[pick].sum())
+
+    total_cc = int(per_cust.sum("rev_c"))
+    n_cust = per_cust.count()
+    return pa.table(
+        {
+            "n_customers": pa.array([n_cust], pa.int64()),
+            "total_c": pa.array([total_cc], pa.int64()),
+            "top_c": pa.array([top_cc], pa.int64()),
+            "top_ppm": pa.array(
+                [(top_cc * 1_000_000) // max(total_cc, 1)], pa.int64()
+            ),
+        }
+    )

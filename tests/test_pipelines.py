@@ -1768,3 +1768,53 @@ def test_daily_delta_gap_and_null(tmp_path, ray_session):
     assert out["n_events"].tolist() == [2, 0, 0, 1]
     assert pd.isna(out["delta"].iloc[0])
     assert out["delta"].tolist()[1:] == [-2, 0, 1]
+
+
+def test_user_growth_accounting_planted(tmp_path, ray_session):
+    """New vs returning split: first-ever day counts as new, later days
+    returning; multiple same-day events dedupe to one active."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                # u1 active d0 (twice) and d1; u2 first seen d1
+                "ts": pa.array(
+                    [0, 1, day_us, day_us, day_us + 5], pa.timestamp("us")
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.user_growth_accounting(str(tmp_path)))
+    assert out["day"].tolist() == [0, 1]
+    assert out["n_active"].tolist() == [1, 2]
+    assert out["n_new"].tolist() == [1, 1]
+    assert out["n_returning"].tolist() == [0, 1]
+
+
+def test_revenue_concentration_tie_at_cut(tmp_path, ray_session):
+    """Ties at the top-N boundary resolve by custkey ASC, matching the
+    SQL row_number twin; ppm is floor division."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                # cust 1: 10.00, cust 2: 5.00, cust 3: 5.00 -> top-2 is
+                # {1, 2} (tie broken toward the smaller custkey)
+                "o_custkey": pa.array([1, 2, 3], pa.int64()),
+                "o_totalprice": pa.array([10.0, 5.0, 5.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = _pd(A.revenue_concentration(str(tmp_path), top_n=2))
+    assert out["n_customers"].tolist() == [3]
+    assert out["total_c"].tolist() == [2000]
+    assert out["top_c"].tolist() == [1500]
+    assert out["top_ppm"].tolist() == [750000]
