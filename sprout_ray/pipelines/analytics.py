@@ -6684,6 +6684,9 @@ def daily_counts_dense(sf_dir: str):
         .map_batches(
             lambda t: t.rename_columns(["day", "n"]), batch_format="pyarrow"
         )
+        # consumed twice (bounds aggregate + join right): pin so the
+        # day groupby runs once (day-bounded rows)
+        .materialize()
     )
     from ray.data.aggregate import Max, Min
 
@@ -6958,6 +6961,9 @@ def user_growth_accounting(sf_dir: str):
             ),
             batch_format="pyarrow",
         )
+        # both legs consume this stream: pin it so the dedup shuffle
+        # runs once (16 B/row, user x day bounded)
+        .materialize()
     )
 
     def day_counts(col_out: str):
@@ -7045,6 +7051,9 @@ def revenue_concentration(sf_dir: str, top_n: int = 100):
             lambda t: t.rename_columns(["o_custkey", "rev_c"]),
             batch_format="pyarrow",
         )
+        # consumed three times (top fold, total, count): pin so the
+        # customer groupby runs once (16 B/row, customer-bounded)
+        .materialize()
     )
 
     def block_top(t: pa.Table) -> pa.Table:
