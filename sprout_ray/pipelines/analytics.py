@@ -6691,6 +6691,12 @@ def daily_counts_dense(sf_dir: str):
     from ray.data.aggregate import Max, Min
 
     bounds = counts.aggregate(Min("day"), Max("day"))
+    if bounds is None or bounds.get("min(day)") is None:
+        # empty input: hand back a schema-bearing table (a 0-row Dataset
+        # loses its schema on to_pandas — CLAUDE.md)
+        return pa.table(
+            {"day": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64())}
+        )
     lo, hi = int(bounds["min(day)"]), int(bounds["max(day)"])
     n_days = hi - lo + 1
 
@@ -6827,6 +6833,8 @@ def daily_delta(sf_dir: str):
     legal because the series is bounded by the time span in days, not
     by the event volume."""
     dense = daily_counts_dense(sf_dir)
+    if isinstance(dense, pa.Table):  # empty-input guard returned a Table
+        return dense.append_column("delta", pa.array([], pa.int64()))
 
     def diff(t: pa.Table) -> pa.Table:
         n = t["n_events"].to_numpy(zero_copy_only=False)
