@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_grouping_sets": A.docs_grouping_sets,
         "user_growth_accounting": A.user_growth_accounting,
         "revenue_concentration": A.revenue_concentration,
+        "doc_chunks": A.doc_chunks,
+        "type_decay_scores": A.type_decay_scores,
     }
 
 
@@ -1314,6 +1316,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.n_customers, t.total_c, tp.top_c, "
             "CAST(tp.top_c * 1000000 // GREATEST(t.total_c, 1) AS BIGINT) "
             "AS top_ppm FROM t, tp"
+        ),
+        # context-window chunking with overlap (chunk 128, stride 96):
+        # pure integer geometry, generate_series fan-out twin
+        "doc_chunks": (
+            "WITH tc AS (SELECT doc_id, "
+            "CAST(CASE WHEN trim(text, ' ') = '' THEN 0 "
+            "ELSE len(string_split_regex(trim(text, ' '), '\\s+')) END "
+            "AS BIGINT) AS n FROM documents), "
+            "nc AS (SELECT doc_id, n, CASE WHEN n <= 128 THEN 1 "
+            "ELSE (n - 128 + 95) // 96 + 1 END AS k FROM tc), "
+            "e AS (SELECT doc_id, n, "
+            "unnest(generate_series(0, k - 1)) AS chunk_id FROM nc) "
+            "SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+            "CAST(chunk_id * 96 AS BIGINT) AS start_tok, "
+            "CAST(LEAST(chunk_id * 96 + 128, n) AS BIGINT) AS end_tok, "
+            "CAST(LEAST(chunk_id * 96 + 128, n) - chunk_id * 96 AS BIGINT) "
+            "AS n_tokens "
+            "FROM e ORDER BY doc_id, chunk_id"
+        ),
+        # day-granular exponential decay (halflife 1 day, 30-day horizon):
+        # powers of two are exact in int64 and in power(), sums order-free
+        "type_decay_scores": (
+            "WITH d AS (SELECT event_type, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "m AS (SELECT max(day) AS md FROM d) "
+            "SELECT event_type, CAST(SUM(CASE WHEN m.md - day <= 30 "
+            "THEN CAST(power(2, 30 - (m.md - day)) AS BIGINT) ELSE 0 END) "
+            "AS BIGINT) AS decayed_score "
+            "FROM d, m GROUP BY event_type ORDER BY event_type"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

@@ -274,6 +274,8 @@ def query_suite(sf_dir: str) -> dict:
         ("docs_grouping_sets", A.docs_grouping_sets),
         ("user_growth_accounting", A.user_growth_accounting),
         ("revenue_concentration", A.revenue_concentration),
+        ("doc_chunks", A.doc_chunks),
+        ("type_decay_scores", A.type_decay_scores),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

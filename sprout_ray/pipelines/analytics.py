@@ -7088,3 +7088,110 @@ def revenue_concentration(sf_dir: str, top_n: int = 100):
             ),
         }
     )
+
+
+def doc_chunks(sf_dir: str, chunk: int = 128, overlap: int = 32):
+    """Context-window chunking with overlap — the row-expansion step a
+    pretraining tokenizer pipeline runs before packing: each doc yields
+    ceil((n - chunk)/stride) + 1 windows of up to ``chunk`` whitespace
+    tokens with ``overlap`` tokens shared between neighbors (token
+    counting matches `token_counts`' whitespace twin exactly).
+
+    Shape: a pure vectorized flat-map — np.repeat for the fan-out,
+    one arange minus segment offsets for the within-doc chunk ids, no
+    Python loop; chunk geometry is integer arithmetic so the SQL
+    generate_series twin agrees bit-for-bit."""
+    from ..stages.text import add_token_count
+
+    stride = chunk - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk")
+
+    def explode(t: pa.Table) -> pa.Table:
+        t = add_token_count(t)
+        n = t["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = np.where(
+            n <= chunk, 1, (np.maximum(n - chunk, 0) + stride - 1) // stride + 1
+        )
+        tot = int(k.sum())
+        rep_doc = np.repeat(doc, k)
+        rep_n = np.repeat(n, k)
+        seg0 = np.repeat(np.cumsum(k) - k, k)
+        cid = np.arange(tot, dtype=np.int64) - seg0
+        st = cid * stride
+        en = np.minimum(st + chunk, rep_n)
+        return pa.table(
+            {
+                "doc_id": pa.array(rep_doc),
+                "chunk_id": pa.array(cid),
+                "start_tok": pa.array(st),
+                "end_tok": pa.array(en),
+                "n_tokens": pa.array(en - st),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["doc_id", "chunk_id"])
+    )
+
+
+def type_decay_scores(sf_dir: str, horizon_days: int = 30):
+    """Time-decayed frequency per event type: each event contributes
+    weight 2^(horizon - age_days) (day-granular exponential decay,
+    halflife = 1 day, zero beyond the horizon) — recency-weighted
+    popularity in EXACT integers: powers of two up to 2^horizon are
+    exact in int64 and in DuckDB's power(), and the per-type sums are
+    order-free, so the twin hash-matches without any float discipline.
+
+    Shape: one cheap max-day aggregate, then per-block (type, weight)
+    partials (|types|-bounded) into the one native groupby-sum."""
+    day_us = 86_400_000_000
+    ev = _read(sf_dir, "events", ["ts", "event_type"])
+    max_day = int(ev.map_batches(
+        lambda t: pa.table(
+            {
+                "d": pa.array(
+                    [
+                        int(
+                            pc.cast(t["ts"], pa.int64()).to_numpy(
+                                zero_copy_only=False
+                            ).max() // day_us
+                        )
+                    ]
+                    if t.num_rows
+                    else [],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).max("d"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        age = max_day - us // day_us
+        # clamp BEFORE shifting: a negative shift amount (age beyond the
+        # horizon) is undefined even on the branch np.where discards
+        shift = np.clip(horizon_days - age, 0, horizon_days)
+        w = np.where(age <= horizon_days, 1 << shift, 0).astype(np.int64)
+        g = (
+            pa.table({"event_type": t["event_type"], "w": pa.array(w)})
+            .group_by("event_type")
+            .aggregate([("w", "sum")])
+        )
+        return g.rename_columns(["event_type", "decayed_score"])
+
+    return (
+        ev.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .sum("decayed_score")
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "decayed_score"]),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )

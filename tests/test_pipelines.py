@@ -1818,3 +1818,57 @@ def test_revenue_concentration_tie_at_cut(tmp_path, ray_session):
     assert out["total_c"].tolist() == [2000]
     assert out["top_c"].tolist() == [1500]
     assert out["top_ppm"].tolist() == [750000]
+
+
+def test_doc_chunks_fanout(tmp_path, ray_session):
+    """Multi-chunk fan-out regime (the driver testdata docs are all
+    single-chunk): stride/overlap geometry, the short final chunk, and
+    the n == chunk boundary (exactly one chunk)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(["w"] * 300),  # 3 chunks: 0-128,96-224,192-300
+                        " ".join(["w"] * 128),  # exactly one chunk
+                        "",                      # empty: one 0-token chunk
+                    ]
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = _pd(A.doc_chunks(str(tmp_path)))
+    d1 = out[out["doc_id"] == 1]
+    assert d1["start_tok"].tolist() == [0, 96, 192]
+    assert d1["end_tok"].tolist() == [128, 224, 300]
+    assert d1["n_tokens"].tolist() == [128, 128, 108]
+    assert out[out["doc_id"] == 2]["n_tokens"].tolist() == [128]
+    assert out[out["doc_id"] == 3]["n_tokens"].tolist() == [0]
+
+
+def test_type_decay_scores_horizon(tmp_path, ray_session):
+    """Weight 2^(30-age) with a hard zero beyond the horizon: an event
+    31 days older than the newest contributes nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(
+                    [40 * day_us, 39 * day_us, 9 * day_us], pa.timestamp("us")
+                ),
+                "event_type": pa.array(["a", "a", "a"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.type_decay_scores(str(tmp_path)))
+    # newest: 2^30; 1 day old: 2^29; 31 days old: 0
+    assert out["decayed_score"].tolist() == [(1 << 30) + (1 << 29)]
