@@ -2304,6 +2304,19 @@ def media_features(sf_dir: str):
     return decode_features(ds, fake=True, concurrency=2)
 
 
+def media_ppm_features(sf_dir: str):
+    """REAL image decode end to end: deterministic PPM (P6) payloads ->
+    actor-pool pure-numpy codec (header grammar + pixel reshape, no
+    external library) -> pixel-space features (channel means, luminance
+    stats). fake=False: this is the non-stub decode path."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_features, synth_ppm_media_table
+
+    ds = rd.from_arrow(synth_ppm_media_table(200, seed=42))
+    return decode_features(ds, fake=False, concurrency=2)
+
+
 def media_resize(sf_dir: str):
     """Multimodal resize stage: nearest-neighbor thumbnail of every image
     row (audio rows pass through), payload dropped after a sha256 so only

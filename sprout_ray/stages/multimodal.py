@@ -3,11 +3,13 @@
 Image/audio/video are treated as opaque ``large_binary`` columns with a
 metadata struct (media_type, width/height or sample_rate, codec). The Ray
 plumbing — schema, actor-pool stage signature, small-batch sizing for large
-payloads, output layout — is real and tested; the actual codec work is
-STUBBED (no image/audio libraries in this container): ``DecodeStage`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode (byte-stat features) so pipelines remain runnable
-end-to-end.
+payloads, output layout — is real and tested. Codec status: PPM (P6) is a
+REAL pure-numpy codec (encode/decode round-trips byte-exactly, features
+come from actual pixel arrays — see ``decode_ppm``/``ppm_features``);
+PNG/JPEG/audio are STUBBED (no such libraries in this container):
+``DecodeStage`` raises ``NotImplementedError`` for them unless
+``fake=True``, which produces a deterministic byte-stat fake decode so
+pipelines remain runnable end-to-end.
 """
 
 from __future__ import annotations
@@ -61,10 +63,15 @@ class DecodeStage:
         # real codec initialization would happen here, once per actor
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
+        if media_type == PPM_TYPE:
+            # REAL codec path: pure-numpy P6 decode to pixel arrays, real
+            # pixel-space features — no external library needed for PPM
+            return ppm_features(decode_ppm(payload), self.feature_dim)
         if not self.fake:
             raise NotImplementedError(
-                "no media codecs in this environment; construct with fake=True "
-                "for the deterministic byte-stat fake decode"
+                "no PNG/JPEG/audio codecs in this environment; PPM decodes "
+                "for real (media_type image/x-portable-pixmap); construct "
+                "with fake=True for the deterministic byte-stat fake decode"
             )
         arr = np.frombuffer(payload, dtype=np.uint8)
         chunks = np.array_split(arr.astype(np.float64), self.feature_dim)
@@ -263,3 +270,108 @@ def media_exact_dedup(ds, id_col: str = "media_id"):
         batch_size=64,
     )
     return exact_dedup(hashed, key_col="payload_sha", id_col=id_col)
+
+
+# --------------------------------------------------------------------------
+# Real pure-numpy codec: PPM (P6). No external image library exists in this
+# container, but PPM needs none — header parse + raw RGB bytes — so the
+# decode path below is a REAL codec, not a fake: encode/decode round-trips
+# byte-exactly and DecodeStage extracts features from actual pixel arrays
+# for media_type "image/x-portable-pixmap". PNG/JPEG remain explicitly
+# NotImplementedError-gated (documented stub).
+# --------------------------------------------------------------------------
+
+PPM_TYPE = "image/x-portable-pixmap"
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as binary PPM (P6, maxval 255)."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) to an (h, w, 3) uint8 array.
+
+    Handles the full header grammar: '#' comments and any whitespace runs
+    between the magic, dimensions and maxval; exactly ONE whitespace byte
+    separates maxval from the pixel block."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            nl = payload.index(b"\n", pos)
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 supported, got {maxval}")
+    pos += 1  # the single whitespace after maxval
+    n = w * h * 3
+    pix = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def synth_ppm_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic REAL PPM images (gradient + per-image noise), varied
+    sizes — the payloads decode with any PPM reader, not just ours."""
+    rng = np.random.default_rng(seed)
+    sizes = [(16, 24), (32, 32), (8, 48)]
+    payloads, ws, hs = [], [], []
+    for i in range(n):
+        h, w = sizes[i % len(sizes)]
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = ((yy * 255) // max(h - 1, 1)).astype(np.uint8)
+        img = np.stack(
+            [
+                base,
+                ((xx * 255) // max(w - 1, 1)).astype(np.uint8),
+                rng.integers(0, 256, (h, w), dtype=np.uint8),
+            ],
+            axis=2,
+        )
+        payloads.append(encode_ppm(img))
+        ws.append(w)
+        hs.append(h)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array([PPM_TYPE] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.array(ws, np.int32)),
+            "height": pa.array(np.array(hs, np.int32)),
+            "sample_rate": pa.array(np.zeros(n, np.int32)),
+        }
+    )
+
+
+def ppm_features(img: np.ndarray, feature_dim: int = 8) -> np.ndarray:
+    """Real pixel-space features from a decoded (h, w, 3) image: height,
+    width, per-channel means, luminance std and mean — fixed 8-dim."""
+    f = np.zeros(feature_dim, dtype=np.float64)
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    vals = [
+        float(img.shape[0]),
+        float(img.shape[1]),
+        float(img[:, :, 0].mean()),
+        float(img[:, :, 1].mean()),
+        float(img[:, :, 2].mean()),
+        float(luma.mean()),
+        float(luma.std()),
+        float(img.max()),
+    ]
+    f[: min(len(vals), feature_dim)] = vals[:feature_dim]
+    return f

@@ -2264,3 +2264,58 @@ class TestRelationalEndgame2:
             [2, "orders", 1],
         ]
         pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_ppm_roundtrip_and_header_grammar():
+    """encode_ppm/decode_ppm round-trip byte-exactly; the decoder handles
+    comments and arbitrary whitespace runs in the header."""
+    import numpy as np
+
+    from sprout_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+    buf = encode_ppm(img)
+    out = decode_ppm(buf)
+    assert out.shape == (5, 9, 3)
+    assert (out == img).all()
+    # hand-built header with comments + mixed whitespace
+    pix = img.tobytes()
+    fancy = b"P6 # magic\n# a comment line\n  9\t5 # dims\n255\n" + pix
+    out2 = decode_ppm(fancy)
+    assert (out2 == img).all()
+
+
+def test_ppm_real_decode_stage(ray_session):
+    """DecodeStage fake=False decodes PPM payloads FOR REAL: features are
+    pixel-space (height/width match the image), deterministic across
+    runs, and non-PPM types still raise loudly."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from sprout_ray.stages.multimodal import (
+        DecodeStage,
+        decode_features,
+        synth_media_table,
+        synth_ppm_media_table,
+    )
+
+    t = synth_ppm_media_table(12, seed=42)
+    out = decode_features(rd.from_arrow(t), fake=False, concurrency=2).to_pandas()
+    assert len(out) == 12
+    feats = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    hs = t["height"].to_numpy()
+    ws = t["width"].to_numpy()
+    assert (feats[:, 0] == hs).all()
+    assert (feats[:, 1] == ws).all()
+    # gradient construction: red channel mean ~127.5 for every size
+    assert np.allclose(feats[:, 2], 127.5, atol=8)
+    # determinism
+    out2 = decode_features(rd.from_arrow(t), fake=False, concurrency=2).to_pandas()
+    feats2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert (feats == feats2).all()
+    # non-PPM without fake: loud
+    stage = DecodeStage(fake=False)
+    with pytest.raises(NotImplementedError):
+        stage(synth_media_table(2, seed=1))
