@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": A.doc_fingerprints,
         "media_features": A.media_features,
         "media_ppm_features": A.media_ppm_features,
+        "media_wav_features": A.media_wav_features,
         "media_dedup": A.media_dedup,
         "media_resize": A.media_resize,
         "media_frames": A.media_frames,

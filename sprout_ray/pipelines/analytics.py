@@ -2317,6 +2317,18 @@ def media_ppm_features(sf_dir: str):
     return decode_features(ds, fake=False, concurrency=2)
 
 
+def media_wav_features(sf_dir: str):
+    """REAL audio decode end to end: deterministic PCM16 WAV payloads ->
+    actor-pool pure-numpy RIFF codec -> signal features (RMS, peak,
+    zero crossings, energy split). fake=False: the non-stub audio path."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_features, synth_wav_media_table
+
+    ds = rd.from_arrow(synth_wav_media_table(200, seed=42))
+    return decode_features(ds, fake=False, concurrency=2)
+
+
 def media_resize(sf_dir: str):
     """Multimodal resize stage: nearest-neighbor thumbnail of every image
     row (audio rows pass through), payload dropped after a sha256 so only

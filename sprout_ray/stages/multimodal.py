@@ -3,11 +3,12 @@
 Image/audio/video are treated as opaque ``large_binary`` columns with a
 metadata struct (media_type, width/height or sample_rate, codec). The Ray
 plumbing — schema, actor-pool stage signature, small-batch sizing for large
-payloads, output layout — is real and tested. Codec status: PPM (P6) is a
-REAL pure-numpy codec (encode/decode round-trips byte-exactly, features
-come from actual pixel arrays — see ``decode_ppm``/``ppm_features``);
-PNG/JPEG/audio are STUBBED (no such libraries in this container):
-``DecodeStage`` raises ``NotImplementedError`` for them unless
+payloads, output layout — is real and tested. Codec status: PPM (P6) and
+PCM16 WAV are REAL pure-numpy codecs (encode/decode round-trips
+byte-exactly; features come from actual pixel/sample arrays — see
+``decode_ppm``/``ppm_features`` and ``decode_wav``/``wav_features``);
+PNG/JPEG/compressed audio are STUBBED (no such libraries in this
+container): ``DecodeStage`` raises ``NotImplementedError`` for them unless
 ``fake=True``, which produces a deterministic byte-stat fake decode so
 pipelines remain runnable end-to-end.
 """
@@ -67,11 +68,16 @@ class DecodeStage:
             # REAL codec path: pure-numpy P6 decode to pixel arrays, real
             # pixel-space features — no external library needed for PPM
             return ppm_features(decode_ppm(payload), self.feature_dim)
+        if media_type == WAV_TYPE:
+            # REAL codec path #2: RIFF chunk walk + int16 reinterpret
+            samples, rate = decode_wav(payload)
+            return wav_features(samples, rate, self.feature_dim)
         if not self.fake:
             raise NotImplementedError(
-                "no PNG/JPEG/audio codecs in this environment; PPM decodes "
-                "for real (media_type image/x-portable-pixmap); construct "
-                "with fake=True for the deterministic byte-stat fake decode"
+                "no PNG/JPEG/compressed-audio codecs in this environment; "
+                "PPM (image/x-portable-pixmap) and PCM WAV (audio/x-wav) "
+                "decode for real; construct with fake=True for the "
+                "deterministic byte-stat fake decode"
             )
         arr = np.frombuffer(payload, dtype=np.uint8)
         chunks = np.array_split(arr.astype(np.float64), self.feature_dim)
@@ -372,6 +378,115 @@ def ppm_features(img: np.ndarray, feature_dim: int = 8) -> np.ndarray:
         float(luma.mean()),
         float(luma.std()),
         float(img.max()),
+    ]
+    f[: min(len(vals), feature_dim)] = vals[:feature_dim]
+    return f
+
+
+# --------------------------------------------------------------------------
+# Real pure-numpy codec #2: PCM16 WAV (RIFF). Like PPM, WAV needs no audio
+# library — a RIFF chunk walk + int16 reinterpret — so the audio decode
+# path is REAL for media_type "audio/x-wav".
+# --------------------------------------------------------------------------
+
+WAV_TYPE = "audio/x-wav"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode mono int16 samples as a canonical PCM16 WAV file."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")       # PCM
+        + (1).to_bytes(2, "little")       # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")       # block align
+        + (16).to_bytes(2, "little")      # bits/sample
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """Decode PCM16 mono WAV -> (int16 samples, sample_rate). Walks the
+    RIFF chunk list (tolerates extra chunks like LIST before data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            ch = int.from_bytes(body[2:4], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (fmt, ch, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"only PCM16 mono supported, got fmt={fmt} ch={ch} bits={bits}"
+                )
+            rate = int.from_bytes(body[4:8], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
+def synth_wav_media_table(n: int, seed: int = 42, sample_rate: int = 16000) -> pa.Table:
+    """Deterministic REAL WAV payloads: per-row sine + noise PCM16."""
+    rng = np.random.default_rng(seed)
+    payloads, lens = [], []
+    for i in range(n):
+        dur = 256 + 128 * (i % 3)
+        t = np.arange(dur, dtype=np.float64)
+        freq = 220.0 * (1 + (i % 5))
+        wave = 12000 * np.sin(2 * np.pi * freq * t / sample_rate)
+        wave += rng.normal(0, 500, dur)
+        samples = np.clip(wave, -32768, 32767).astype(np.int16)
+        payloads.append(encode_wav(samples, sample_rate))
+        lens.append(dur)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array([WAV_TYPE] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.zeros(n, np.int32)),
+            "height": pa.array(np.zeros(n, np.int32)),
+            "sample_rate": pa.array(np.full(n, sample_rate, np.int32)),
+        }
+    )
+
+
+def wav_features(samples: np.ndarray, rate: int, feature_dim: int = 8) -> np.ndarray:
+    """Real signal features from decoded PCM: n_samples, rate, RMS, peak,
+    zero-crossing count, mean |x|, first/second half energy ratio."""
+    x = samples.astype(np.float64)
+    n = x.size
+    f = np.zeros(feature_dim, dtype=np.float64)
+    if n == 0:
+        return f
+    half = max(n // 2, 1)
+    e1 = float((x[:half] ** 2).sum())
+    e2 = float((x[half:] ** 2).sum())
+    vals = [
+        float(n),
+        float(rate),
+        float(np.sqrt((x**2).mean())),
+        float(np.abs(x).max()),
+        float((np.signbit(x[1:]) != np.signbit(x[:-1])).sum()),
+        float(np.abs(x).mean()),
+        e1 / max(e1 + e2, 1.0),
+        e2 / max(e1 + e2, 1.0),
     ]
     f[: min(len(vals), feature_dim)] = vals[:feature_dim]
     return f

@@ -2319,3 +2319,46 @@ def test_ppm_real_decode_stage(ray_session):
     stage = DecodeStage(fake=False)
     with pytest.raises(NotImplementedError):
         stage(synth_media_table(2, seed=1))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav/decode_wav round-trip sample-exact; the decoder walks
+    past extra RIFF chunks (e.g. LIST) before data."""
+    import numpy as np
+
+    from sprout_ray.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, 777, dtype=np.int16)
+    buf = encode_wav(samples, 8000)
+    out, rate = decode_wav(buf)
+    assert rate == 8000
+    assert (out == samples).all()
+    # splice a LIST chunk between fmt and data (odd size -> pad byte)
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = buf[:fmt_end] + extra + buf[fmt_end:]
+    out2, rate2 = decode_wav(spliced)
+    assert rate2 == 8000
+    assert (out2 == samples).all()
+
+
+def test_wav_real_decode_stage(ray_session):
+    """DecodeStage fake=False decodes WAV payloads for real: n_samples
+    and rate land in the features, deterministic across runs."""
+    import numpy as np
+    import ray.data as rd
+
+    from sprout_ray.stages.multimodal import decode_features, synth_wav_media_table
+
+    t = synth_wav_media_table(9, seed=42)
+    out = decode_features(rd.from_arrow(t), fake=False, concurrency=2).to_pandas()
+    feats = np.stack(out.sort_values("media_id")["features"].to_numpy())
+    # n_samples cycles 256/384/512; rate constant 16000
+    assert feats[:, 0].tolist() == [256.0, 384.0, 512.0] * 3
+    assert (feats[:, 1] == 16000.0).all()
+    # sine + small noise: RMS close to 12000/sqrt(2)
+    assert np.allclose(feats[:, 2], 12000 / np.sqrt(2), rtol=0.15)
+    out2 = decode_features(rd.from_arrow(t), fake=False, concurrency=2).to_pandas()
+    feats2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
+    assert (feats == feats2).all()
