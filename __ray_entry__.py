@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": A.media_features,
         "media_ppm_features": A.media_ppm_features,
         "media_wav_features": A.media_wav_features,
+        "media_phash_pairs": A.media_phash_pairs,
         "media_dedup": A.media_dedup,
         "media_resize": A.media_resize,
         "media_frames": A.media_frames,

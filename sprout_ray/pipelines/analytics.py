@@ -2329,6 +2329,25 @@ def media_wav_features(sf_dir: str):
     return decode_features(ds, fake=False, concurrency=2)
 
 
+def media_phash_pairs(sf_dir: str):
+    """Image near-dup via perceptual hashing over REAL decoded pixels:
+    dHash-64 per image (actor-pool pure-numpy PPM decode) feeds the same
+    distributed hamming-pair tail as text SimHash. The planted corpus
+    carries brightness-shifted copies — byte-distinct (exact dedup is
+    blind to them) but dHash-identical (strict comparisons are
+    translation-invariant), the regime perceptual dedup exists for."""
+    import ray.data as rd
+
+    from ..stages.dedup import simhash_pairs_distributed
+    from ..stages.multimodal import phash_signature_ds, synth_ppm_noise_table
+
+    ds = rd.from_arrow(synth_ppm_noise_table(64, seed=42, dup_every=8))
+    sig = phash_signature_ds(ds)
+    return simhash_pairs_distributed(sig, max_hamming=2, id_col="media_id").sort(
+        ["left_id", "right_id"]
+    )
+
+
 def media_resize(sf_dir: str):
     """Multimodal resize stage: nearest-neighbor thumbnail of every image
     row (audio rows pass through), payload dropped after a sha256 so only

@@ -490,3 +490,96 @@ def wav_features(samples: np.ndarray, rate: int, feature_dim: int = 8) -> np.nda
     ]
     f[: min(len(vals), feature_dim)] = vals[:feature_dim]
     return f
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash) over REAL decoded pixels — composes the
+# multimodal decode path with the distributed hamming-pair dedup tail
+# (stages/dedup.simhash_pairs_distributed). dHash is invariant to uniform
+# brightness shifts (strict comparisons are translation-invariant), which
+# exact byte dedup cannot see.
+# --------------------------------------------------------------------------
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: luma -> nearest-neighbor 8x9 grid ->
+    row-wise strict comparisons of horizontal neighbors, MSB-first."""
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1].astype(np.float64)
+        + 0.114 * img[:, :, 2].astype(np.float64)
+    )
+    h, w = luma.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = luma[rows][:, cols]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class PHashStage:
+    """Actor-pool perceptual-hash stage: decode the PPM payload for real,
+    emit (id, simhash) rows that plug directly into the distributed
+    SimHash hamming-pair tail. Output hash is int64-viewed uint64 (the
+    dedup machinery's convention)."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = np.array(
+            [
+                dhash64(decode_ppm(p))
+                for p in batch["payload"].to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(hashes.view(np.int64)),
+            }
+        )
+
+
+def phash_signature_ds(ds, id_col: str = "media_id", concurrency: int = 2,
+                       batch_size: int = 64):
+    """Perceptual-hash signatures over a PPM media dataset (actor pool,
+    payload-bound small batches)."""
+    return ds.map_batches(
+        PHashStage,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def synth_ppm_noise_table(
+    n: int, seed: int = 42, dup_every: int = 8, h: int = 24, w: int = 32
+) -> pa.Table:
+    """Noise-dominated REAL PPM images with planted brightness-shifted
+    near-duplicates: every ``dup_every``-th row is the previous base row
+    +1 on every channel (base pixels capped at 254 so no clipping) —
+    byte-distinct but dHash-identical, the regime perceptual dedup exists
+    for."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    base_imgs: list = []
+    for i in range(n):
+        if dup_every and i % dup_every == dup_every - 1 and base_imgs:
+            img = np.minimum(base_imgs[-1], 254) + 1
+        else:
+            img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            base_imgs.append(img)
+        payloads.append(encode_ppm(img.astype(np.uint8)))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array([PPM_TYPE] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.full(n, w, np.int32)),
+            "height": pa.array(np.full(n, h, np.int32)),
+            "sample_rate": pa.array(np.zeros(n, np.int32)),
+        }
+    )

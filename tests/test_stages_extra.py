@@ -2362,3 +2362,28 @@ def test_wav_real_decode_stage(ray_session):
     out2 = decode_features(rd.from_arrow(t), fake=False, concurrency=2).to_pandas()
     feats2 = np.stack(out2.sort_values("media_id")["features"].to_numpy())
     assert (feats == feats2).all()
+
+
+def test_media_phash_pairs_planted(ray_session):
+    """Perceptual image dedup end to end: brightness-shifted copies are
+    byte-DISTINCT (sha256 differs — exact dedup misses them) yet pair at
+    hamming 0 through the distributed tail; unrelated noise images never
+    pair at max_hamming=2."""
+    import hashlib
+
+    import sprout_ray.pipelines.analytics as A
+    from sprout_ray.stages.multimodal import synth_ppm_noise_table
+
+    t = synth_ppm_noise_table(64, seed=42, dup_every=8)
+    payloads = t["payload"].to_pylist()
+    # the planted copies are byte-distinct from their base
+    for i in range(7, 64, 8):
+        assert hashlib.sha256(payloads[i]).hexdigest() != hashlib.sha256(
+            payloads[i - 1]
+        ).hexdigest()
+
+    out = A.media_phash_pairs("unused").to_pandas()
+    got = sorted(zip(out["left_id"], out["right_id"]))
+    want = [(i - 1, i) for i in range(7, 64, 8)]
+    assert got == want
+    assert (out["hamming"] == 0).all()
