@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_concentration": A.revenue_concentration,
         "doc_chunks": A.doc_chunks,
         "type_decay_scores": A.type_decay_scores,
+        "user_value_intervals": A.user_value_intervals,
+        "type_jaccard_pairs": A.type_jaccard_pairs,
     }
 
 
@@ -1348,6 +1350,31 @@ def oracle_sql() -> dict[str, str]:
             "THEN CAST(power(2, 30 - (m.md - day)) AS BIGINT) ELSE 0 END) "
             "AS BIGINT) AS decayed_score "
             "FROM d, m GROUP BY event_type ORDER BY event_type"
+        ),
+        # SCD2 validity intervals: valid_to = min ts STRICTLY after, NULL
+        # on the open last interval (RANGE following window frame)
+        "user_value_intervals": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(epoch_us(ts) AS BIGINT) AS tus FROM events) "
+            "SELECT event_id, tus AS valid_from_us, "
+            "MIN(tus) OVER (PARTITION BY user_id ORDER BY tus "
+            "RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) "
+            "AS valid_to_us FROM e ORDER BY event_id"
+        ),
+        # user-set Jaccard per type pair on top of co-occurrence supports
+        "type_jaccard_pairs": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "c AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1), "
+            "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+            "count(*) AS n_both FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT p.type_a, p.type_b, CAST(p.n_both AS BIGINT) AS n_both, "
+            "CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b, "
+            "CAST(p.n_both * 1000000 // (ca.n + cb.n - p.n_both) AS BIGINT) "
+            "AS jaccard_ppm FROM p "
+            "JOIN c ca ON ca.event_type = p.type_a "
+            "JOIN c cb ON cb.event_type = p.type_b "
+            "ORDER BY type_a, type_b"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

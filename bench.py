@@ -276,6 +276,8 @@ def query_suite(sf_dir: str) -> dict:
         ("revenue_concentration", A.revenue_concentration),
         ("doc_chunks", A.doc_chunks),
         ("type_decay_scores", A.type_decay_scores),
+        ("user_value_intervals", A.user_value_intervals),
+        ("type_jaccard_pairs", A.type_jaccard_pairs),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -7239,3 +7239,171 @@ def type_decay_scores(sf_dir: str, horizon_days: int = 30):
         )
         .sort("event_type")
     )
+
+
+def user_value_intervals(sf_dir: str):
+    """SCD2-style validity intervals from an event stream: every event
+    becomes (valid_from, valid_to) where valid_to is the same user's
+    next event STRICTLY after it (NULL on the open last interval) — the
+    LEAD/min-following window twin.
+
+    Shape: a forward self as-of join; strictness comes from joining on
+    ts+1 µs (integer time: right.ts >= left.ts + 1 IS right.ts >
+    left.ts), so the inclusive machinery is reused untouched. Same-(user,
+    ts) right ties are harmless here — only the tied TS is emitted, and
+    ties agree on it."""
+    from ..stages.joins import asof_join_forward
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    left = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": pc.add(pc.cast(t["ts"], pa.int64()), pa.scalar(1, pa.int64())),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": pc.cast(t["ts"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = asof_join_forward(
+        left,
+        right,
+        key="user_id",
+        ts_col="ts",
+        tie_col="event_id",
+        right_payload={"ts": "valid_to_us"},
+        left_id_out="event_id",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "valid_from_us": pc.subtract(
+                    t["ts_us"], pa.scalar(1, pa.int64())
+                ),
+                "valid_to_us": t["valid_to_us"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("event_id")
+
+
+def type_jaccard_pairs(sf_dir: str):
+    """User-set Jaccard between event types: for every co-occurring type
+    pair, |users doing both| / |users doing either| in integer ppm — the
+    similarity readout on top of the co-occurrence supports.
+
+    Shape: the type_cooccurrence bitmask machinery (distinct packed
+    (user, code) stream -> per-user SUM of distinct powers of two); the
+    per-type user counts fall out of the same mask stream per block, so
+    ONE extra |types|-bounded fold buys the denominators. Both folded
+    grids are type-bounded; division is non-negative floor (DuckDB //
+    parity)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    vocab_rows = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {"event_type": pa.array(np.unique(
+                    t["event_type"].to_numpy(zero_copy_only=False)
+                ).tolist(), pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    nv = len(vocab)
+    if nv >= 63:
+        raise ValueError("type_jaccard_pairs: vocabulary too wide for int64")
+
+    def thin(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        code = pc.index_in(t["event_type"], value_set=vocab_pa).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table({"pk": pa.array(np.unique((uid << 10) | code))})
+
+    masks = (
+        ev.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "uid": pa.array(t["pk"].to_numpy(zero_copy_only=False) >> 10),
+                    "bit": pa.array(
+                        np.int64(1)
+                        << (t["pk"].to_numpy(zero_copy_only=False) & 1023)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("uid")
+        .sum("bit")
+    )
+
+    pair_list = [(i, j) for i in range(nv) for j in range(i + 1, nv)]
+
+    def fold(t: pa.Table) -> pa.Table:
+        m = t["sum(bit)"].to_numpy(zero_copy_only=False)
+        keys, ns = [], []
+        for i in range(nv):  # per-type user counts: key = (i << 10) | i
+            ni = int(((m & (1 << i)) != 0).sum())
+            if ni:
+                keys.append((i << 10) | i)
+                ns.append(ni)
+        for i, j in pair_list:  # pair supports: key = (i << 10) | j
+            both = int((((m & (1 << i)) != 0) & ((m & (1 << j)) != 0)).sum())
+            if both:
+                keys.append((i << 10) | j)
+                ns.append(both)
+        return pa.table(
+            {"k": pa.array(keys, pa.int64()), "n": pa.array(ns, pa.int64())}
+        )
+
+    rows = (
+        masks.map_batches(fold, batch_format="pyarrow")
+        .groupby("k")
+        .sum("n")
+        .take_all()  # <= |types|^2 rows
+    )
+    per_type = {r["k"] >> 10: int(r["sum(n)"]) for r in rows
+                if (r["k"] >> 10) == (r["k"] & 1023)}
+    pairs = sorted(
+        (r["k"] >> 10, r["k"] & 1023, int(r["sum(n)"]))
+        for r in rows
+        if (r["k"] >> 10) != (r["k"] & 1023)
+    )
+    return pa.table(
+        {
+            "type_a": pa.array([str(vocab[i]) for i, _, _ in pairs], pa.string()),
+            "type_b": pa.array([str(vocab[j]) for _, j, _ in pairs], pa.string()),
+            "n_both": pa.array([b for _, _, b in pairs], pa.int64()),
+            "n_a": pa.array([per_type[i] for i, _, _ in pairs], pa.int64()),
+            "n_b": pa.array([per_type[j] for _, j, _ in pairs], pa.int64()),
+            "jaccard_ppm": pa.array(
+                [
+                    (b * 1_000_000) // (per_type[i] + per_type[j] - b)
+                    for i, j, b in pairs
+                ],
+                pa.int64(),
+            ),
+        }
+    )

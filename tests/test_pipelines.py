@@ -1872,3 +1872,51 @@ def test_type_decay_scores_horizon(tmp_path, ray_session):
     out = _pd(A.type_decay_scores(str(tmp_path)))
     # newest: 2^30; 1 day old: 2^29; 31 days old: 0
     assert out["decayed_score"].tolist() == [(1 << 30) + (1 << 29)]
+
+
+def test_user_value_intervals_strict_ties(tmp_path, ray_session):
+    """Strictness under (user, ts) ties: two events at the same instant
+    both get the NEXT strictly-later timestamp as valid_to (never each
+    other's equal ts); the last interval stays open (NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([100, 100, 250, 400], pa.timestamp("us")),
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.user_value_intervals(str(tmp_path)))
+    assert out["valid_from_us"].tolist() == [100, 100, 250, 400]
+    assert out["valid_to_us"].tolist()[:3] == [250, 250, 400]
+    assert pd.isna(out["valid_to_us"].iloc[3])
+
+
+def test_type_jaccard_pairs_planted(tmp_path, ray_session):
+    """Jaccard ppm on a planted overlap: |A|=3, |B|=2, both=1 ->
+    1e6 // 4; disjoint pairs never emit a row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                # A: users 1,2,3; B: users 3,4; C: user 9 (disjoint)
+                "user_id": pa.array([1, 2, 3, 3, 4, 9], pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "b", "b", "c"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.type_jaccard_pairs(str(tmp_path)))
+    assert out["type_a"].tolist() == ["a"]
+    assert out["type_b"].tolist() == ["b"]
+    assert out["n_both"].tolist() == [1]
+    assert out["n_a"].tolist() == [3]
+    assert out["n_b"].tolist() == [2]
+    assert out["jaccard_ppm"].tolist() == [250000]
