@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_decay_scores": A.type_decay_scores,
         "user_value_intervals": A.user_value_intervals,
         "type_jaccard_pairs": A.type_jaccard_pairs,
+        "trimmed_value_sums": A.trimmed_value_sums,
     }
 
 
@@ -1375,6 +1376,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN c ca ON ca.event_type = p.type_a "
             "JOIN c cb ON cb.event_type = p.type_b "
             "ORDER BY type_a, type_b"
+        ),
+        # rank-trimmed sums: drop k smallest + k largest values per type;
+        # kept-multiset SUM is tie-invariant so row_number ties are safe
+        "trimmed_value_sums": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS vc FROM events), "
+            "r AS (SELECT event_type, vc, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY vc) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM v) "
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN rn > 5 AND rn <= n - 5 THEN vc ELSE 0 END) "
+            "AS BIGINT) AS trimmed_c, "
+            "CAST(count(*) FILTER (WHERE rn > 5 AND rn <= n - 5) AS BIGINT) "
+            "AS n_kept "
+            "FROM r GROUP BY 1 ORDER BY 1"
         ),
         # string aggregation: sorted distinct sources joined per lang
         "lang_sources_concat": (

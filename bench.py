@@ -278,6 +278,7 @@ def query_suite(sf_dir: str) -> dict:
         ("type_decay_scores", A.type_decay_scores),
         ("user_value_intervals", A.user_value_intervals),
         ("type_jaccard_pairs", A.type_jaccard_pairs),
+        ("trimmed_value_sums", A.trimmed_value_sums),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -7407,3 +7407,78 @@ def type_jaccard_pairs(sf_dir: str):
             ),
         }
     )
+
+
+def trimmed_value_sums(sf_dir: str, k: int = 5):
+    """Rank-trimmed robust aggregate: per event type, the value sum with
+    the ``k`` smallest and ``k`` largest observations dropped (trimmed-
+    mean ingredients, integer cents; groups with <= 2k rows trim to
+    empty, matching the SQL window twin).
+
+    Tie safety: row_number over tied values is arbitrary in SQL, but the
+    SUM of the kept multiset is tie-invariant (dropping the k smallest
+    VALUES is order-free), so the twin hash-matches with no tie clause.
+
+    Shape: ONE scan emits a tagged per-block partial stream — bottom-k /
+    top-k candidate rows plus (sum, count) partials, O(blocks x types x
+    (2k+2)) rows total, type-bounded — folded on the driver; block
+    bottom-k provably contains the global bottom-k."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        vc = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((vc, et))
+        et, vc = et[order], vc[order]
+        types, starts = np.unique(et, return_index=True)
+        ends = np.append(starts[1:], len(et))
+        rows_t, rows_v, rows_tag = [], [], []
+        for ty, s, e in zip(types, starts, ends):
+            seg = vc[s:e]
+            for v in seg[:k]:                      # tag 0: bottom candidates
+                rows_t.append(ty); rows_v.append(int(v)); rows_tag.append(0)
+            for v in seg[max(e - s - k, 0):]:      # tag 1: top candidates
+                rows_t.append(ty); rows_v.append(int(v)); rows_tag.append(1)
+            rows_t.append(ty); rows_v.append(int(seg.sum())); rows_tag.append(2)
+            rows_t.append(ty); rows_v.append(int(e - s)); rows_tag.append(3)
+        return pa.table(
+            {
+                "event_type": pa.array(rows_t, pa.string()),
+                "v": pa.array(rows_v, pa.int64()),
+                "tag": pa.array(rows_tag, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(blocks x types x (2k+2)), type-bounded
+
+    lo: dict = {}; hi: dict = {}; total: dict = {}; n: dict = {}
+    for r in rows:
+        ty, v, tag = r["event_type"], r["v"], r["tag"]
+        if tag == 0:
+            lo.setdefault(ty, []).append(v)
+        elif tag == 1:
+            hi.setdefault(ty, []).append(v)
+        elif tag == 2:
+            total[ty] = total.get(ty, 0) + v
+        else:
+            n[ty] = n.get(ty, 0) + v
+    out_t, out_sum, out_n = [], [], []
+    for ty in sorted(total):
+        if n[ty] <= 2 * k:
+            out_t.append(ty); out_sum.append(0); out_n.append(0)
+            continue
+        drop = sum(sorted(lo[ty])[:k]) + sum(sorted(hi[ty], reverse=True)[:k])
+        out_t.append(ty)
+        out_sum.append(total[ty] - drop)
+        out_n.append(n[ty] - 2 * k)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "trimmed_c": pa.array(out_sum, pa.int64()),
+            "n_kept": pa.array(out_n, pa.int64()),
+        }
+    )

@@ -1920,3 +1920,29 @@ def test_type_jaccard_pairs_planted(tmp_path, ray_session):
     assert out["n_a"].tolist() == [3]
     assert out["n_b"].tolist() == [2]
     assert out["jaccard_ppm"].tolist() == [250000]
+
+
+def test_trimmed_value_sums_planted(tmp_path, ray_session):
+    """Trim boundary cases: ties straddling the cut are dropped by VALUE
+    multiset (matching any row_number tie order); groups with <= 2k rows
+    trim to empty; k=1 keeps the middle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                # type a: values 1,2,2,2,9 -> k=1 drops one 1 and one 9,
+                # kept sum = 6; type b: 2 rows <= 2k -> empty trim
+                "event_type": pa.array(["a"] * 5 + ["b"] * 2),
+                "value": pa.array(
+                    [0.01, 0.02, 0.02, 0.02, 0.09, 1.0, 2.0], pa.float64()
+                ),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = _pd(A.trimmed_value_sums(str(tmp_path), k=1))
+    assert out["event_type"].tolist() == ["a", "b"]
+    assert out["trimmed_c"].tolist() == [6, 0]
+    assert out["n_kept"].tolist() == [3, 0]
