@@ -423,8 +423,60 @@ def run_scaling() -> dict:
     }
 
 
+def _emit(result: dict) -> None:
+    """Print the full dict, then a COMPACT headline-only JSON line LAST.
+
+    The driver records only the tail of stdout: round 3's single giant line
+    (83 query timings before the closing brace) was truncated from the front
+    and BENCH_r03.json recorded ``parsed: null`` despite a 17 s headline.
+    The last stdout line is now always a short (<500 B) self-contained
+    summary that survives any tail window; the full per-query dict stays on
+    the line above and is also written to artifacts/bench_last_full.json.
+    """
+    print(json.dumps(result))
+    try:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artifacts",
+            "bench_last_full.json",
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
+    compact_keys = (
+        "metric",
+        "value",
+        "unit",
+        "rows",
+        "rows_per_sec",
+        "trials",
+        "bloom_fpr",
+        "bloom_eps",
+        "sf",
+        "num_cpus",
+        "scaling_efficiency",
+    )
+    compact = {k: result[k] for k in compact_keys if k in result}
+    # keep every small --scaling field (sec_2 / sec_8 / probe summary etc.)
+    for k, v in result.items():
+        if k in compact or k == "queries":
+            continue
+        if isinstance(v, (int, float, str, bool)) or v is None:
+            compact[k] = v
+    queries = result.get("queries")
+    if queries:
+        compact["n_queries"] = len(queries)
+        compact["queries_total_sec"] = round(sum(queries.values()), 3)
+    probe = result.get("engine_probe")
+    if isinstance(probe, dict):
+        compact["engine_probe_eff"] = probe.get("scaling_efficiency", probe.get("eff"))
+    print(json.dumps(compact))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        _emit(run_scaling())
     else:
-        print(json.dumps(run_once()))
+        _emit(run_once())

@@ -285,29 +285,41 @@ def events_hopping_15m(sf_dir: str):
 
 def exact_quantiles_by_lang(sf_dir: str):
     """Exact per-lang quartiles of n_chars (percentile_disc semantics:
-    sorted[ceil(q*n)-1]) — the exact twin of the grouped t-digest/KLL build.
+    sorted[ceil(q*n)-1], p100 = max) — the exact twin of the grouped
+    t-digest/KLL build.
 
-    Exactness requires each group's full value column in one place, so this
-    shuffles O(rows) per group; it is the verification twin, bounded-
-    cardinality group keys only. The 100 TB path is quantile_sketches /
-    build_grouped (mergeable t-digest partials, O(blocks x sketch) traffic).
-    Quantiles chosen binary-exact (q*n never hits a float-repr boundary)."""
-    import pandas as pd
-
-    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
-    QS = (0.25, 0.5, 0.75)
-
-    def quartiles(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["n_chars"].to_numpy())
-        n = len(v)
-        idx = np.minimum(np.ceil(np.array(QS) * n).astype(np.int64) - 1, n - 1)
-        out = {"lang": [g["lang"].iloc[0]]}
-        for q, i in zip(QS, np.maximum(idx, 0)):
-            out[f"p{int(q * 100)}"] = [int(v[i])]
-        out["p100"] = [int(v[-1])]
-        return pd.DataFrame(out)
-
-    return ds.groupby("lang").map_groups(quartiles, batch_format="pandas")
+    Scale shape (shared with cont_quantiles_by_lang, which see): ONE scan
+    emits per-block (lang, n_chars) count partials, the groupby shuffles
+    only the |langs| x |distinct n_chars|-bounded histogram, and the driver
+    reads order statistics off cumulative counts — no per-group whole-value
+    materialization anywhere (the previous map_groups form put an entire
+    language's rows in one worker; at corpus scale one dominant language is
+    most of the data)."""
+    df = _lang_value_histogram(sf_dir)
+    out = {"lang": [], "p25": [], "p50": [], "p75": [], "p100": []}
+    for lang, grp in df.groupby("k", sort=True):
+        grp = grp.sort_values("v")
+        vs = grp["v"].to_numpy()
+        cum = np.cumsum(grp["cnt"].to_numpy())
+        n = int(cum[-1])
+        out["lang"].append(lang)
+        for q in (0.25, 0.5, 0.75):
+            # percentile_disc: 1-based rank ceil(q*n); exact integer rank
+            # ceremony (no float q*n — (q_num*n + q_den - 1) // q_den with
+            # q = q_num/q_den keeps the rank exact for the quartile grid)
+            q_num, q_den = {0.25: (1, 4), 0.5: (2, 4), 0.75: (3, 4)}[q]
+            rank = max((q_num * n + q_den - 1) // q_den, 1)
+            out[f"p{int(q * 100)}"].append(int(vs[np.searchsorted(cum, rank)]))
+        out["p100"].append(int(vs[-1]))
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "p25": pa.array(out["p25"], pa.int64()),
+            "p50": pa.array(out["p50"], pa.int64()),
+            "p75": pa.array(out["p75"], pa.int64()),
+            "p100": pa.array(out["p100"], pa.int64()),
+        }
+    )
 
 
 def hourly_active_users(sf_dir: str):
@@ -3759,17 +3771,11 @@ def user_gap_stats(sf_dir: str):
     ).sort("user_id")
 
 
-def cont_quantiles_by_lang(sf_dir: str):
-    """Interpolated (percentile_cont) per-lang quartiles of n_chars —
-    completes the quantile family next to the percentile_disc twin
-    (exact_quantiles_by_lang) and the sketch builds.
-
-    Better scale shape than the disc twin's whole-group map_groups: ONE
-    scan emits per-block (lang, n_chars) count partials (packed kv),
-    the groupby shuffles only the |langs| x |distinct n_chars|-bounded
-    histogram, and the driver interpolates order stats from cumulative
-    counts. Float tail is the pinned IEEE sequence DuckDB uses:
-    p = q*(n-1); v = v_lo + (p - floor(p))*(v_hi - v_lo); round 6."""
+def _lang_value_histogram(sf_dir: str):
+    """Shared (lang, n_chars) count histogram for the quantile twins: ONE
+    scan emits per-block count partials (packed kv key), the groupby
+    shuffles only the |langs| x |distinct n_chars|-bounded histogram.
+    Returns a pandas frame with columns k (lang), v (n_chars), cnt."""
 
     def part(t: pa.Table) -> pa.Table:
         packed = pc.binary_join_element_wise(
@@ -3798,7 +3804,19 @@ def cont_quantiles_by_lang(sf_dir: str):
         }
     )
     kv = df["kv"].str.split("\x1f", expand=True)
-    df = df.assign(k=kv[0], v=kv[1].astype(np.int64))
+    return df.assign(k=kv[0], v=kv[1].astype(np.int64))
+
+
+def cont_quantiles_by_lang(sf_dir: str):
+    """Interpolated (percentile_cont) per-lang quartiles of n_chars —
+    completes the quantile family next to the percentile_disc twin
+    (exact_quantiles_by_lang) and the sketch builds.
+
+    Count-histogram order statistics (see _lang_value_histogram): only the
+    dimension-bounded histogram shuffles. Float tail is the pinned IEEE
+    sequence DuckDB uses: p = q*(n-1); v = v_lo + (p - floor(p))*
+    (v_hi - v_lo); round 6."""
+    df = _lang_value_histogram(sf_dir)
 
     out = []
     for lang, grp in df.groupby("k", sort=True):
