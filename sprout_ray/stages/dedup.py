@@ -553,8 +553,10 @@ def lsh_candidate_pairs(
     size budget, distributed semi-join above it) -> per-bucket pairwise
     expansion ONLY on hot buckets (bounded by ``max_bucket`` against
     degenerate bands) -> pair dedup. A precomputed ``hot`` array opts into
-    the legacy unconditional broadcast (tests/callers that already hold it)."""
-    import pandas as pd
+    the legacy unconditional broadcast (tests/callers that already hold it).
+
+    The expansion group fn is pyarrow+numpy end to end (the fused n-gram
+    bucket-verify shape) — no pandas conversion in the hot path."""
     import ray
 
     empty = pa.table(
@@ -578,15 +580,19 @@ def lsh_candidate_pairs(
         if hot_rows is None:
             return ray.data.from_arrow(empty)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].unique())[:max_bucket]
-        n = len(ids)
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(
+            group[id_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        )[:max_bucket]
+        n = ids.size
         if n < 2:
-            return pd.DataFrame({"left_id": [], "right_id": []}).astype("int64")
+            return empty
         iu = np.triu_indices(n, k=1)
-        return pd.DataFrame({"left_id": ids[iu[0]], "right_id": ids[iu[1]]})
+        return pa.table(
+            {"left_id": pa.array(ids[iu[0]]), "right_id": pa.array(ids[iu[1]])}
+        )
 
-    cand = hot_rows.groupby("bucket_key").map_groups(pairs, batch_format="pandas")
+    cand = hot_rows.groupby("bucket_key").map_groups(pairs, batch_format="pyarrow")
     return dedupe_pair_stream(cand)
 
 

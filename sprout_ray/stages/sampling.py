@@ -357,6 +357,7 @@ def percentile_band_filter(
     value_col: str,
     lo_q: float = 0.05,
     hi_q: float = 0.95,
+    max_hist_rows: int = 2_000_000,
 ):
     """Distribution-based quality gate: keep rows whose ``value_col`` lies
     inside the per-``key_col`` [lo_q, hi_q] percentile band (the classic
@@ -369,6 +370,11 @@ def percentile_band_filter(
     and the driver reduces a table bounded by |keys| x |distinct values| —
     corpus-size independent for bounded-domain values like lengths or
     scores. The band cuts broadcast once; the filter is map-only.
+
+    ``max_hist_rows`` bounds that driver-side reduce LOUDLY (the
+    hot_bucket_rows / max_cluster convention): a caller feeding a
+    wide-range value column (timestamps, raw hashes) gets a ValueError
+    telling them to quantize first, never a silent driver OOM.
 
     Returns ``(filtered_ds, bands)`` where bands maps key -> (lo, hi)."""
     import ray
@@ -405,13 +411,23 @@ def percentile_band_filter(
         )
         return pa.table({"kv": packed, "cnt": t["cnt"]})
 
-    hist = (
+    grouped = (
         ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
         .map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("kv")
         .sum("cnt")
-        .to_pandas()  # bounded: |keys| x |distinct values| rows
     )
+    try:
+        # to_pandas(limit=) raises before materializing past the budget —
+        # the guard costs no extra pipeline execution
+        hist = grouped.to_pandas(limit=max_hist_rows)
+    except ValueError as e:
+        raise ValueError(
+            f"percentile_band_filter: the (key x distinct {value_col}) "
+            f"histogram exceeds max_hist_rows={max_hist_rows}; the value "
+            "domain is too wide for the driver-side reduce — quantize/"
+            "bucket the value column first or raise max_hist_rows"
+        ) from e
     bands = {}
     if len(hist):
         kv = hist["kv"].str.split("\x1f", expand=True)

@@ -352,6 +352,35 @@ class TestPercentileBandFilter:
         with _pt.raises(ValueError):
             percentile_band_filter(ds, "lang", "n", 0.9, 0.1)
 
+    def test_histogram_budget_guard(self, ray_session):
+        """A wide-range value column (every value distinct) must fail LOUDLY
+        at the driver-reduce budget instead of silently collecting the
+        |keys| x |distinct values| histogram."""
+        import numpy as np
+        import pyarrow as pa
+        import pytest as _pt
+        import ray.data as rd
+
+        from sprout_ray.stages.sampling import percentile_band_filter
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "lang": pa.array(["en"] * 500),
+                    # 500 distinct values — a stand-in for timestamps/hashes
+                    "n": pa.array(np.arange(500, dtype=np.int64) * 7919),
+                }
+            )
+        ).repartition(4)
+        with _pt.raises(ValueError, match="max_hist_rows"):
+            percentile_band_filter(ds, "lang", "n", 0.05, 0.95, max_hist_rows=100)
+        # at/under the budget the same input succeeds
+        out, bands = percentile_band_filter(
+            ds, "lang", "n", 0.05, 0.95, max_hist_rows=500
+        )
+        assert set(bands) == {"en"}
+        assert out.count() > 0
+
 
 class TestWeightedSample:
     def _naive(self, ids, w, n, seed=0):
