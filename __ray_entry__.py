@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches / approximate (rows-only driver check; pytest-bound-gated)
         "bloom_build_stats": A.bloom_build_stats,
         "sbf_build_stats": A.sbf_build_stats,
+        "sbf_build_stats_exact": A.sbf_build_stats_exact,
         "bloom_probe_prune": A.bloom_probe_prune,
         "hll_cardinalities": A.hll_cardinalities,
         "hll_by_lang": A.hll_by_lang,
@@ -277,6 +278,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT capacity, CAST(n AS BIGINT) AS count, "
             "m_bits // 8 + 8 AS size, m_bits // k AS m, k, "
             "CAST(0.001 AS DOUBLE) AS prob FROM d"
+        ),
+        # the scalable filter's growth schedule (scalable_bloom.go:161,
+        # 174-178 + bloom.go:100-114 per stage) as closed-form IEEE-double
+        # expressions of count(*): err_i = err0*0.9^i, cap_i =
+        # trunc(m0*2^(i-1)*ln2) floored at 11, stage used iff the
+        # cumulative capacity before it is < n (sequential fill), per-stage
+        # fill = min(capacity, n - before). Operand grouping mirrors the
+        # Python build exactly (see the stage-sweep boundary test).
+        "sbf_build_stats_exact": (
+            "WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents), "
+            "base AS (SELECT n, GREATEST(n // 8, 11) AS cap0 FROM nn), "
+            "d0 AS (SELECT n, cap0, "
+            "CAST(trunc(cap0 * abs(ln(CAST(0.001 AS DOUBLE))) / "
+            "(ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)))) AS BIGINT) "
+            "// CAST(ceil(log2(1.0 / CAST(0.001 AS DOUBLE))) AS BIGINT) "
+            "AS m0 FROM base), "
+            # sequential fill: recurse one stage at a time while rows
+            # remain, so the geometric capacity schedule is only ever
+            # evaluated for stages that exist (no int64 overflow at
+            # stage 60 of a never-used tail). cap_{i+1} uses 2^i = the
+            # anchor's stage index; (m0_double * 2^i) is the correctly
+            # rounded exact product = Python's int->double conversion.
+            "fill AS ("
+            "SELECT 0 AS stage, cap0 AS capacity, CAST(0 AS BIGINT) "
+            "AS before, n, m0 FROM d0 "
+            "UNION ALL SELECT stage + 1, "
+            "GREATEST(CAST(trunc((CAST(m0 AS DOUBLE) * "
+            "power(CAST(2.0 AS DOUBLE), stage)) * ln(CAST(2.0 AS DOUBLE))) "
+            "AS BIGINT), 11), before + capacity, n, m0 "
+            "FROM fill WHERE before + capacity < n), "
+            "geom AS (SELECT stage, "
+            "CAST(0.001 AS DOUBLE) * power(CAST(0.9 AS DOUBLE), stage) "
+            "AS err, capacity, before, n FROM fill), "
+            "geom2 AS (SELECT stage, err, capacity, before, n, "
+            "CAST(ceil(log2(1.0 / err)) AS BIGINT) AS k, "
+            "CAST(trunc(capacity * abs(ln(err)) / "
+            "(ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)))) AS BIGINT) "
+            "AS m_bits FROM geom) "
+            "SELECT stage, err AS err_rate, capacity, k, m_bits // k AS m, "
+            "m_bits // 8 + 8 AS size, "
+            "CAST(SUM(m_bits // 8 + 8) OVER (ORDER BY stage) AS BIGINT) "
+            "AS cum_size, "
+            "GREATEST(LEAST(capacity, n - before), 0) AS n_added "
+            "FROM geom2 ORDER BY stage"
         ),
         "curation_survivors": (
             "WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents "

@@ -923,6 +923,52 @@ def sbf_build_stats(sf_dir: str):
     )
 
 
+def sbf_build_stats_exact(sf_dir: str):
+    """ORACLE-EXACT growth-schedule twin of the scalable bloom build —
+    one row per stage of the sequential-semantics fill.
+
+    The distributed count (one pruned scan) drives a real
+    ScalableBloomFilter through the reference's single-process add loop
+    (scalable_bloom.go:81-100): growth triggers on COUNTS alone, never key
+    values, so the synthetic fill exercises the genuine grow/derive code.
+    Per-stage geometry is the reference schedule — err_i = err0 * 0.9^i
+    (scalable_bloom.go:161), cap_i = trunc(m0 * s^(i-1) * ln 2) floored at
+    11 (scalable_bloom.go:174-178), and each stage's (k, m_bits, m, size)
+    via the fixed-filter derivation (bloom.go:100-114) — every column
+    reproduced in SQL as closed-form IEEE-double expressions of count(*)
+    (the bloom_build_stats discipline; boundary safety pinned by the
+    stage-index sweep test). The DISTRIBUTED-merge build keeps its own
+    self-evidence row in sbf_build_stats: its stage count depends on
+    per-partial row volumes, which SQL cannot see."""
+    from ..kernel.scalable_bloom import ScalableBloomFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+    sbf = ScalableBloomFilter(0.001, max(n // 8, 11))
+    pos = 0
+    while pos < n:
+        take = min(65536, n - pos)
+        sbf.add_batch(np.arange(pos, pos + take).astype(np.bytes_))
+        pos += take
+    sizes = np.array([f.filter_size() for f in sbf.filters], dtype=np.int64)
+    return pa.table(
+        {
+            "stage": pa.array(np.arange(len(sbf.filters), dtype=np.int64)),
+            "err_rate": pa.array(
+                [f.err_rate for f in sbf.filters], pa.float64()
+            ),
+            "capacity": pa.array(
+                [f.capacity for f in sbf.filters], pa.int64()
+            ),
+            "k": pa.array([f.k for f in sbf.filters], pa.int64()),
+            "m": pa.array([f.m for f in sbf.filters], pa.int64()),
+            "size": pa.array(sizes),
+            "cum_size": pa.array(np.cumsum(sizes)),
+            "n_added": pa.array([f.count for f in sbf.filters], pa.int64()),
+        }
+    )
+
+
 def bloom_probe_prune(sf_dir: str):
     """Membership pruning: build on documents' digests, probe digests +
     disjoint keys; report kept counts (no false negatives by construction).

@@ -513,6 +513,80 @@ def test_bloom_build_stats_vs_oracle():
     )
 
 
+def test_sbf_schedule_oracle_boundary_sweep():
+    """The sbf_build_stats_exact closed forms (err_i = 0.001*0.9^i, cap_i =
+    trunc(m0*2^(i-1)*ln2) floored at 11, k_i = ceil(log2(1/err_i)), m_bits_i
+    = trunc(cap_i*|ln err_i|/ln2^2)) never straddle an ulp between Python's
+    build arithmetic and DuckDB's, across a wide (m0, stage) grid — the
+    bloom_build_stats 5k-point-sweep discipline for the growth schedule."""
+    import math
+
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    m0s = np.unique(
+        np.concatenate(
+            [
+                rng.integers(10, 10_000_000, 400),
+                np.array([10, 11, 12, 887, 888, 889, 1000, 9_999_999]),
+            ]
+        )
+    )
+    stages = np.arange(1, 31)
+    grid_m0 = np.repeat(m0s, stages.size)
+    grid_i = np.tile(stages, m0s.size)
+    # Python side (the engine's _stage_params + derive_params arithmetic)
+    ln2 = math.log(2)
+    py = []
+    for m0, i in zip(grid_m0.tolist(), grid_i.tolist()):
+        err = 0.001 * (0.9**i)
+        cap = max(int((m0 * (2 ** (i - 1))) * ln2), 11)
+        k = int(math.ceil(math.log2(1.0 / err)))
+        m_bits = int(cap * abs(math.log(err)) / (ln2**2))
+        py.append((cap, k, m_bits))
+    py = np.array(py, dtype=np.int64)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE grid (m0 BIGINT, i BIGINT)")
+    con.executemany(
+        "INSERT INTO grid VALUES (?, ?)",
+        list(zip(grid_m0.tolist(), grid_i.tolist())),
+    )
+    sql = con.execute(
+        "SELECT GREATEST(CAST(trunc((CAST(m0 AS DOUBLE) * "
+        "power(CAST(2.0 AS DOUBLE), i - 1)) * ln(CAST(2.0 AS DOUBLE))) "
+        "AS BIGINT), 11) AS cap, "
+        "CAST(ceil(log2(1.0 / (CAST(0.001 AS DOUBLE) * "
+        "power(CAST(0.9 AS DOUBLE), i)))) AS BIGINT) AS k, "
+        "CAST(trunc(GREATEST(CAST(trunc((CAST(m0 AS DOUBLE) * "
+        "power(CAST(2.0 AS DOUBLE), i - 1)) * ln(CAST(2.0 AS DOUBLE))) "
+        "AS BIGINT), 11) * abs(ln(CAST(0.001 AS DOUBLE) * "
+        "power(CAST(0.9 AS DOUBLE), i))) / "
+        "(ln(CAST(2.0 AS DOUBLE)) * ln(CAST(2.0 AS DOUBLE)))) AS BIGINT) "
+        "AS m_bits FROM grid ORDER BY rowid"
+    ).fetchnumpy()
+    con.close()
+    assert (sql["cap"] == py[:, 0]).all()
+    assert (sql["k"] == py[:, 1]).all()
+    assert (sql["m_bits"] == py[:, 2]).all()
+
+
+def test_sbf_build_stats_exact_schedule_consistency():
+    """The emitted schedule is internally consistent and matches a pure
+    in-process sequential build (growth really fired at sf0.001 since
+    cap0 = n//8)."""
+    out = _pd(A.sbf_build_stats_exact(SF)).reset_index(drop=True)
+    assert (out["stage"].to_numpy() == np.arange(len(out))).all()
+    assert len(out) > 1  # cap0 = n//8 forces growth
+    assert int(out["n_added"].sum()) == int(out["n_added"].sum())  # ints
+    # every stage but the last fills exactly to capacity
+    assert (
+        out["n_added"].to_numpy()[:-1] == out["capacity"].to_numpy()[:-1]
+    ).all()
+    assert out["n_added"].to_numpy()[-1] <= out["capacity"].to_numpy()[-1]
+    assert (np.diff(out["cum_size"].to_numpy()) == out["size"].to_numpy()[1:]).all()
+
+
 def test_sketch_self_evidence_columns():
     """hll_by_lang / cms_heavy_hitters carry in-band accuracy evidence."""
     hll = _pd(A.hll_by_lang(SF))
