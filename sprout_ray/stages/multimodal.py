@@ -84,14 +84,17 @@ class DecodeStage:
         return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack(
-            [
-                self._decode(p, t)
-                for p, t in zip(
-                    batch["payload"].to_pylist(), batch["media_type"].to_pylist()
-                )
-            ]
-        )
+        # payloads stay Arrow buffers: each row decodes from a ZERO-COPY
+        # memoryview of the binary column's data buffer (to_pylist() would
+        # materialize every payload in the batch as python bytes at once —
+        # batch_size x payload_size of needless heap); features land in a
+        # preallocated matrix instead of a stacked list.
+        col = batch["payload"].combine_chunks()
+        types = batch["media_type"].to_pylist()
+        n = len(types)
+        feats = np.empty((n, self.feature_dim), dtype=np.float64)
+        for i in range(n):
+            feats[i] = self._decode(memoryview(col[i].as_buffer()), types[i])
         out = batch.drop_columns(["payload"])  # payloads don't flow downstream
         return out.append_column(
             "features",
@@ -298,26 +301,47 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
+def decode_ppm(payload) -> np.ndarray:
     """Decode binary PPM (P6) to an (h, w, 3) uint8 array.
 
     Handles the full header grammar: '#' comments and any whitespace runs
     between the magic, dimensions and maxval; exactly ONE whitespace byte
-    separates maxval from the pixel block."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    pos, fields = 2, []
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":  # comment to end of line
-            nl = payload.index(b"\n", pos)
-            pos = nl + 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        fields.append(int(payload[start:pos]))
+    separates maxval from the pixel block.
+
+    Accepts ``bytes`` or any buffer (memoryview over an Arrow buffer — the
+    zero-copy DecodeStage path): only the small HEADER region is copied to
+    bytes for the text parse (doubling until the parse fits, so arbitrary
+    comment runs still work); the pixel block is read straight off the
+    buffer with np.frombuffer."""
+    total = len(payload)
+    hdr_len = min(total, 256)
+    while True:
+        hdr = bytes(payload[:hdr_len]) if not isinstance(payload, bytes) else payload
+        try:
+            if hdr[:2] != b"P6":
+                raise ValueError("not a P6 PPM payload")
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(hdr) and hdr[pos : pos + 1].isspace():
+                    pos += 1
+                if pos >= len(hdr) and len(hdr) < total:
+                    raise IndexError  # header straddles the copy; grow
+                if hdr[pos : pos + 1] == b"#":  # comment to end of line
+                    nl = hdr.index(b"\n", pos)
+                    pos = nl + 1
+                    continue
+                start = pos
+                while pos < len(hdr) and not hdr[pos : pos + 1].isspace():
+                    pos += 1
+                if pos >= len(hdr) and len(hdr) < total:
+                    raise IndexError
+                fields.append(int(hdr[start:pos]))
+            break
+        except (IndexError, ValueError):
+            if len(hdr) < total and hdr[:2] == b"P6":
+                hdr_len = min(hdr_len * 2, total)
+                continue
+            raise
     w, h, maxval = fields
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")

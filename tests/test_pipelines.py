@@ -513,6 +513,20 @@ def test_bloom_build_stats_vs_oracle():
     )
 
 
+def test_ann_ivf_topk_recall_gate():
+    """ann_ivf_topk's in-band accuracy claim holds at fixed
+    (nlist=8, nprobe=4, k=10): every query's measured recall clears the
+    probed-fraction floor (0.5) and the mean clears 0.6 on this corpus."""
+    out = A.ann_ivf_topk(SF)
+    assert {"recall", "recall_floor", "within_bound"} <= set(out.columns)
+    per_query = out.groupby("query_id")["recall"].first()
+    assert bool(out["within_bound"].all())
+    assert (per_query >= 0.5).all()
+    assert per_query.mean() >= 0.6
+    # recall is against the brute top-k on the same dtype: bounded [0, 1]
+    assert ((per_query >= 0.0) & (per_query <= 1.0)).all()
+
+
 def test_sbf_schedule_oracle_boundary_sweep():
     """The sbf_build_stats_exact closed forms (err_i = 0.001*0.9^i, cap_i =
     trunc(m0*2^(i-1)*ln2) floored at 11, k_i = ceil(log2(1/err_i)), m_bits_i

@@ -2284,6 +2284,15 @@ def test_ppm_roundtrip_and_header_grammar():
     fancy = b"P6 # magic\n# a comment line\n  9\t5 # dims\n255\n" + pix
     out2 = decode_ppm(fancy)
     assert (out2 == img).all()
+    # zero-copy buffer input (the DecodeStage path): memoryview decode is
+    # identical, including a header whose comment run straddles the 256-B
+    # initial header copy (the grow-and-reparse branch)
+    out3 = decode_ppm(memoryview(fancy))
+    assert (out3 == img).all()
+    long_comment = b"P6\n# " + b"x" * 600 + b"\n9 5\n255\n" + pix
+    out4 = decode_ppm(memoryview(long_comment))
+    assert (out4 == img).all()
+    assert (decode_ppm(long_comment) == img).all()
 
 
 def test_ppm_real_decode_stage(ray_session):
