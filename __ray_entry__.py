@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_revenue": A.supplier_region_revenue,
         "promo_brand_revenue": A.promo_brand_revenue,
         "late_shipment_priority": A.late_shipment_priority,
+        "q13_customer_distribution": A.q13_customer_distribution,
+        "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
+        "q21_waiting_suppliers": A.q21_waiting_suppliers,
+        "q22_idle_balance": A.q22_idle_balance,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
@@ -935,6 +939,60 @@ def oracle_sql() -> dict[str, str]:
             "ON s.l_orderkey = o.o_orderkey "
             "WHERE s.m > o.o_orderdate + INTERVAL 60 DAY "
             "GROUP BY o.o_orderpriority ORDER BY o_orderpriority"
+        ),
+        # TPC-H Q13 shape: order-count histogram incl. the zero bucket
+        "q13_customer_distribution": (
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_orders "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) "
+            "SELECT c_orders, CAST(count(*) AS BIGINT) AS n_custs "
+            "FROM pc GROUP BY c_orders ORDER BY c_orders"
+        ),
+        # TPC-H Q17 shape: small-quantity revenue for one brand; the
+        # correlated AVG decided in integers (5*q*c < s)
+        "q17_small_quantity_revenue": (
+            "WITH bl AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) AS cents "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#1'), "
+            "st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s, "
+            "CAST(count(*) AS BIGINT) AS c FROM bl GROUP BY l_partkey) "
+            "SELECT CAST(COALESCE(sum(b.cents), 0) AS BIGINT) AS "
+            "revenue_cents, CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM bl b JOIN st USING (l_partkey) WHERE 5 * b.q * c < s"
+        ),
+        # TPC-H Q21 shape: only-late supplier in multi-supplier orders
+        "q21_waiting_suppliers": (
+            "WITH pair AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) "
+            "AS ms FROM lineitem GROUP BY l_orderkey, l_suppkey), "
+            "flag AS (SELECT p.l_orderkey, p.l_suppkey, CASE WHEN p.ms > "
+            "o.o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END AS late "
+            "FROM pair p JOIN orders o ON p.l_orderkey = o.o_orderkey), "
+            "agg AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS "
+            "n_late FROM flag GROUP BY l_orderkey), "
+            "winners AS (SELECT f.l_suppkey FROM flag f JOIN agg a "
+            "USING (l_orderkey) WHERE a.n_supp >= 2 AND a.n_late = 1 "
+            "AND f.late = 1), "
+            "cnt AS (SELECT l_suppkey, count(*) AS numwait FROM winners "
+            "GROUP BY l_suppkey) "
+            "SELECT s.s_name AS s_name, CAST(c.numwait AS BIGINT) AS "
+            "numwait FROM cnt c JOIN supplier s ON s.s_suppkey = "
+            "c.l_suppkey ORDER BY numwait DESC, s_name LIMIT 10"
+        ),
+        # TPC-H Q22 shape: above-average-balance customers with no orders,
+        # per market segment; predicate in integers (cents*n > s)
+        "q22_idle_balance": (
+            "WITH pos AS (SELECT c_custkey, CAST(round(c_acctbal * 100) "
+            "AS BIGINT) AS cents, c_mktsegment FROM customer), "
+            "stats AS (SELECT CAST(sum(CASE WHEN cents > 0 THEN cents "
+            "ELSE 0 END) AS BIGINT) AS s, CAST(count(*) FILTER ("
+            "WHERE cents > 0) AS BIGINT) AS n FROM pos), "
+            "idle AS (SELECT p.* FROM pos p, stats WHERE "
+            "p.cents * stats.n > stats.s AND p.c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders)) "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs, "
+            "CAST(sum(cents) AS BIGINT) AS balance_cents FROM idle "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         # latest-per-key snapshot: ts DESC, event_id DESC winner
         "latest_user_event": (

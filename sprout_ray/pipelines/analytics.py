@@ -7563,3 +7563,431 @@ def trimmed_value_sums(sf_dir: str, k: int = 5):
             "n_kept": pa.array(out_n, pa.int64()),
         }
     )
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING the zero-order bucket (the left-join-then-histogram shape).
+
+    Two dimension-bounded reductions, no join: (1) orders scan -> per-block
+    o_custkey count partials -> one groupby-sum = orders per customer
+    (rows bounded by |customers|); (2) a per-block histogram of those
+    counts -> one tiny groupby (bounded by the max orders-per-customer).
+    The zero bucket is arithmetic: |customer| (parquet metadata count)
+    minus customers-with-orders — the LEFT JOIN's only contribution,
+    computed without shipping the customer table anywhere."""
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # metadata
+
+    def cnt_part(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["o_custkey"])
+            .group_by(["o_custkey"])
+            .aggregate([("o_custkey", "count")])
+        )
+        return g.rename_columns(["o_custkey", "c"])
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(cnt_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .sum("c", ignore_nulls=True)
+    )
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_orders": t["sum(c)"]})
+            .group_by(["c_orders"])
+            .aggregate([("c_orders", "count")])
+        )
+        return g.rename_columns(["c_orders", "n"])
+
+    rows = (
+        per_cust.map_batches(hist_part, batch_format="pyarrow")
+        .groupby("c_orders")
+        .sum("n", ignore_nulls=True)
+        .take_all()  # bounded: max orders-per-customer buckets
+    )
+    buckets = {int(r["c_orders"]): int(r["sum(n)"]) for r in rows}
+    zero = n_cust - sum(buckets.values())
+    if zero > 0:  # the LEFT JOIN contributes a 0 bucket only when nonempty
+        buckets[0] = zero
+    ks = sorted(buckets)
+    return pa.table(
+        {
+            "c_orders": pa.array(ks, pa.int64()),
+            "n_custs": pa.array([buckets[k] for k in ks], pa.int64()),
+        }
+    )
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape: revenue locked in small-quantity lineitems of one
+    brand — lines with l_quantity < 0.2 * avg(l_quantity) for their part.
+
+    The correlated AVG is decided in INTEGERS (5*qty*cnt < sum_qty — no
+    float division, no tie ambiguity; quantities are whole numbers) from a
+    per-part (sum, count) reduction over the brand-filtered projection,
+    which is materialized ONCE (O(brand lines), partkeys ride a broadcast
+    id set) and feeds both the stats pass and the final filter; the
+    per-part thresholds broadcast back (bounded by |parts in brand|).
+    Money in integer cents."""
+    import ray
+
+    from ..stages.dedup import id_set_filter
+
+    part_t = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], "Brand#1")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()  # upper bound
+    keep = id_set_filter(
+        part_t.map_batches(
+            lambda t: t.rename_columns(["l_partkey"]), batch_format="pyarrow"
+        ),
+        "l_partkey",
+        keep=True,
+        n_ids=n_parts,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+                "cents": pc.cast(
+                    _oround(pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    bl = (
+        keep(_read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]))
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # O(brand lines); consumed by stats + filter
+    )
+
+    def stats_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "l_partkey": t["l_partkey"],
+                    "s": t["q"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+            .group_by(["l_partkey"])
+            .aggregate([("s", "sum"), ("one", "sum")])
+        )
+        return g.rename_columns(["l_partkey", "s", "c"])
+
+    from ray.data.aggregate import Sum
+
+    st = (
+        bl.map_batches(stats_part, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("s"), Sum("c"))
+        .take_all()  # bounded: |parts in brand|
+    )
+    s_map = {int(r["l_partkey"]): (int(r["sum(s)"]), int(r["sum(c)"])) for r in st}
+    ref = ray.put(s_map)
+
+    def small_part(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        q = t["q"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        sm = np.array([m[int(k)][0] for k in pk], dtype=np.int64)
+        cn = np.array([m[int(k)][1] for k in pk], dtype=np.int64)
+        keep_m = 5 * q * cn < sm
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [int(cents[keep_m].sum())], pa.int64()
+                ),
+                "n_lines": pa.array([int(keep_m.sum())], pa.int64()),
+            }
+        )
+
+    parts = bl.map_batches(small_part, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "revenue_cents": pa.array(
+                [sum(int(r["revenue_cents"]) for r in parts)], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [sum(int(r["n_lines"]) for r in parts)], pa.int64()
+            ),
+        }
+    )
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
+    multi-supplier order (late = latest line ships > 60 days after the
+    order date, the late_shipment_priority convention), top-10 by count.
+
+    The multi-EXISTS is rewritten as two keyed reductions over ONE thinned
+    pair stream: lineitem pre-aggregates per block into (orderkey, suppkey)
+    max-shipdate partials on a PACKED int64 key (range-checked loudly, the
+    canonical_docs convention) -> one native groupby-max -> the order date
+    attaches via the size-guarded lookup join -> per-order (n_suppliers,
+    n_late) fold decides the Q21 predicate (EXISTS other supplier AND NOT
+    EXISTS other late supplier == n_supp >= 2 AND n_late == 1) -> winning
+    orders' late pairs count per supplier (|suppliers|-bounded) and the
+    25-to-10k-row supplier name table broadcasts last."""
+    from ..stages.dedup import id_set_filter
+    from ..stages.joins import broadcast_lookup_join
+
+    SUPP_BITS = 20
+
+    def pair_premax(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(ok) and (
+            sk.min() < 0
+            or sk.max() >= (1 << SUPP_BITS)
+            or ok.min() < 0
+            or ok.max() >= (1 << (63 - SUPP_BITS))
+        ):
+            raise ValueError("q21: key out of packed (orderkey, suppkey) range")
+        g = (
+            pa.table(
+                {
+                    "pk": pa.array((ok << SUPP_BITS) | sk),
+                    "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+                }
+            )
+            .group_by(["pk"])
+            .aggregate([("ship_us", "max")])
+        )
+        return g.rename_columns(["pk", "ship_us"])
+
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(pair_premax, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .max("ship_us", ignore_nulls=True)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": pc.shift_right(t["pk"], SUPP_BITS),
+                    "suppkey": pc.bit_wise_and(
+                        t["pk"], pa.scalar((1 << SUPP_BITS) - 1, pa.int64())
+                    ),
+                    "max_ship_us": t["max(ship_us)"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
+    late_us = 60 * 86_400 * 1_000_000
+    flagged = broadcast_lookup_join(
+        pairs, orders, on="o_orderkey", right_count=n_orders
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "suppkey": t["suppkey"],
+                "late": pc.cast(
+                    pc.greater(
+                        t["max_ship_us"],
+                        pc.add(t["ord_us"], pa.scalar(late_us, pa.int64())),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # O(order x supplier pairs); consumed twice below
+
+    def order_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "late": t["late"],
+                }
+            )
+            .group_by(["o_orderkey"])
+            .aggregate([("one", "sum"), ("late", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "n_supp", "n_late"])
+
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        flagged.map_batches(order_part, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("n_supp"), Sum("n_late"))
+    )
+    winners = per_order.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["sum(n_supp)"], 2),
+                pc.equal(t["sum(n_late)"], 1),
+            )
+        ).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    keep = id_set_filter(winners, "o_orderkey", keep=True, n_ids=n_orders)
+
+    def supp_part(t: pa.Table) -> pa.Table:
+        g = (
+            t.filter(pc.equal(t["late"], 1))
+            .select(["suppkey"])
+            .group_by(["suppkey"])
+            .aggregate([("suppkey", "count")])
+        )
+        return g.rename_columns(["suppkey", "n"])
+
+    counts = (
+        keep(flagged)
+        .map_batches(supp_part, batch_format="pyarrow")
+        .groupby("suppkey")
+        .sum("n", ignore_nulls=True)
+        .take_all()  # bounded: |suppliers|
+    )
+    import pandas as pd
+
+    cnt = pd.DataFrame(
+        {
+            "s_suppkey": [int(r["suppkey"]) for r in counts],
+            "numwait": [int(r["sum(n)"]) for r in counts],
+        }
+    )
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()  # dimension table
+    )
+    out = cnt.merge(names, on="s_suppkey", how="inner")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "numwait": pa.array(out["numwait"].tolist(), pa.int64()),
+        }
+    )
+
+
+def q22_idle_balance(sf_dir: str):
+    """TPC-H Q22 shape: acquisition targets — customers whose account
+    balance is strictly above the average POSITIVE balance but who have
+    never ordered, counted + summed per market segment (the phone-prefix
+    grouping of real Q22 mapped onto the mktsegment column this corpus
+    has). Money in integer cents; the above-average predicate is decided
+    in integers (cents * n_pos > sum_pos — no float division).
+
+    Shape: one customer scan materializes the 3-column projection (spills
+    to the object store, never the driver); the global (sum, n) of
+    positive balances folds from per-block partials; the NOT-EXISTS side
+    pre-dedupes o_custkey per block and routes through the size-guarded
+    id anti-join (bounded by |customers|); the segment rollup shuffles
+    |segments|-bounded partials."""
+    from ..stages.dedup import id_set_filter
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "c_custkey": t["c_custkey"],
+                    "cents": pc.cast(
+                        _oround(pc.multiply(t["c_acctbal"], 100.0)), pa.int64()
+                    ),
+                    "c_mktsegment": t["c_mktsegment"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # 3 thin columns; consumed by stats + filter
+    )
+
+    def pos_part(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["cents"], 0))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(pos["cents"]).as_py() or 0], pa.int64()),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = cust.map_batches(pos_part, batch_format="pyarrow").aggregate(
+        Sum("s"), Sum("n")
+    )
+    s_pos, n_pos = int(agg["sum(s)"] or 0), int(agg["sum(n)"] or 0)
+
+    eligible = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["cents"], pa.scalar(n_pos, pa.int64())), s_pos)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def cust_dedupe(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+        return g.rename_columns(["c_custkey"])
+
+    buyers = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(cust_dedupe, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .count()
+        .select_columns(["c_custkey"])
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()  # bound
+    drop = id_set_filter(buyers, "c_custkey", keep=False, n_ids=n_cust)
+
+    def seg_part(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "c_mktsegment": t["c_mktsegment"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": t["cents"],
+                }
+            )
+            .group_by(["c_mktsegment"])
+            .aggregate([("one", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["c_mktsegment", "n", "cents"])
+
+    rows = (
+        drop(eligible)
+        .map_batches(seg_part, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n"), Sum("cents"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["c_mktsegment"])
+    # 0-row Datasets lose their schema (CLAUDE.md): always hand back a
+    # schema-bearing table — the driver testdata's every-customer-ordered
+    # regime hits this; the idle regime is pinned by a planted pytest
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(
+                [r["c_mktsegment"] for r in rows], pa.string()
+            ),
+            "n_custs": pa.array([int(r["sum(n)"]) for r in rows], pa.int64()),
+            "balance_cents": pa.array(
+                [int(r["sum(cents)"]) for r in rows], pa.int64()
+            ),
+        }
+    )

@@ -2034,3 +2034,144 @@ def test_trimmed_value_sums_planted(tmp_path, ray_session):
     assert out["event_type"].tolist() == ["a", "b"]
     assert out["trimmed_c"].tolist() == [6, 0]
     assert out["n_kept"].tolist() == [3, 0]
+
+
+def test_tpch_q13_q17_q21_q22_planted(tmp_path, ray_session):
+    """Planted regimes the driver testdata misses: a zero-order bucket
+    (q13), qualifying small-quantity lines (q17), a solo-late supplier in
+    a multi-supplier order with both an all-late and a single-supplier
+    decoy order (q21), and above-average-balance customers with no orders
+    (q22) — each compared against its own oracle SQL on the planted
+    tables."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    DAY = 86_400_000_000
+    T0 = DAY * 19_000  # some epoch day
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(list(range(8)), pa.int64()),
+                "c_name": pa.array([f"C{i}" for i in range(8)]),
+                "c_nationkey": pa.array([0] * 8, pa.int64()),
+                "c_acctbal": pa.array(
+                    [1000.0, 2000.0, 3000.0, -50.0, 500.0, 4000.0, 10.0, 2500.0],
+                    pa.float64(),
+                ),
+                "c_mktsegment": pa.array(["A", "B"] * 4),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    # customers 4..7 never order (q13 zero bucket = 4; q22 idle pool);
+    # avg positive balance = 13010/7 ~ 1858.57 -> idle & above-avg:
+    # cust5 (4000.00, seg B) and cust7 (2500.00, seg B)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "o_custkey": pa.array([0, 0, 1, 2, 3, 3], pa.int64()),
+                "o_orderstatus": pa.array(["F"] * 6),
+                "o_totalprice": pa.array([100.0] * 6, pa.float64()),
+                "o_orderdate": pa.array([T0] * 6, pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * 6),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3"]),
+                "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+                "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([100, 101], pa.int64()),
+                "p_name": pa.array(["pa", "pb"]),
+                "p_brand": pa.array(["Brand#1", "Brand#2"]),
+                "p_type": pa.array(["t", "t"]),
+                "p_size": pa.array([1, 1], pa.int64()),
+                "p_retailprice": pa.array([1.0, 1.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem_unused.parquet"),
+    )
+    import os
+
+    os.rename(
+        str(tmp_path / "lineitem_unused.parquet"), str(tmp_path / "part.parquet")
+    )
+    # order 1: supp 1 late, supp 2 on time  -> S1 counted
+    # order 2: supp 1 late, supp 2 late     -> excluded (two late)
+    # order 3: supp 1 late alone            -> excluded (single supplier)
+    # order 4: supp 2 on time, supp 3 late  -> S3 counted
+    # q17: part 100 (Brand#1) quantities [1,10,10,10,10]: sum=41, cnt=5,
+    # qty 1 qualifies (5*1*5=25 < 41); part 101 is the other brand
+    lk = [1, 1, 2, 2, 3, 4, 4, 5, 5, 5]
+    sk = [1, 2, 1, 2, 1, 2, 3, 1, 1, 1]
+    late = [1, 0, 1, 1, 1, 0, 1, 0, 0, 0]
+    qty = [1.0, 10.0, 10.0, 10.0, 10.0, 5.0, 5.0, 5.0, 5.0, 5.0]
+    pkey = [100, 100, 100, 100, 100, 101, 101, 101, 101, 101]
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lk, pa.int64()),
+                "l_partkey": pa.array(pkey, pa.int64()),
+                "l_suppkey": pa.array(sk, pa.int64()),
+                "l_linenumber": pa.array(list(range(1, 11)), pa.int64()),
+                "l_quantity": pa.array(qty, pa.float64()),
+                "l_extendedprice": pa.array([10.0 * q for q in qty], pa.float64()),
+                "l_discount": pa.array([0.0] * 10, pa.float64()),
+                "l_tax": pa.array([0.0] * 10, pa.float64()),
+                "l_returnflag": pa.array(["N"] * 10),
+                "l_linestatus": pa.array(["O"] * 10),
+                "l_shipdate": pa.array(
+                    [T0 + (61 if is_late else 10) * DAY for is_late in late],
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    # NOTE order 5 belongs to no planted late scenario (single supplier,
+    # all on time) and carries the Brand#2 decoy lines for q17
+
+    con = duckdb.connect()
+    for tbl in ("customer", "orders", "supplier", "part", "lineitem"):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{tmp_path}/{tbl}.parquet'")
+    sqls = E.oracle_sql()
+    for name, fn in [
+        ("q13_customer_distribution", A.q13_customer_distribution),
+        ("q17_small_quantity_revenue", A.q17_small_quantity_revenue),
+        ("q21_waiting_suppliers", A.q21_waiting_suppliers),
+        ("q22_idle_balance", A.q22_idle_balance),
+    ]:
+        got = _pd(fn(str(tmp_path)))
+        want = con.execute(sqls[name]).df()
+        got = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        want = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want), name
+    con.close()
+    # the planted regimes actually fired
+    q13 = _pd(A.q13_customer_distribution(str(tmp_path)))
+    assert 0 in q13["c_orders"].tolist()
+    assert q13.loc[q13["c_orders"] == 0, "n_custs"].tolist() == [4]
+    q17 = _pd(A.q17_small_quantity_revenue(str(tmp_path)))
+    assert q17["n_lines"].tolist() == [1] and q17["revenue_cents"].tolist() == [1000]
+    q21 = _pd(A.q21_waiting_suppliers(str(tmp_path)))
+    assert sorted(zip(q21["s_name"], q21["numwait"])) == [("S1", 1), ("S3", 1)]
+    q22 = _pd(A.q22_idle_balance(str(tmp_path)))
+    assert q22["c_mktsegment"].tolist() == ["B"]
+    assert q22["n_custs"].tolist() == [2]
+    assert q22["balance_cents"].tolist() == [650000]
