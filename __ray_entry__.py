@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": A.q17_small_quantity_revenue,
         "q21_waiting_suppliers": A.q21_waiting_suppliers,
         "q22_idle_balance": A.q22_idle_balance,
+        "q6_forecast_revenue": A.q6_forecast_revenue,
+        "q14_promo_effect": A.q14_promo_effect,
+        "q19_discount_revenue": A.q19_discount_revenue,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
@@ -993,6 +996,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs, "
             "CAST(sum(cents) AS BIGINT) AS balance_cents FROM idle "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        # TPC-H Q6: one-scan filter-aggregate; discount in integer percent
+        "q6_forecast_revenue": (
+            "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)), 0) "
+            "AS BIGINT) AS revenue_centicents, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+            "WHERE year(l_shipdate) = 1996 AND l_quantity < 24 "
+            "AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7"
+        ),
+        # TPC-H Q14: PROMO share of one ship month's revenue, integer ppm
+        "q14_promo_effect": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem WHERE year(l_shipdate) = 1996 "
+            "AND month(l_shipdate) = 3), "
+            "j AS (SELECT cc, CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END "
+            "AS pr FROM l JOIN part ON p_partkey = l_partkey) "
+            "SELECT CAST(COALESCE(sum(CASE WHEN pr = 1 THEN cc END), 0) "
+            "AS BIGINT) AS promo_centicents, "
+            "CAST(COALESCE(sum(cc), 0) AS BIGINT) AS total_centicents, "
+            "CAST(CASE WHEN COALESCE(sum(cc), 0) > 0 THEN "
+            "(sum(CASE WHEN pr = 1 THEN cc ELSE 0 END) * 1000000) "
+            "// sum(cc) ELSE 0 END AS BIGINT) AS promo_share_ppm, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM j"
+        ),
+        # TPC-H Q19: disjunctive (brand, size, qty) revenue; p_size stands
+        # in for p_container; discount band in integer percent
+        "q19_discount_revenue": (
+            "SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) "
+            "AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+            "), 0) AS BIGINT) AS revenue_centicents, "
+            "CAST(count(*) AS BIGINT) AS n_lines "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND ((p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30))"
         ),
         # latest-per-key snapshot: ts DESC, event_id DESC winner
         "latest_user_event": (

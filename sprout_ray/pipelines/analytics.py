@@ -7991,3 +7991,259 @@ def q22_idle_balance(sf_dir: str):
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion sweep (round 4): the remaining Q* shapes, adapted to the
+# driver schema (no partsupp table; no shipmode/commitdate/container/phone
+# columns — each docstring names its stand-in predicate). All oracle-exact.
+# --------------------------------------------------------------------------
+
+
+def _dim_lookup(ds, key_col: str, attr_cols, budget: int = 4_000_000):
+    """Collect a KEY-UNIQUE bounded dimension slice and broadcast it as
+    (sorted keys, attr arrays) for map-side searchsorted membership FLAGS /
+    enrichment — the flag-sibling of ``dedup.id_set_filter`` (which only
+    filters rows). Loud failure above ``budget``: at 100 TB a caller must
+    pre-thin the slice (brand/type predicates) under the budget or restate
+    the query as a distributed join. Returns a ``ray.put`` ref of
+    ``(keys_sorted, [attr arrays in attr_cols order])``."""
+    import ray
+
+    from ..stages.dedup import _collect_table
+
+    schema = pa.schema(
+        [(key_col, pa.int64())] + [(c, pa.int64()) for c in attr_cols]
+    )
+    t = _collect_table(ds, schema)
+    if t.num_rows > budget:
+        raise ValueError(
+            f"_dim_lookup: {t.num_rows} rows exceed the {budget} broadcast "
+            "budget — pre-thin the dimension slice or use a distributed join"
+        )
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys = keys[order]
+    if len(keys) > 1 and (keys[1:] == keys[:-1]).any():
+        raise ValueError(f"_dim_lookup: {key_col} is not unique")
+    attrs = [
+        t[c].to_numpy(zero_copy_only=False)[order] for c in attr_cols
+    ]
+    return ray.put((keys, attrs))
+
+
+def _dim_probe(ref, key_arr):
+    """searchsorted probe of a ``_dim_lookup`` broadcast: returns
+    (member_mask, positions) — positions only valid where member_mask."""
+    import ray
+
+    keys, attrs = ray.get(ref)
+    if len(keys) == 0:
+        return np.zeros(len(key_arr), dtype=bool), np.zeros(len(key_arr), np.int64), attrs
+    pos = np.minimum(np.searchsorted(keys, key_arr), len(keys) - 1)
+    return keys[pos] == key_arr, pos, attrs
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6: forecast revenue — sum(extendedprice * discount) over one
+    ship year, a discount band and a quantity cap. The canonical
+    filter-aggregate: ONE pruned scan, per-block 1-row partials, zero
+    shuffle. Discount decided in integer percent (round(disc*100) in
+    [5, 7]), money in integer centi-cents (cents x pct) so the sum is
+    bit-deterministic at any block count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        yr = pc.year(t["l_shipdate"])
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        keep = (
+            (yr.to_numpy(zero_copy_only=False) == 1996)
+            & (qty < 24)
+        )
+        dp = disc_pct.to_numpy(zero_copy_only=False)
+        keep &= (dp >= 5) & (dp <= 7)
+        rev = base_c.to_numpy(zero_copy_only=False)[keep] * dp[keep]
+        return pa.table(
+            {
+                "revenue_centicents": pa.array([int(rev.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()  # O(blocks) 1-row partials
+    )
+    return pa.table(
+        {
+            "revenue_centicents": pa.array(
+                [sum(int(r["revenue_centicents"]) for r in parts)], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [sum(int(r["n_lines"]) for r in parts)], pa.int64()
+            ),
+        }
+    )
+
+
+def q14_promo_effect(sf_dir: str):
+    """TPC-H Q14: promotion effect — PROMO-typed parts' share of one ship
+    month's revenue, in integer ppm ((promo * 1e6) // total; both operands
+    non-negative so DuckDB trunc == numpy floor).
+
+    The promo part-key set rides a `_dim_lookup` broadcast (bounded:
+    the PROMO slice of the part dimension, loud over budget) and every
+    lineitem batch flags map-side — no part join ships the fact stream.
+    Money in integer centi-cents."""
+
+    ref = _dim_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+            lambda t: t.filter(pc.equal(t["p_type"], "PROMO")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        ),
+        "p_partkey",
+        [],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        mo = pc.month(t["l_shipdate"]).to_numpy(zero_copy_only=False)
+        keep = (yr == 1996) & (mo == 3)
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = (
+            base_c.to_numpy(zero_copy_only=False)
+            * (100 - disc_pct.to_numpy(zero_copy_only=False))
+        )[keep]
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        member, _, _ = _dim_probe(ref, pk)
+        return pa.table(
+            {
+                "promo_cc": pa.array([int(cc[member].sum())], pa.int64()),
+                "total_cc": pa.array([int(cc.sum())], pa.int64()),
+                "n": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    promo = sum(int(r["promo_cc"]) for r in parts)
+    total = sum(int(r["total_cc"]) for r in parts)
+    return pa.table(
+        {
+            "promo_centicents": pa.array([promo], pa.int64()),
+            "total_centicents": pa.array([total], pa.int64()),
+            "promo_share_ppm": pa.array(
+                [(promo * 1_000_000) // total if total > 0 else 0], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [sum(int(r["n"]) for r in parts)], pa.int64()
+            ),
+        }
+    )
+
+
+def q19_discount_revenue(sf_dir: str):
+    """TPC-H Q19: discounted revenue under a DISJUNCTION of three
+    (brand, size-range, quantity-range) conjunctions (p_size stands in
+    for the absent p_container), discount band [5, 7] integer percent.
+
+    The three brands' (partkey -> brand class, size) slice broadcasts via
+    `_dim_lookup`; each lineitem batch resolves the whole disjunction
+    vectorized map-side. ONE fact scan, zero shuffle, money in integer
+    centi-cents."""
+
+    brands = ["Brand#3", "Brand#5", "Brand#7"]
+
+    def prep_part(t: pa.Table) -> pa.Table:
+        b = t["p_brand"].to_numpy(zero_copy_only=False)
+        cls = np.full(len(b), -1, np.int64)
+        for i, name in enumerate(brands):
+            cls[b == name] = i
+        keep = cls >= 0
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "cls": pa.array(cls[keep]),
+                "size": pc.cast(t["p_size"], pa.int64()).filter(pa.array(keep)),
+            }
+        )
+
+    ref = _dim_lookup(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).map_batches(
+            prep_part, batch_format="pyarrow"
+        ),
+        "p_partkey",
+        ["cls", "size"],
+    )
+    qty_lo = np.array([1, 10, 20], np.int64)
+    qty_hi = np.array([11, 20, 30], np.int64)
+    size_hi = np.array([5, 10, 15], np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        member, pos, attrs = _dim_probe(ref, pk)
+        cls = np.where(member, attrs[0][pos], 0)
+        size = np.where(member, attrs[1][pos], 0)
+        qty = pc.cast(_oround(t["l_quantity"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        disc_pct = pc.cast(
+            _oround(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        keep = (
+            member
+            & (disc_pct >= 5)
+            & (disc_pct <= 7)
+            & (qty >= qty_lo[cls])
+            & (qty <= qty_hi[cls])
+            & (size >= 1)
+            & (size <= size_hi[cls])
+        )
+        base_c = pc.cast(
+            _oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        cc = (base_c * (100 - disc_pct))[keep]
+        return pa.table(
+            {
+                "revenue_centicents": pa.array([int(cc.sum())], pa.int64()),
+                "n_lines": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "revenue_centicents": pa.array(
+                [sum(int(r["revenue_centicents"]) for r in parts)], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [sum(int(r["n_lines"]) for r in parts)], pa.int64()
+            ),
+        }
+    )
