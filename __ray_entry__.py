@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": A.q6_forecast_revenue,
         "q14_promo_effect": A.q14_promo_effect,
         "q19_discount_revenue": A.q19_discount_revenue,
+        "q10_returned_items": A.q10_returned_items,
+        "q12_priority_classes": A.q12_priority_classes,
+        "q15_top_supplier": A.q15_top_supplier,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
@@ -1038,6 +1041,47 @@ def oracle_sql() -> dict[str, str]:
             "AND l_quantity BETWEEN 10 AND 20) "
             "OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15 "
             "AND l_quantity BETWEEN 20 AND 30))"
+        ),
+        # TPC-H Q10: top-20 customers by returned-item revenue, one quarter
+        "q10_returned_items": (
+            "WITH rl AS (SELECT l_orderkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem WHERE l_returnflag = 'R'), "
+            "per AS (SELECT o_custkey, CAST(sum(cc) AS BIGINT) AS rev "
+            "FROM rl JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1996-04-01' GROUP BY o_custkey) "
+            "SELECT c_custkey, c_name, per.rev AS revenue_centicents, "
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents, "
+            "n_name FROM per "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "ORDER BY revenue_centicents DESC, c_custkey LIMIT 20"
+        ),
+        # TPC-H Q12 shape: late lines per returnflag x priority class
+        "q12_priority_classes": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE year(l_shipdate) = 1996 "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        # TPC-H Q15: max-revenue supplier(s) over one ship quarter
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, CAST(sum("
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) "
+            "AS total FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, r.total AS total_revenue_centicents "
+            "FROM r JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE r.total = (SELECT max(total) FROM r) ORDER BY s_suppkey"
         ),
         # latest-per-key snapshot: ts DESC, event_id DESC winner
         "latest_user_event": (

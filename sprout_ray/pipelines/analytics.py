@@ -8247,3 +8247,313 @@ def q19_discount_revenue(sf_dir: str):
             ),
         }
     )
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10: top-20 customers by revenue lost to returned items
+    (l_returnflag = 'R') for orders placed in one quarter.
+
+    Shape: the return-flagged fact stream rides ONE size-guarded lookup
+    join against the quarter-filtered orders slice (orderkey -> custkey;
+    broadcast at this sf, distributed hash join above the budget), then
+    per-block (custkey -> cc) partials feed a single native groupby-sum —
+    only |returning customers| rows ever shuffle. Names attach AFTER
+    aggregation on the bounded result (customer lookup join + 25-row
+    nation broadcast). Money in integer centi-cents; ties broken by
+    c_custkey so the top-20 is deterministic."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    q_lo = np.datetime64("1996-01-01")
+    q_hi = np.datetime64("1996-04-01")
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        keep = (od >= q_lo) & (od < q_hi)
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "o_custkey": t["o_custkey"].filter(pa.array(keep)),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # upper bound
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["l_returnflag"], "R")
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "cc": cc}
+        ).filter(keep)
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True)
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    joined = broadcast_lookup_join(
+        li, orders, on="l_orderkey", right_count=n_orders, left_count=n_li
+    )
+
+    def cust_partials(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["o_custkey", "cc"])
+            .group_by(["o_custkey"])
+            .aggregate([("cc", "sum")])
+            .rename_columns(["o_custkey", "cc"])
+        )
+
+    per_cust = (
+        joined.map_batches(cust_partials, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("cc"))
+    )
+
+    # block-local top-20 partials over the per-customer aggregate (the
+    # aggregate is |returning customers| — fact-scaled at 100 TB, so only
+    # O(blocks x 20) rows may reach the final exchange, weighted_sample
+    # convention), then one tiny global sort+limit; dimension attributes
+    # attach to the <=20 winners only via an id-set-filtered scan.
+    def top_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows > 20:
+            order = pc.sort_indices(
+                t,
+                sort_keys=[("sum(cc)", "descending"), ("o_custkey", "ascending")],
+            )
+            t = t.take(order[:20])
+        return t
+
+    top = (
+        per_cust.map_batches(top_partial, batch_format="pyarrow")
+        .sort(["sum(cc)", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    win_keys = [int(r["o_custkey"]) for r in top]
+    rev = {int(r["o_custkey"]): int(r["sum(cc)"]) for r in top}
+
+    import ray.data as rd
+
+    from ..stages.dedup import id_set_filter
+
+    keep = id_set_filter(
+        rd.from_arrow(pa.table({"c_custkey": pa.array(win_keys, pa.int64())})),
+        "c_custkey",
+        keep=True,
+        n_ids=max(len(win_keys), 1),
+    )
+    crows = keep(
+        _read(
+            sf_dir,
+            "customer",
+            ["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        )
+    ).take_all()  # <= 20 rows
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nat_rows}
+    cmap = {int(r["c_custkey"]): r for r in crows}
+    order = sorted(win_keys, key=lambda k: (-rev[k], k))
+    bal = pc.cast(
+        _oround(
+            pc.multiply(
+                pa.array([float(cmap[k]["c_acctbal"]) for k in order], pa.float64()),
+                100.0,
+            )
+        ),
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "c_custkey": pa.array(order, pa.int64()),
+            "c_name": pa.array([cmap[k]["c_name"] for k in order], pa.string()),
+            "revenue_centicents": pa.array([rev[k] for k in order], pa.int64()),
+            "acctbal_cents": bal,
+            "n_name": pa.array(
+                [nname[int(cmap[k]["c_nationkey"])] for k in order], pa.string()
+            ),
+        }
+    )
+
+
+def q12_priority_classes(sf_dir: str):
+    """TPC-H Q12 shape: lines that shipped LATE (> 30 days after the order
+    date — the repo's late convention, standing in for the absent
+    commit/receipt dates) in one ship year, counted per l_returnflag
+    (standing in for the absent l_shipmode) and split into high-priority
+    ('1-URGENT'/'2-HIGH') vs low-priority orders.
+
+    Shape: one size-guarded lookup join (orderkey -> orderdate+priority),
+    per-block (flag -> high, low) partials, a 3-row groupby-sum."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = ((pr == "1-URGENT") | (pr == "2-HIGH")).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "odate": t["o_orderdate"],
+                "high": pa.array(high),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True)
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= np.datetime64("1996-01-01")) & (
+            sd < np.datetime64("1997-01-01")
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].filter(pa.array(keep)),
+                "l_returnflag": t["l_returnflag"].filter(pa.array(keep)),
+                "sdate": t["l_shipdate"].filter(pa.array(keep)),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True)
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    joined = broadcast_lookup_join(
+        li, orders, on="l_orderkey", right_count=n_orders, left_count=n_li
+    )
+
+    def flag_partials(t: pa.Table) -> pa.Table:
+        sd = t["sdate"].to_numpy(zero_copy_only=False)
+        od = t["odate"].to_numpy(zero_copy_only=False)
+        late = sd > od + np.timedelta64(30, "D")
+        high = t["high"].to_numpy(zero_copy_only=False)
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"].filter(pa.array(late)),
+                "high_line_count": pa.array(high[late]),
+                "low_line_count": pa.array(1 - high[late]),
+            }
+        )
+        return (
+            tt.group_by(["l_returnflag"])
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+        )
+
+    out = (
+        joined.map_batches(flag_partials, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_line_count"), Sum("low_line_count"))
+        .take_all()
+    )
+    out.sort(key=lambda r: r["l_returnflag"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array(
+                [r["l_returnflag"] for r in out], pa.string()
+            ),
+            "high_line_count": pa.array(
+                [int(r["sum(high_line_count)"]) for r in out], pa.int64()
+            ),
+            "low_line_count": pa.array(
+                [int(r["sum(low_line_count)"]) for r in out], pa.int64()
+            ),
+        }
+    )
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15: the supplier(s) with MAX revenue over one ship quarter
+    (the revenue view is the per-supplier aggregate; the correlated
+    max-subquery resolves as a global scalar over the bounded aggregate).
+
+    Shape: per-block (suppkey -> cc) partials -> |suppliers|-bounded
+    groupby-sum -> driver-side max + equality filter (ties all returned,
+    as in the spec) -> names via the supplier dimension. Money in integer
+    centi-cents."""
+    from ray.data.aggregate import Sum
+
+    q_lo = np.datetime64("1996-01-01")
+    q_hi = np.datetime64("1996-04-01")
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= q_lo) & (sd < q_hi)
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        tt = pa.table({"l_suppkey": t["l_suppkey"], "cc": cc}).filter(
+            pa.array(keep)
+        )
+        return (
+            tt.group_by(["l_suppkey"])
+            .aggregate([("cc", "sum")])
+            .rename_columns(["l_suppkey", "cc"])
+        )
+
+    per_supp = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(prep_li, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("cc"))
+        .materialize()  # supplier-scaled aggregate, consumed twice below
+    )
+    if per_supp.count() == 0:
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], pa.int64()),
+                "s_name": pa.array([], pa.string()),
+                "total_revenue_centicents": pa.array([], pa.int64()),
+            }
+        )
+    # the correlated max-subquery: a native scalar max over the aggregate,
+    # then a map-side equality filter — only the winner rows reach the
+    # driver (the per-supplier aggregate itself never does; at 100 TB the
+    # supplier dimension is SF-scaled)
+    best = int(per_supp.max("sum(cc)"))
+    winners = sorted(
+        int(r["l_suppkey"])
+        for r in per_supp.map_batches(
+            lambda t: t.filter(pc.equal(t["sum(cc)"], best)),
+            batch_format="pyarrow",
+        ).take_all()
+    )
+    # names attach to the (tiny) winner set only — the supplier dimension
+    # is SF-scaled, so it is scanned filtered, never collected whole
+    import ray.data as rd
+
+    from ..stages.dedup import id_set_filter
+
+    keep = id_set_filter(
+        rd.from_arrow(pa.table({"s_suppkey": pa.array(winners, pa.int64())})),
+        "s_suppkey",
+        keep=True,
+        n_ids=len(winners),
+    )
+    sup_rows = keep(_read(sf_dir, "supplier", ["s_suppkey", "s_name"])).take_all()
+    sname = {int(r["s_suppkey"]): r["s_name"] for r in sup_rows}
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners, pa.int64()),
+            "s_name": pa.array([sname[k] for k in winners], pa.string()),
+            "total_revenue_centicents": pa.array(
+                [best] * len(winners), pa.int64()
+            ),
+        }
+    )
