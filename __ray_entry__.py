@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": A.q10_returned_items,
         "q12_priority_classes": A.q12_priority_classes,
         "q15_top_supplier": A.q15_top_supplier,
+        "q8_market_share": A.q8_market_share,
+        "q9_product_profit": A.q9_product_profit,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
@@ -1082,6 +1084,46 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_suppkey, s_name, r.total AS total_revenue_centicents "
             "FROM r JOIN supplier ON s_suppkey = l_suppkey "
             "WHERE r.total = (SELECT max(total) FROM r) ORDER BY s_suppkey"
+        ),
+        # TPC-H Q8: NATION_5 market share of ASIA STANDARD-part volume/year
+        "q8_market_share": (
+            "WITH ords AS (SELECT o_orderkey, year(o_orderdate) AS o_year "
+            "FROM orders JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'ASIA' AND year(o_orderdate) IN (1996, 1997)), "
+            "l AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_type = 'STANDARD'), "
+            "j AS (SELECT o_year, cc, CASE WHEN n2.n_name = 'NATION_5' "
+            "THEN cc ELSE 0 END AS num FROM l "
+            "JOIN ords ON o_orderkey = l_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation n2 ON n2.n_nationkey = s_nationkey) "
+            "SELECT CAST(o_year AS BIGINT) AS o_year, "
+            "CAST(sum(num) AS BIGINT) AS nation_centicents, "
+            "CAST(sum(cc) AS BIGINT) AS total_centicents, "
+            "CAST(CASE WHEN sum(cc) > 0 THEN (sum(num) * 1000000) "
+            "// sum(cc) ELSE 0 END AS BIGINT) AS mkt_share_ppm "
+            "FROM j GROUP BY o_year ORDER BY o_year"
+        ),
+        # TPC-H Q9: red-part profit by supplier nation x order year
+        "q9_product_profit": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_name LIKE 'red %') "
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(cc) AS BIGINT) AS profit_centicents, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM l "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "GROUP BY n_name, o_year ORDER BY nation, o_year DESC"
         ),
         # latest-per-key snapshot: ts DESC, event_id DESC winner
         "latest_user_event": (

@@ -8557,3 +8557,275 @@ def q15_top_supplier(sf_dir: str):
             ),
         }
     )
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8: one nation's market share (integer ppm) of ASIA-region
+    customers' STANDARD-part order volume, per order year (1996/1997).
+
+    Shape: the STANDARD part-key set prunes the fact stream through the
+    size-guarded ``id_set_filter`` semi-join (broadcast here, distributed
+    join over budget — the q17 convention); supplier nation and the
+    ASIA-filtered year-tagged orders dimension attach via two size-guarded
+    lookup joins (the Q7 plan). Per-block (year -> nation_cc, total_cc)
+    partials mean only |years| rows reach the driver. Money in integer
+    centi-cents; share = (num * 1e6) // den, both non-negative so DuckDB
+    trunc == numpy floor."""
+    import ray
+
+    from ..stages.dedup import id_set_filter
+    from ..stages.joins import broadcast_lookup_join
+
+    nat_rows = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).take_all()
+    reg_rows = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    asia_reg = {
+        int(r["r_regionkey"]) for r in reg_rows if r["r_name"] == "ASIA"
+    }
+    asia_nats = np.sort(
+        np.array(
+            [
+                int(r["n_nationkey"])
+                for r in nat_rows
+                if int(r["n_regionkey"]) in asia_reg
+            ],
+            dtype=np.int64,
+        )
+    )
+    target_nat = [
+        int(r["n_nationkey"]) for r in nat_rows if r["n_name"] == "NATION_5"
+    ][0]
+    asia_ref = ray.put(asia_nats)
+
+    # ASIA-customer, year-tagged orders dimension (o_orderkey -> year)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t["c_custkey"],
+                "c_nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        cn = t["c_nat"].to_numpy(zero_copy_only=False)
+        nats = ray.get(asia_ref)
+        pos = np.minimum(np.searchsorted(nats, cn), len(nats) - 1)
+        keep = (nats[pos] == cn) & ((yr == 1996) | (yr == 1997))
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+                "o_year": pa.array(yr[keep].astype(np.int64)),
+            }
+        )
+
+    ords = broadcast_lookup_join(
+        orders, cust, on="o_custkey", right_count=n_cust, left_count=n_orders
+    ).map_batches(filter_orders, batch_format="pyarrow")
+
+    # STANDARD-part prune of the fact stream (q17 semi-join convention)
+    std_parts = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_type"], "STANDARD"))
+        .select(["p_partkey"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    keep_std = id_set_filter(std_parts, "l_partkey", keep=True, n_ids=n_parts)
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "o_orderkey": t["l_orderkey"],
+                "cc": cc,
+            }
+        )
+
+    li = keep_std(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(prep_li, batch_format="pyarrow")
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+    li = broadcast_lookup_join(
+        li, ords, on="o_orderkey", right_count=n_orders, left_count=n_li
+    )
+
+    def year_partials(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        cc = t["cc"].to_numpy(zero_copy_only=False)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        num = np.where(sn == target_nat, cc, 0)
+        g = (
+            pa.table({"o_year": pa.array(yr), "num": pa.array(num), "cc": pa.array(cc)})
+            .group_by(["o_year"])
+            .aggregate([("num", "sum"), ("cc", "sum")])
+        )
+        return g.rename_columns(["o_year", "num", "cc"])
+
+    rows = (
+        li.map_batches(year_partials, batch_format="pyarrow").take_all()
+    )  # O(blocks x years)
+    acc: dict[int, list[int]] = {}
+    for r in rows:
+        a = acc.setdefault(int(r["o_year"]), [0, 0])
+        a[0] += int(r["num"])
+        a[1] += int(r["cc"])
+    years = sorted(acc)
+    return pa.table(
+        {
+            "o_year": pa.array(years, pa.int64()),
+            "nation_centicents": pa.array([acc[y][0] for y in years], pa.int64()),
+            "total_centicents": pa.array([acc[y][1] for y in years], pa.int64()),
+            "mkt_share_ppm": pa.array(
+                [
+                    (acc[y][0] * 1_000_000) // acc[y][1] if acc[y][1] > 0 else 0
+                    for y in years
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9: profit on 'red'-prefixed parts (p_name LIKE 'red %'
+    stands in for the spec's '%green%'; no partsupp table, so profit is
+    the discounted revenue), grouped by supplier nation x order year.
+
+    Shape: the red-part prune rides ``id_set_filter``; supplier nation and
+    order year attach via two size-guarded lookup joins; per-block
+    partials pack (year, s_nat) into one int64 (the Q7 grid convention)
+    so the single native groupby-sum carries only grid-bounded rows; the
+    25-row nation name table attaches after aggregation."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import id_set_filter
+    from ..stages.joins import broadcast_lookup_join
+
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    nname = np.empty(32, dtype=object)
+    for r in nat_rows:
+        if not (0 <= int(r["n_nationkey"]) < 32):
+            raise ValueError("n_nationkey out of 5-bit pack range")
+        nname[int(r["n_nationkey"])] = r["n_name"]
+
+    red_parts = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"], "red "))
+        .select(["p_partkey"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    keep_red = id_set_filter(red_parts, "l_partkey", keep=True, n_ids=n_parts)
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "o_orderkey": t["l_orderkey"],
+                "cc": cc,
+            }
+        )
+
+    li = keep_red(
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+        )
+    ).map_batches(prep_li, batch_format="pyarrow")
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+    ords = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+    li = broadcast_lookup_join(
+        li, ords, on="o_orderkey", right_count=n_orders, left_count=n_li
+    )
+
+    def grid_partials(t: pa.Table) -> pa.Table:
+        yr = t["o_year"].to_numpy(zero_copy_only=False)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        pk = (yr << 5) | sn
+        g = (
+            pa.table({"pk": pa.array(pk), "cc": t["cc"]})
+            .group_by(["pk"])
+            .aggregate([("cc", "sum"), ("cc", "count")])
+        )
+        return g.rename_columns(["pk", "cc", "n"])
+
+    rows = (
+        li.map_batches(grid_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("cc"), Sum("n"))
+        .take_all()  # grid-bounded: |nations| x |years|
+    )
+    rows.sort(key=lambda r: (str(nname[int(r["pk"]) & 31]), -(int(r["pk"]) >> 5)))
+    return pa.table(
+        {
+            "nation": pa.array(
+                [nname[int(r["pk"]) & 31] for r in rows], pa.string()
+            ),
+            "o_year": pa.array([int(r["pk"]) >> 5 for r in rows], pa.int64()),
+            "profit_centicents": pa.array(
+                [int(r["sum(cc)"]) for r in rows], pa.int64()
+            ),
+            "n_lines": pa.array([int(r["sum(n)"]) for r in rows], pa.int64()),
+        }
+    )
