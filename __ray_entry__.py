@@ -158,6 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": A.q15_top_supplier,
         "q8_market_share": A.q8_market_share,
         "q9_product_profit": A.q9_product_profit,
+        "q2_min_balance_supplier": A.q2_min_balance_supplier,
+        "q11_important_parts": A.q11_important_parts,
+        "q16_supplier_part_counts": A.q16_supplier_part_counts,
+        "q20_volume_share_suppliers": A.q20_volume_share_suppliers,
         "user_gap_stats": A.user_gap_stats,
         "cont_quantiles_by_lang": A.cont_quantiles_by_lang,
         "ann_filtered_topk": A.ann_filtered_topk,
@@ -1124,6 +1128,72 @@ def oracle_sql() -> dict[str, str]:
             "JOIN supplier ON s_suppkey = l_suppkey "
             "JOIN nation ON n_nationkey = s_nationkey "
             "GROUP BY n_name, o_year ORDER BY nation, o_year DESC"
+        ),
+        # TPC-H Q2 shape: min-balance EUROPE shipper per size-15 part
+        # (acctbal stands in for ps_supplycost; shipped pairs for partsupp)
+        "q2_min_balance_supplier": (
+            "WITH pr AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey WHERE p_size = 15), "
+            "eu AS (SELECT s_suppkey, s_name, n_name, "
+            "CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "pe AS (SELECT l_partkey, s_suppkey, s_name, n_name, cents "
+            "FROM pr JOIN eu ON s_suppkey = l_suppkey), "
+            "mn AS (SELECT l_partkey, min(cents) AS m FROM pe GROUP BY 1) "
+            "SELECT pe.cents AS acctbal_cents, pe.s_name, pe.n_name, "
+            "pe.l_partkey AS p_partkey, p.p_name "
+            "FROM pe JOIN mn USING (l_partkey) "
+            "JOIN part p ON p.p_partkey = pe.l_partkey "
+            "WHERE pe.cents = mn.m "
+            "ORDER BY acctbal_cents DESC, n_name, s_name, p_partkey "
+            "LIMIT 100"
+        ),
+        # TPC-H Q11 shape: parts above 0.1% of EUROPE-supplied value
+        "q11_important_parts": (
+            "WITH l AS (SELECT l_partkey, "
+            "CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "* (100 - CAST(round(l_discount * 100) AS BIGINT)) AS cc "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "pv AS (SELECT l_partkey, CAST(sum(cc) AS BIGINT) AS v "
+            "FROM l GROUP BY 1) "
+            "SELECT l_partkey AS p_partkey, v AS value_centicents "
+            "FROM pv, (SELECT sum(v) AS tot FROM pv) "
+            "WHERE v * 1000 > tot "
+            "ORDER BY value_centicents DESC, p_partkey"
+        ),
+        # TPC-H Q16 shape: distinct shipping suppliers per brand/type/size
+        "q16_supplier_part_counts": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45) "
+            "AND s_acctbal >= 0 "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        # TPC-H Q20 shape: NATION_3 suppliers over 20% of a blue part's
+        # 1996 quantity (5 * sq > tq in integers)
+        "q20_volume_share_suppliers": (
+            "WITH bl AS (SELECT l_partkey, l_suppkey, "
+            "CAST(l_quantity AS BIGINT) AS q FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_name LIKE 'blue %' AND year(l_shipdate) = 1996), "
+            "ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq "
+            "FROM bl GROUP BY 1, 2), "
+            "pt AS (SELECT l_partkey, sum(q) AS tq FROM bl GROUP BY 1), "
+            "w AS (SELECT DISTINCT l_suppkey FROM ps "
+            "JOIN pt USING (l_partkey) WHERE 5 * sq > tq) "
+            "SELECT s_suppkey, s_name FROM w "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name = 'NATION_3' ORDER BY s_suppkey"
         ),
         # latest-per-key snapshot: ts DESC, event_id DESC winner
         "latest_user_event": (

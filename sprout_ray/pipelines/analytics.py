@@ -8829,3 +8829,565 @@ def q9_product_profit(sf_dir: str):
             "n_lines": pa.array([int(r["sum(n)"]) for r in rows], pa.int64()),
         }
     )
+
+
+def q2_min_balance_supplier(sf_dir: str):
+    """TPC-H Q2 shape: for each size-15 part, the EUROPE supplier(s) that
+    shipped it with MIN account balance (s_acctbal stands in for the
+    absent partsupp.ps_supplycost; "shipped it" — a distinct
+    (part, supplier) pair from lineitem — stands in for partsupp rows).
+    Top-100 by balance DESC, nation, supplier, part.
+
+    Shape: size-15 partkeys prune the fact stream (``id_set_filter``);
+    supplier balance+nation attach via the size-guarded lookup join;
+    per-block multi-col distinct collapses each block to unique pairs,
+    then ONE native groupby on the packed (partkey << 31 | suppkey) key
+    (multi-col Ray groupby is pathological — CLAUDE.md) dedupes globally.
+    The per-part min broadcasts back over the bounded pair aggregate
+    (`_dim_lookup` budget guard), and names attach to winners only."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Min
+
+    from ..stages.dedup import id_set_filter
+    from ..stages.joins import broadcast_lookup_join
+
+    nat_rows = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).take_all()
+    reg_rows = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    eu_regs = {int(r["r_regionkey"]) for r in reg_rows if r["r_name"] == "EUROPE"}
+    eu_nats = np.sort(
+        np.array(
+            [
+                int(r["n_nationkey"])
+                for r in nat_rows
+                if int(r["n_regionkey"]) in eu_regs
+            ],
+            np.int64,
+        )
+    )
+    nname = {int(r["n_nationkey"]): r["n_name"] for r in nat_rows}
+    eu_ref = ray.put(eu_nats)
+
+    parts15 = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        lambda t: t.filter(pc.equal(t["p_size"], 15))
+        .select(["p_partkey"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    keep15 = id_set_filter(parts15, "l_partkey", keep=True, n_ids=n_parts)
+
+    li = keep15(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    )
+    n_li = _read(sf_dir, "lineitem", ["l_orderkey"]).count()
+    supp = _read(
+        sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+                "cents": pc.cast(
+                    _oround(pc.multiply(t["s_acctbal"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        nats = ray.get(eu_ref)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        if len(nats) == 0:
+            keep = np.zeros(t.num_rows, bool)
+        else:
+            pos = np.minimum(np.searchsorted(nats, sn), len(nats) - 1)
+            keep = nats[pos] == sn
+        t = t.filter(pa.array(keep))
+        pk_arr = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(sk) and (sk.max() >= (1 << 31) or pk_arr.max() >= (1 << 31)):
+            raise ValueError("q2: key exceeds the 31-bit pack range")
+        packed = (pk_arr.astype(np.int64) << 31) | sk.astype(np.int64)
+        g = (
+            pa.table({"pk": pa.array(packed), "cents": t["cents"]})
+            .group_by(["pk"])
+            .aggregate([("cents", "min")])
+        )
+        return g.rename_columns(["pk", "cents"])
+
+    pairs = (
+        li.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Min("cents"))
+        .materialize()  # bounded: |size-15 parts| x |EU suppliers shipped|
+    )
+
+    per_part_min = pairs.map_batches(
+        lambda t: pa.table(
+            {
+                "p_partkey": pa.array(
+                    t["pk"].to_numpy(zero_copy_only=False) >> 31
+                ),
+                "cents": t["min(cents)"],
+            }
+        )
+        .group_by(["p_partkey"])
+        .aggregate([("cents", "min")])
+        .rename_columns(["p_partkey", "min_cents"]),
+        batch_format="pyarrow",
+    ).groupby("p_partkey").aggregate(Min("min_cents"))
+    min_ref = _dim_lookup(
+        per_part_min.map_batches(
+            lambda t: t.rename_columns(["p_partkey", "min_cents"]),
+            batch_format="pyarrow",
+        ),
+        "p_partkey",
+        ["min_cents"],
+    )
+
+    def winners_only(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        cents = t["min(cents)"].to_numpy(zero_copy_only=False)
+        part = pk >> 31
+        member, pos, attrs = _dim_probe(min_ref, part)
+        if not member.all():
+            raise ValueError("q2: pair part missing from min map")
+        keep = cents == attrs[0][pos]
+        return pa.table(
+            {
+                "p_partkey": pa.array(part[keep]),
+                "s_suppkey": pa.array(pk[keep] & ((1 << 31) - 1)),
+                "cents": pa.array(cents[keep]),
+            }
+        )
+
+    win = pairs.map_batches(winners_only, batch_format="pyarrow").take_all()
+    # output-sized: per-part winners only
+    wpart = sorted({int(r["p_partkey"]) for r in win})
+    wsupp = sorted({int(r["s_suppkey"]) for r in win})
+    pnames = {
+        int(r["p_partkey"]): r["p_name"]
+        for r in id_set_filter(
+            rd.from_arrow(pa.table({"p_partkey": pa.array(wpart, pa.int64())})),
+            "p_partkey",
+            keep=True,
+            n_ids=max(len(wpart), 1),
+        )(_read(sf_dir, "part", ["p_partkey", "p_name"])).take_all()
+    }
+    srows = {
+        int(r["s_suppkey"]): r
+        for r in id_set_filter(
+            rd.from_arrow(pa.table({"s_suppkey": pa.array(wsupp, pa.int64())})),
+            "s_suppkey",
+            keep=True,
+            n_ids=max(len(wsupp), 1),
+        )(_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])).take_all()
+    }
+    rows = sorted(
+        win,
+        key=lambda r: (
+            -int(r["cents"]),
+            nname[int(srows[int(r["s_suppkey"])]["s_nationkey"])],
+            srows[int(r["s_suppkey"])]["s_name"],
+            int(r["p_partkey"]),
+        ),
+    )[:100]
+    return pa.table(
+        {
+            "acctbal_cents": pa.array([int(r["cents"]) for r in rows], pa.int64()),
+            "s_name": pa.array(
+                [srows[int(r["s_suppkey"])]["s_name"] for r in rows], pa.string()
+            ),
+            "n_name": pa.array(
+                [
+                    nname[int(srows[int(r["s_suppkey"])]["s_nationkey"])]
+                    for r in rows
+                ],
+                pa.string(),
+            ),
+            "p_partkey": pa.array([int(r["p_partkey"]) for r in rows], pa.int64()),
+            "p_name": pa.array(
+                [pnames[int(r["p_partkey"])] for r in rows], pa.string()
+            ),
+        }
+    )
+
+
+def q11_important_parts(sf_dir: str):
+    """TPC-H Q11 shape: parts whose EUROPE-supplied line value exceeds
+    0.1% of the total (value * 1000 > total — integers, no float
+    fraction; sum(cc) stands in for the absent ps_supplycost *
+    ps_availqty).
+
+    Shape: supplier nation attaches via the size-guarded lookup join;
+    per-block (partkey -> cc) partials feed one native part-scaled
+    groupby-sum which stays DISTRIBUTED — the global total is a native
+    scalar sum over it and the share filter runs map-side, so only the
+    <= 999 above-threshold parts (share > 1/1000 caps the winner count)
+    reach the driver."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    nat_rows = _read(
+        sf_dir, "nation", ["n_nationkey", "n_regionkey"]
+    ).take_all()
+    reg_rows = _read(sf_dir, "region", ["r_regionkey", "r_name"]).take_all()
+    eu_regs = {int(r["r_regionkey"]) for r in reg_rows if r["r_name"] == "EUROPE"}
+    eu_nats = np.sort(
+        np.array(
+            [
+                int(r["n_nationkey"])
+                for r in nat_rows
+                if int(r["n_regionkey"]) in eu_regs
+            ],
+            np.int64,
+        )
+    )
+    eu_ref = ray.put(eu_nats)
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_nat": pc.cast(t["s_nationkey"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    n_li = _read(sf_dir, "lineitem", ["l_partkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+
+    def part_partials(t: pa.Table) -> pa.Table:
+        nats = ray.get(eu_ref)
+        sn = t["s_nat"].to_numpy(zero_copy_only=False)
+        if len(nats) == 0:
+            return pa.table(
+                {"l_partkey": pa.array([], pa.int64()), "cc": pa.array([], pa.int64())}
+            )
+        pos = np.minimum(np.searchsorted(nats, sn), len(nats) - 1)
+        t = t.filter(pa.array(nats[pos] == sn))
+        base_c = pc.cast(_oround(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc_pct = pc.cast(_oround(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        cc = pc.multiply(base_c, pc.subtract(pa.scalar(100, pa.int64()), disc_pct))
+        return (
+            pa.table({"l_partkey": t["l_partkey"], "cc": cc})
+            .group_by(["l_partkey"])
+            .aggregate([("cc", "sum")])
+            .rename_columns(["l_partkey", "cc"])
+        )
+
+    per_part = (
+        li.map_batches(part_partials, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("cc"))
+        .materialize()  # part-scaled, consumed twice (total + filter)
+    )
+    total = int(per_part.sum("sum(cc)") or 0)
+    if total == 0:
+        return pa.table(
+            {
+                "p_partkey": pa.array([], pa.int64()),
+                "value_centicents": pa.array([], pa.int64()),
+            }
+        )
+    win = per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["sum(cc)"], pa.scalar(1000, pa.int64())), total)
+        ),
+        batch_format="pyarrow",
+    ).take_all()  # <= 999 rows by construction
+    win.sort(key=lambda r: (-int(r["sum(cc)"]), int(r["l_partkey"])))
+    return pa.table(
+        {
+            "p_partkey": pa.array([int(r["l_partkey"]) for r in win], pa.int64()),
+            "value_centicents": pa.array([int(r["sum(cc)"]) for r in win], pa.int64()),
+        }
+    )
+
+
+def q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 shape: DISTINCT shipping suppliers per (brand, type,
+    size) over a size whitelist, excluding one brand, the PROMO type and
+    negative-balance suppliers (the complaint stand-in; no partsupp, so
+    "supplies" = "shipped at least one line of").
+
+    Shape: the filtered part attributes broadcast via `_dim_lookup`;
+    supplier balance attaches via the size-guarded lookup join; per-block
+    multi-col distinct collapses blocks, then the global distinct runs on
+    ONE packed int64 (grp << 31 | suppkey — CLAUDE.md multi-col groupby
+    rule) and a grid-bounded groupby-sum counts suppliers per group."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import broadcast_lookup_join
+
+    sizes = np.array([1, 5, 9, 14, 19, 23, 36, 45], np.int64)
+
+    # brand/type dictionaries come from the part slice itself (bounded)
+    def prep_part(t: pa.Table) -> pa.Table:
+        b = t["p_brand"].to_numpy(zero_copy_only=False)
+        ty = t["p_type"].to_numpy(zero_copy_only=False)
+        sz = pc.cast(t["p_size"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = (b != "Brand#1") & (ty != "PROMO") & np.isin(sz, sizes)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "p_brand": pa.array(b[keep]),
+                "p_type": pa.array(ty[keep]),
+                "p_size": pa.array(sz[keep]),
+            }
+        )
+
+    from ..stages.dedup import _collect_table
+
+    part_slice = _collect_table(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+            prep_part, batch_format="pyarrow"
+        ),
+        pa.schema(
+            [
+                ("p_partkey", pa.int64()),
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("p_size", pa.int64()),
+            ]
+        ),
+    )
+    if part_slice.num_rows > 4_000_000:
+        raise ValueError(
+            "q16: filtered part slice exceeds the broadcast budget — "
+            "restate the attribute attach as a distributed join"
+        )
+    bdict = {s: i for i, s in enumerate(sorted(set(part_slice["p_brand"].to_pylist())))}
+    tdict = {s: i for i, s in enumerate(sorted(set(part_slice["p_type"].to_pylist())))}
+    if len(bdict) > 64 or len(tdict) > 16:
+        raise ValueError("q16: brand/type dictionary exceeds pack range")
+    pk_np = part_slice["p_partkey"].to_numpy(zero_copy_only=False)
+    grp_np = (
+        (np.array([bdict[s] for s in part_slice["p_brand"].to_pylist()], np.int64) << 10)
+        | (np.array([tdict[s] for s in part_slice["p_type"].to_pylist()], np.int64) << 6)
+        | part_slice["p_size"].to_numpy(zero_copy_only=False)
+    )
+    import ray
+
+    order = np.argsort(pk_np)
+    attr_ref = ray.put((pk_np[order], [grp_np[order]]))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": t["s_suppkey"],
+                "s_cents": pc.cast(
+                    _oround(pc.multiply(t["s_acctbal"], 100.0)), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_supp = _read(sf_dir, "supplier", ["s_suppkey"]).count()
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    n_li = _read(sf_dir, "lineitem", ["l_partkey"]).count()
+    li = broadcast_lookup_join(
+        li, supp, on="l_suppkey", right_count=n_supp, left_count=n_li
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        member, pos, attrs = _dim_probe(attr_ref, t["l_partkey"].to_numpy(zero_copy_only=False))
+        ok = member & (t["s_cents"].to_numpy(zero_copy_only=False) >= 0)
+        grp = attrs[0][pos][ok]
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)[ok]
+        if len(sk) and sk.max() >= (1 << 31):
+            raise ValueError("q16: suppkey exceeds the 31-bit pack range")
+        packed = (grp << 31) | sk.astype(np.int64)
+        g = pa.table({"pk": pa.array(np.unique(packed))})
+        return g
+
+    distinct_pairs = (
+        li.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Count())  # global distinct on the packed key
+    )
+
+    def grp_partials(t: pa.Table) -> pa.Table:
+        grp = t["pk"].to_numpy(zero_copy_only=False) >> 31
+        g = (
+            pa.table(
+                {"grp": pa.array(grp), "n": pa.array(np.ones(len(grp), np.int64))}
+            )
+            .group_by(["grp"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["grp", "n"])
+
+    rows = (
+        distinct_pairs.map_batches(grp_partials, batch_format="pyarrow")
+        .groupby("grp")
+        .aggregate(Sum("n"))
+        .take_all()  # grid-bounded: |brands| x |types| x |sizes|
+    )
+    binv = {i: s for s, i in bdict.items()}
+    tinv = {i: s for s, i in tdict.items()}
+    recs = [
+        (
+            binv[int(r["grp"]) >> 10],
+            tinv[(int(r["grp"]) >> 6) & 15],
+            int(r["grp"]) & 63,
+            int(r["sum(n)"]),
+        )
+        for r in rows
+    ]
+    recs.sort(key=lambda x: (-x[3], x[0], x[1], x[2]))
+    return pa.table(
+        {
+            "p_brand": pa.array([x[0] for x in recs], pa.string()),
+            "p_type": pa.array([x[1] for x in recs], pa.string()),
+            "p_size": pa.array([x[2] for x in recs], pa.int64()),
+            "supplier_cnt": pa.array([x[3] for x in recs], pa.int64()),
+        }
+    )
+
+
+def q20_volume_share_suppliers(sf_dir: str):
+    """TPC-H Q20 shape: NATION_3 suppliers who shipped MORE THAN 20% of
+    some blue-prefixed part's total 1996 quantity (5 * supp_qty >
+    part_qty in integers; the nested-IN over partsupp restated as the
+    per-(part, supplier) share of the fact stream).
+
+    Shape: blue partkeys prune the fact stream (``id_set_filter``); the
+    thinned (part, supp, qty) projection materializes ONCE and feeds both
+    the packed-key pair aggregate and the per-part totals; totals
+    broadcast back over the pair aggregate (`_dim_lookup` budget guard);
+    winner supplier ids are output-sized and names attach to them only."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import id_set_filter
+
+    blue = _read(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.starts_with(t["p_name"], "blue "))
+        .select(["p_partkey"])
+        .rename_columns(["l_partkey"]),
+        batch_format="pyarrow",
+    )
+    n_parts = _read(sf_dir, "part", ["p_partkey"]).count()
+    keep_blue = id_set_filter(blue, "l_partkey", keep=True, n_ids=n_parts)
+
+    def project(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (sd >= np.datetime64("1996-01-01")) & (
+            sd < np.datetime64("1997-01-01")
+        )
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "q": pc.cast(_oround(t["l_quantity"]), pa.int64()),
+            }
+        )
+
+    bl = (
+        keep_blue(
+            _read(
+                sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+            )
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .materialize()  # O(blue 1996 lines); feeds pairs + totals
+    )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        pk_arr = t["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(sk) and (sk.max() >= (1 << 31) or pk_arr.max() >= (1 << 31)):
+            raise ValueError("q20: key exceeds the 31-bit pack range")
+        packed = (pk_arr.astype(np.int64) << 31) | sk.astype(np.int64)
+        return (
+            pa.table({"pk": pa.array(packed), "q": t["q"]})
+            .group_by(["pk"])
+            .aggregate([("q", "sum")])
+            .rename_columns(["pk", "q"])
+        )
+
+    pairs = (
+        bl.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("q"))
+    )
+    totals = (
+        bl.map_batches(
+            lambda t: pa.table({"l_partkey": t["l_partkey"], "q": t["q"]})
+            .group_by(["l_partkey"])
+            .aggregate([("q", "sum")])
+            .rename_columns(["l_partkey", "q"]),
+            batch_format="pyarrow",
+        )
+        .groupby("l_partkey")
+        .aggregate(Sum("q"))
+    )
+    tot_ref = _dim_lookup(
+        totals.map_batches(
+            lambda t: t.rename_columns(["l_partkey", "tq"]), batch_format="pyarrow"
+        ),
+        "l_partkey",
+        ["tq"],
+    )
+
+    def winners(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        sq = t["sum(q)"].to_numpy(zero_copy_only=False)
+        part = pk >> 31
+        member, pos, attrs = _dim_probe(tot_ref, part)
+        if not member.all():
+            raise ValueError("q20: pair part missing from totals map")
+        keep = 5 * sq > attrs[0][pos]
+        return pa.table(
+            {"s_suppkey": pa.array(np.unique(pk[keep] & ((1 << 31) - 1)))}
+        )
+
+    win = pairs.map_batches(winners, batch_format="pyarrow").take_all()
+    wsupp = sorted({int(r["s_suppkey"]) for r in win})
+    nat_rows = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    target = {
+        int(r["n_nationkey"]) for r in nat_rows if r["n_name"] == "NATION_3"
+    }
+    srows = id_set_filter(
+        rd.from_arrow(pa.table({"s_suppkey": pa.array(wsupp, pa.int64())})),
+        "s_suppkey",
+        keep=True,
+        n_ids=max(len(wsupp), 1),
+    )(_read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])).take_all()
+    out = sorted(
+        (int(r["s_suppkey"]), r["s_name"])
+        for r in srows
+        if int(r["s_nationkey"]) in target
+    )
+    return pa.table(
+        {
+            "s_suppkey": pa.array([x[0] for x in out], pa.int64()),
+            "s_name": pa.array([x[1] for x in out], pa.string()),
+        }
+    )
