@@ -279,6 +279,18 @@ def query_suite(sf_dir: str) -> dict:
         ("user_value_intervals", A.user_value_intervals),
         ("type_jaccard_pairs", A.type_jaccard_pairs),
         ("trimmed_value_sums", A.trimmed_value_sums),
+        ("q6_forecast_revenue", A.q6_forecast_revenue),
+        ("q8_market_share", A.q8_market_share),
+        ("q9_product_profit", A.q9_product_profit),
+        ("q10_returned_items", A.q10_returned_items),
+        ("q11_important_parts", A.q11_important_parts),
+        ("q12_priority_classes", A.q12_priority_classes),
+        ("q14_promo_effect", A.q14_promo_effect),
+        ("q15_top_supplier", A.q15_top_supplier),
+        ("q16_supplier_part_counts", A.q16_supplier_part_counts),
+        ("q19_discount_revenue", A.q19_discount_revenue),
+        ("q2_min_balance_supplier", A.q2_min_balance_supplier),
+        ("q20_volume_share_suppliers", A.q20_volume_share_suppliers),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
