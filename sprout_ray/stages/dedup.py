@@ -1769,6 +1769,13 @@ def _doc_fp_column(col) -> pa.Array:
     return pack_rows(np.column_stack([h1, h2]))
 
 
+# Blooms at or under this serialized size probe via stateless tasks — the
+# per-batch deserialize is microseconds, while an actor pool costs ~1 s of
+# spin-up regardless of input size. Bigger filters keep the actor pool so
+# the deserialize happens once per actor, not once per batch.
+_SMALL_FILTER_BYTES = 4 << 20
+
+
 class _FpProbe:
     """Actor-pool stage: append the whole-doc fingerprint and probe the
     broadcast filter in one pass (filter deserialized ONCE per actor via
@@ -1797,40 +1804,40 @@ def incremental_dedup(
     Contains-before-store guard (bloom.go:220-236) as the incremental
     corpus-ingest gate.
 
-    Scale shape: the OLD corpus is distilled once into (a) a distinct
-    whole-doc fingerprint Dataset and (b) a Bloom filter over those
-    fingerprints, broadcast once. Each new batch fingerprints its docs
-    and probes the filter in the same pass; provably-unseen rows stream
-    straight through (no false negatives), and only the maybe rows — a
-    tiny superset of the true duplicates — pay the exact size-guarded
-    anti-join against the old fingerprint set (``id_set_filter``). The
-    maybe split is materialized once (delta-shard-sized, not corpus-
-    sized)."""
+    Scale shape: the OLD corpus is distilled once into (a) a per-block-
+    distinct whole-doc fingerprint Dataset and (b) a Bloom filter over
+    those fingerprints, broadcast once. There is deliberately NO global
+    distinct shuffle over the old corpus: bloom add is idempotent and the
+    verify tier unions per-block seen-sets, so cross-block duplicate fps
+    are harmless — the filter is merely sized on the (upper-bound)
+    per-block-distinct count, which oversizes it in the safe direction.
+    Each new batch fingerprints its docs and probes the filter in the
+    same pass; provably-unseen rows stream straight through (no false
+    negatives), and only the maybe rows — a tiny superset of the true
+    duplicates — pay the exact size-guarded anti-join against the old
+    fingerprint set (``id_set_filter``). The maybe split is materialized
+    once (delta-shard-sized, not corpus-sized). Filters under
+    ``_SMALL_FILTER_BYTES`` skip the actor pool: per-batch deserialize of
+    a KB-scale bloom is cheaper than spinning actors up."""
     import ray
 
     from ..kernel.sketch import SketchSpec
     from .builder import build_sketch
-    from .probe import broadcast_sketch
+    from .probe import BloomProbe, broadcast_sketch
 
     def old_fp_block(t: pa.Table) -> pa.Table:
         fp = _doc_fp_column(t[text_col])
-        # distinct within the block before the global distinct groupby
+        # distinct within the block only — see docstring for why a global
+        # distinct groupby would be a wasted all-to-all here
         arr = fp.to_numpy(zero_copy_only=False)
         _, idx = np.unique(arr, return_index=True)
-        return pa.table({"fp": fp.take(pa.array(np.sort(idx)))})
+        return pa.table(
+            {"fp": fp.take(pa.array(np.sort(idx))).cast(pa.large_binary())}
+        )
 
-    old_fp = (
-        old_ds.map_batches(
-            old_fp_block, batch_format="pyarrow", zero_copy_batch=True
-        )
-        .groupby("fp")
-        .count()
-        .map_batches(
-            lambda t: pa.table({"fp": t["fp"].cast(pa.large_binary())}),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    old_fp = old_ds.map_batches(
+        old_fp_block, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     n_old = old_fp.count()
     if n_old == 0:
         return new_ds
@@ -1839,13 +1846,24 @@ def incremental_dedup(
     bf_ref = broadcast_sketch(bf)
     from ..tuning import actor_pool_size
 
-    flagged = new_ds.map_batches(
-        _FpProbe,
-        fn_constructor_kwargs={"bf_ref": bf_ref, "text_col": text_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=actor_pool_size(),
-    ).materialize()  # consumed twice (definite pass-through + maybe verify)
+    if bf.bit_width <= _SMALL_FILTER_BYTES:
+        # tiny filter: a stateless task probe (ray.get of the plasma-cached
+        # bytes + a KB-scale deserialize per batch) beats actor-pool spin-up
+        def probe_fn(t: pa.Table) -> pa.Table:
+            probe = BloomProbe(bf_ref, on="fp", flag_column="__maybe")
+            return probe(t.append_column("fp", _doc_fp_column(t[text_col])))
+
+        flagged = new_ds.map_batches(
+            probe_fn, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()  # consumed twice (definite pass-through + maybe verify)
+    else:
+        flagged = new_ds.map_batches(
+            _FpProbe,
+            fn_constructor_kwargs={"bf_ref": bf_ref, "text_col": text_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=actor_pool_size(),
+        ).materialize()  # consumed twice (definite pass-through + maybe verify)
 
     def strip(t: pa.Table) -> pa.Table:
         return t.drop_columns(["fp", "__maybe"])
