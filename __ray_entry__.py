@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_intervals": A.user_value_intervals,
         "type_jaccard_pairs": A.type_jaccard_pairs,
         "trimmed_value_sums": A.trimmed_value_sums,
+        "pagerank_user_types": A.pagerank_user_types,
+        "user_type_degree_histogram": A.user_type_degree_histogram,
     }
 
 
@@ -272,6 +274,49 @@ _PLANTED_DUP_PAIRS_SQL = (
     "FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id "
     "ORDER BY left_id, right_id"
 )
+
+
+# 3-iteration bipartite PageRank, unrolled (pagerank_user_types twin):
+# node ids = user_id for users, -(vocab rank) for types; integer 10^12-unit
+# scores; every division is `//` over non-negative operands so DuckDB's
+# truncation == numpy's floor and the distributed sums are order-free.
+def _pagerank_sql(iterations: int = 3) -> str:
+    ctes = [
+        "WITH pairs AS (SELECT DISTINCT user_id, event_type FROM events)",
+        "tmap AS (SELECT event_type, -CAST(row_number() OVER "
+        "(ORDER BY event_type) AS BIGINT) AS tid "
+        "FROM (SELECT DISTINCT event_type FROM events))",
+        "e AS (SELECT p.user_id AS src, m.tid AS dst FROM pairs p "
+        "JOIN tmap m USING (event_type) "
+        "UNION ALL SELECT m.tid AS src, p.user_id AS dst FROM pairs p "
+        "JOIN tmap m USING (event_type))",
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d "
+        "FROM e GROUP BY src)",
+        "np AS (SELECT count(*) AS n FROM deg)",
+        "s0 AS (SELECT id, 1000000000000 // n AS s FROM deg, np)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"a{i} AS (SELECT e.dst AS id, CAST(sum(s{p}.s // deg.d) "
+            f"AS BIGINT) AS agg FROM e JOIN s{p} ON e.src = s{p}.id "
+            "JOIN deg ON e.src = deg.id GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT s{p}.id, 15 * (1000000000000 // n) // 100 + "
+            f"85 * COALESCE(a{i}.agg, 0) // 100 AS s "
+            f"FROM s{p} LEFT JOIN a{i} USING (id), np)"
+        )
+    last = f"s{iterations}"
+    return (
+        ", ".join(ctes)
+        + " SELECT node_id, pagerank_units FROM ("
+        + f"SELECT id AS node_id, s AS pagerank_units FROM {last} WHERE id < 0 "
+        + "UNION ALL SELECT node_id, pagerank_units FROM ("
+        + f"SELECT id AS node_id, s AS pagerank_units FROM {last} "
+        + "WHERE id >= 0 ORDER BY s DESC, id ASC LIMIT 20)) "
+        + "ORDER BY pagerank_units DESC, node_id ASC"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2387,5 +2432,13 @@ def oracle_sql() -> dict[str, str]:
             "AS t(label, qq) "
             "JOIN s ON s.rn = GREATEST(1, CAST(ceil(t.qq * s.n) AS BIGINT)) "
             "ORDER BY lang, q"
+        ),
+        "pagerank_user_types": _pagerank_sql(3),
+        # bipartite degree distribution: users per distinct-type count
+        "user_type_degree_histogram": (
+            "SELECT CAST(d AS BIGINT) AS degree, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM ("
+            "SELECT user_id, count(DISTINCT event_type) AS d "
+            "FROM events GROUP BY user_id) GROUP BY d ORDER BY degree"
         ),
     }

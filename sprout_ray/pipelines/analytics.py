@@ -9391,3 +9391,128 @@ def q20_volume_share_suppliers(sf_dir: str):
             "s_name": pa.array([x[1] for x in out], pa.string()),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Graph centrality (stages/graph.py) — iterative PageRank family
+# --------------------------------------------------------------------------
+
+
+def pagerank_user_types(sf_dir: str):
+    """3-iteration PageRank over the user <-> event-type bipartite graph
+    (an undirected edge per DISTINCT (user_id, event_type) pair), integer
+    10^12-unit scores with truncating non-negative divisions so the
+    unrolled-SQL DuckDB twin hash-matches exactly. Output: every type
+    node (node_id = -(vocab rank)) plus the top-20 user nodes by
+    (score desc, user_id asc).
+
+    Scale shape (stages/graph.bipartite_pagerank): ONE packed-key distinct
+    groupby builds per-user adjacency bitmasks over the <=63-type
+    vocabulary; every iteration is then two shuffle-free map passes — a
+    k-vector partial reduce to the driver and a broadcast-vector map —
+    so user scores never leave the object store. The top-20 finish uses
+    block-local top-k partials (O(blocks x 20) exchange rows)."""
+    from ..stages.graph import bipartite_pagerank
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    state, type_scores, vocab, _deg, _n = bipartite_pagerank(
+        ev, "user_id", "event_type", iterations=3
+    )
+
+    def top_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows > 20:
+            order = pc.sort_indices(
+                t, sort_keys=[("s", "descending"), ("uid", "ascending")]
+            )
+            t = t.take(order[:20])
+        return t.select(["uid", "s"])
+
+    top = (
+        state.map_batches(top_partial, batch_format="pyarrow")
+        .sort(["s", "uid"], descending=[True, False])
+        .limit(20)
+        .take_all()
+    )
+    node_ids = [-(j + 1) for j in range(len(vocab))] + [
+        int(r["uid"]) for r in top
+    ]
+    units = [int(x) for x in type_scores] + [int(r["s"]) for r in top]
+    out = pa.table(
+        {
+            "node_id": pa.array(node_ids, pa.int64()),
+            "pagerank_units": pa.array(units, pa.int64()),
+        }
+    )
+    return out.take(
+        pc.sort_indices(
+            out,
+            sort_keys=[("pagerank_units", "descending"), ("node_id", "ascending")],
+        )
+    )
+
+
+def user_type_degree_histogram(sf_dir: str):
+    """Degree distribution of the bipartite interaction graph: how many
+    users touch exactly d distinct event types. One packed-key distinct
+    groupby (the pagerank build's first stage) then two thin native
+    count-groupbys — the degree stream is |users| rows, the result <=
+    |types| rows."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    vocab_rows = (
+        ev.select_columns(["event_type"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": pa.array(
+                        np.unique(
+                            t["event_type"].to_numpy(zero_copy_only=False)
+                        ).tolist(),
+                        pa.string(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("event_type")
+    )
+    vocab = np.sort(np.array(vocab_rows, dtype=object))
+    vocab_pa = pa.array(vocab.tolist(), pa.string())
+    bits = max(int(np.ceil(np.log2(max(len(vocab), 2)))), 1)
+
+    def pre(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        if uid.size and (uid.min() < 0 or uid.max() >= (1 << (63 - bits))):
+            raise ValueError("user_id out of pack range")
+        code = (
+            pc.index_in(t["event_type"], value_set=vocab_pa)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table({"pk": pa.array(np.unique((uid << bits) | code))})
+
+    pairs = (
+        ev.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .count()
+    )
+
+    def uid_only(t: pa.Table) -> pa.Table:
+        pk = t["pk"].to_numpy(zero_copy_only=False)
+        return pa.table({"uid": pa.array(pk >> bits)})
+
+    deg = pairs.map_batches(uid_only, batch_format="pyarrow").groupby("uid").count()
+
+    def deg_only(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": t["count()"]})
+
+    hist = (
+        deg.map_batches(deg_only, batch_format="pyarrow")
+        .groupby("degree")
+        .count()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": t["degree"], "n_users": t["count()"]})
+
+    return hist.map_batches(finish, batch_format="pyarrow").sort("degree")
