@@ -291,6 +291,7 @@ def query_suite(sf_dir: str) -> dict:
         ("q19_discount_revenue", A.q19_discount_revenue),
         ("q2_min_balance_supplier", A.q2_min_balance_supplier),
         ("q20_volume_share_suppliers", A.q20_volume_share_suppliers),
+        ("pagerank_user_types", A.pagerank_user_types),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
