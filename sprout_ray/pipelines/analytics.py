@@ -3741,11 +3741,100 @@ def promo_brand_revenue(sf_dir: str):
 def late_shipment_priority(sf_dir: str):
     """Orders whose latest lineitem shipped > 60 days after the order
     date, counted per order priority — the EXISTS-with-predicate
-    fact-fact shape, rewritten shuffle-light: EXISTS(l.shipdate >
-    o.orderdate + 60d) == max(l.shipdate) > o.orderdate + 60d, so ONE
-    native groupby-max thins lineitem to a keyed per-order stream before
-    the size-guarded join against orders (never a row-expanding
-    fact-fact join)."""
+    fact-fact shape, size-gated between two shuffle-light plans:
+
+    - orders map fits the broadcast budget: EXISTS(l.shipdate >
+      o.orderdate + 60d) probes a broadcast (orderdate, priority) map
+      per lineitem block and emits only DISTINCT late orderkeys — the
+      sole shuffle is the distinct groupby over the (usually small) late
+      subset; no keyed groupby-max, no join at all.
+    - above the budget: max(l.shipdate) > o.orderdate + 60d via ONE
+      native groupby-max thinning lineitem to a keyed per-order stream
+      before the size-guarded join against orders (never a row-expanding
+      fact-fact join)."""
+    from ..stages.joins import DIM_BROADCAST_MAX
+
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
+    if n_orders <= DIM_BROADCAST_MAX:
+        return _late_orders_broadcast_plan(sf_dir, 60, "n_late")
+    return _late_shipment_join_plan(sf_dir, n_orders)
+
+
+def _late_orders_broadcast_plan(sf_dir: str, grace_days: int, count_col: str):
+    import ray
+
+    from ..stages.dedup import _collect_table
+
+    oschema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("ord_us", pa.int64()),
+            ("o_orderpriority", pa.string()),
+        ]
+    )
+    ot = _collect_table(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "ord_us": pc.cast(t["o_orderdate"], pa.int64()),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        oschema,
+    )
+    keys = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys = keys[order]
+    ord_us = ot["ord_us"].to_numpy(zero_copy_only=False)[order]
+    vocab, pcode = np.unique(
+        np.array(ot["o_orderpriority"].to_pylist(), dtype=object), return_inverse=True
+    )
+    pcode = pcode[order].astype(np.int64)
+    ref = ray.put((keys, ord_us, pcode))
+    late_us = grace_days * 86_400 * 1_000_000
+
+    def late_keys(t: pa.Table) -> pa.Table:
+        k, o, _p = ray.get(ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = pc.cast(t["l_shipdate"], pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(k, lk), len(k) - 1)
+        late = (k[pos] == lk) & (ship > o[pos] + late_us)
+        return pa.table({"o_orderkey": pa.array(np.unique(lk[late]))})
+
+    def prio_partials(t: pa.Table) -> pa.Table:
+        k, _o, p = ray.get(ref)
+        lk = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, lk)  # members by construction
+        codes, counts = np.unique(p[pos], return_counts=True)
+        return pa.table(
+            {"pcode": pa.array(codes), "n": pa.array(counts.astype(np.int64))}
+        )
+
+    rows = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(late_keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .count()
+        .map_batches(prio_partials, batch_format="pyarrow")
+        .groupby("pcode")
+        .sum("n", ignore_nulls=True)
+        .take_all()
+    )
+    rows = sorted((int(r["pcode"]), int(r["sum(n)"])) for r in rows)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([str(vocab[c]) for c, _ in rows]),
+            count_col: pa.array([n for _, n in rows], pa.int64()),
+        }
+    )
+
+
+def _late_shipment_join_plan(sf_dir: str, n_orders: int):
     from ..stages.joins import broadcast_lookup_join
 
     def li_premax(t: pa.Table) -> pa.Table:
@@ -3787,7 +3876,6 @@ def late_shipment_priority(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
     # maxship is orderkey-unique with <= n_orders rows: sound guard bound
     joined = broadcast_lookup_join(
         orders, maxship, on="o_orderkey", right_count=n_orders,
@@ -6857,7 +6945,22 @@ def orders_late_exists(sf_dir: str, grace_days: int = 30):
     (max_ship, thresh, pcode) per order. No broadcast, no driver
     collect, ONE shuffle — the sort-merge-join-as-aggregate shape.
     Orders with no line items come out null-shipped and drop (EXISTS
-    false). Comparison in integer epoch-us on both sides."""
+    false). Comparison in integer epoch-us on both sides.
+
+    When the orders map fits the broadcast budget the query instead takes
+    ``_late_orders_broadcast_plan`` (the late_shipment_priority shape):
+    probe a broadcast (orderdate, priority) map per lineitem block, emit
+    only DISTINCT late orderkeys, one small distinct groupby — no union,
+    no keyed max shuffle."""
+    from ..stages.joins import DIM_BROADCAST_MAX
+
+    n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
+    if n_orders <= DIM_BROADCAST_MAX:
+        return _late_orders_broadcast_plan(sf_dir, grace_days, "n_late_orders")
+    return _orders_late_union_plan(sf_dir, grace_days)
+
+
+def _orders_late_union_plan(sf_dir: str, grace_days: int):
     from ray.data.aggregate import Max
 
     day_us = 86_400_000_000

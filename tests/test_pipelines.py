@@ -1431,6 +1431,12 @@ def test_late_shipment_priority_planted(tmp_path, ray_session):
     out = _pd(A.late_shipment_priority(str(tmp_path)))
     assert out["o_orderpriority"].tolist() == ["HI", "LO"]
     assert out["n_late"].tolist() == [1, 1]
+    # the above-budget join fallback plan must agree row-for-row
+    fb = _pd(A._late_shipment_join_plan(str(tmp_path), 4)).sort_values(
+        "o_orderpriority"
+    )
+    assert fb["o_orderpriority"].tolist() == ["HI", "LO"]
+    assert fb["n_late"].tolist() == [1, 1]
 
 
 def test_cont_quantiles_planted(tmp_path, ray_session):
@@ -1831,6 +1837,9 @@ def test_orders_late_exists_boundary(tmp_path, ray_session):
     )
     out = _pd(A.orders_late_exists(str(tmp_path)))
     assert out["n_late_orders"].tolist() == [2]
+    # the above-budget union-groupby fallback plan must agree
+    fb = _pd(A._orders_late_union_plan(str(tmp_path), 30))
+    assert fb["n_late_orders"].tolist() == [2]
 
 
 def test_daily_delta_gap_and_null(tmp_path, ray_session):
