@@ -1431,6 +1431,13 @@ def connected_components(pairs_ds, ds_ids, id_col: str = "doc_id"):
     )
 
 
+# Edge sets at or under this many endpoint rows label on the driver (two
+# int64 arrays — ~64 MB at the cap) instead of paying the hash-join loop's
+# ~1-2 s fixed actor cost per round; the mirror of id_set_filter's
+# broadcast_max convention.
+_CC_DRIVER_MAX_ENDPOINTS = 4_000_000
+
+
 def connected_components_distributed(
     pairs_ds,
     nodes_ds=None,
@@ -1495,12 +1502,63 @@ def connected_components_distributed(
             .min(id_col, ignore_nulls=True)
             .map_batches(own_cluster, batch_format="pyarrow")
         )
+    n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_MAX_ENDPOINTS:
+        # small edge set (the usual dedup regime: pairs are rare): the
+        # repo's broadcast-small-side convention — min-label iterate the
+        # edge list in numpy on the driver (O(E log n) total, no joins),
+        # then ONE shuffle-free map labels every node. The join loop below
+        # costs ~1-2 s of fixed hash-join actor time PER ROUND regardless
+        # of volume; above the budget it remains the scale path.
+        et = _collect_table(
+            edges, pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        )
+        src = et["src"].to_numpy(zero_copy_only=False)
+        dst = et["dst"].to_numpy(zero_copy_only=False)
+        ids = np.unique(src)  # edges carry both directions: src covers all
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        lab = ids.copy()
+        for _ in range(max_rounds):
+            before = lab.sum()
+            np.minimum.at(lab, di, lab[si])  # edge-forwarded min labels
+            lab = lab[np.searchsorted(ids, lab)]  # pointer jump
+            if lab.sum() == before:
+                break
+        else:
+            raise RuntimeError(
+                "connected_components_distributed: driver tier found no "
+                f"fixpoint after {max_rounds} rounds"
+            )
+        lab_ref = ray.put((ids, lab))
+        edge_labels = ray.data.from_arrow(
+            pa.table({id_col: pa.array(ids), "cluster": pa.array(lab)})
+        )
+        if nodes_ds is None:
+            return edge_labels
+
+        def isolated(t: pa.Table) -> pa.Table:
+            # nodes_ds rows NOT in the edge set keep their own id as the
+            # cluster; edge nodes are emitted by edge_labels above
+            # (nodes_ds is assumed id-unique, as every in-repo caller's is)
+            k, _v = ray.get(lab_ref)
+            x = t.column(0).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(k, x), len(k) - 1)
+            iso = t.filter(pa.array(k[pos] != x))
+            return pa.table(
+                {id_col: iso.column(0), "cluster": iso.column(0)}
+            )
+
+        return edge_labels.union(
+            nodes_ds.select_columns([id_col]).map_batches(
+                isolated, batch_format="pyarrow"
+            )
+        )
     # join fixed overhead scales with partition count -> clamp to edge volume
     # (~1M edge-endpoints per partition) while honoring the caller's ceiling.
     # Floor is ONE partition: num_partitions >= 2 with a handful of edge rows
     # hits Dataset.join's HashShuffleAggregator ArrowInvalid on hash-skewed
     # tiny sides (CLAUDE.md gotcha).
-    n_edges = edges.count()
     num_partitions = max(1, min(num_partitions, n_edges // 1_000_000 + 1))
 
     node_sets = [edges.map_batches(

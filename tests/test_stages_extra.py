@@ -366,6 +366,42 @@ class TestSimilarityKernels:
         )
         assert got.equals(exp)
 
+    def test_connected_components_distributed_join_tier(
+        self, ray_session, monkeypatch
+    ):
+        # force the above-budget hash-join loop and require byte parity
+        # with the driver tier on the same chain+star+isolated graph
+        import ray.data as rd
+
+        import sprout_ray.stages.dedup as D
+
+        edges = [(i, i + 1) for i in range(100, 120)]
+        edges += [(200, x) for x in (201, 202, 203)]
+        ids = list(range(100, 121)) + [200, 201, 202, 203, 999]
+        pairs = rd.from_arrow(
+            pa.table(
+                {
+                    "left_id": pa.array([a for a, _ in edges], pa.int64()),
+                    "right_id": pa.array([b for _, b in edges], pa.int64()),
+                }
+            )
+        )
+        nodes = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+        a = (
+            D.connected_components_distributed(pairs, nodes_ds=nodes)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        monkeypatch.setattr(D, "_CC_DRIVER_MAX_ENDPOINTS", 0)
+        b = (
+            D.connected_components_distributed(pairs, nodes_ds=nodes)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
     def test_connected_components_distributed_no_edges(self, ray_session):
         import ray.data as rd
 
