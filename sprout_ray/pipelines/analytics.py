@@ -23,6 +23,15 @@ from ..stages.builder import build_grouped, build_sketch
 from ..stages.probe import probe_filter
 
 
+def _pool8() -> int:
+    """Machine-sized actor-pool concurrency for the compute-bound stages
+    (minhash signatures, cosine matmul verify): tuning.actor_pool_size
+    with cap 8 — still deadlock-safe on tiny clusters (2 at 4 CPUs)."""
+    from ..tuning import actor_pool_size
+
+    return actor_pool_size(cap=8)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Pruned parquet read with a size-aware block count.
 
@@ -1446,7 +1455,11 @@ def minhash_neardup(sf_dir: str):
     from ..stages.dedup import minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.8, concurrency=2).select_columns(
+    from ..tuning import actor_pool_size
+
+    return minhash_dedup_pairs(
+        ds, threshold=0.8, concurrency=actor_pool_size(cap=8)
+    ).select_columns(
         ["left_id", "right_id", "est_jaccard"]
     )
 
@@ -1556,7 +1569,7 @@ def minhash_neardup_exact(sf_dir: str):
     # the default 64 would silently drop pairs of a >64-way clique that
     # the SQL self-join keeps
     pairs = minhash_dedup_pairs(
-        corpus, threshold=1.0, concurrency=2, max_bucket=100_000
+        corpus, threshold=1.0, concurrency=_pool8(), max_bucket=100_000
     ).select_columns(["left_id", "right_id"])
     out = _verify_pairs_exact_text(pairs, corpus).sort(["left_id", "right_id"])
     if out.count() == 0:
@@ -1861,7 +1874,9 @@ def embedding_neardup_exact(sf_dir: str):
     from ..stages.similarity import exact_cosine_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = exact_cosine_pairs(ds, threshold=0.4, dtype="float64", concurrency=2)
+    pairs = exact_cosine_pairs(
+        ds, threshold=0.4, dtype="float64", concurrency=_pool8()
+    )
 
     def finish(t: pa.Table) -> pa.Table:
         return t.set_column(2, "score", _oround(t["score"], 6))
@@ -2708,7 +2723,7 @@ def neardup_dedup_survivors(sf_dir: str):
 
     corpus = _planted_dup_docs(sf_dir)
     pairs = minhash_dedup_pairs(
-        corpus, threshold=1.0, concurrency=2, max_bucket=100_000
+        corpus, threshold=1.0, concurrency=_pool8(), max_bucket=100_000
     ).select_columns(["left_id", "right_id"])
     verified = _verify_pairs_exact_text(pairs, corpus)
     clusters = connected_components_distributed(
