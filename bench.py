@@ -484,7 +484,14 @@ def _emit(result: dict) -> None:
         compact["queries_total_sec"] = round(sum(queries.values()), 3)
     probe = result.get("engine_probe")
     if isinstance(probe, dict):
-        compact["engine_probe_eff"] = probe.get("scaling_efficiency", probe.get("eff"))
+        compact["engine_probe_eff"] = next(
+            (
+                probe[k]
+                for k in probe
+                if k == "scaling_efficiency" or k.startswith("efficiency")
+            ),
+            None,
+        )
     print(json.dumps(compact))
 
 
