@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_value_sums": A.trimmed_value_sums,
         "pagerank_user_types": A.pagerank_user_types,
         "user_type_degree_histogram": A.user_type_degree_histogram,
+        "events_zorder_head": A.events_zorder_head,
     }
 
 
@@ -316,6 +317,16 @@ def _pagerank_sql(iterations: int = 3) -> str:
         + f"SELECT id AS node_id, s AS pagerank_units FROM {last} "
         + "WHERE id >= 0 ORDER BY s DESC, id ASC LIMIT 20)) "
         + "ORDER BY pagerank_units DESC, node_id ASC"
+    )
+
+
+def _zorder_head_sql() -> str:
+    from sprout_ray.functions.zorder import morton_key_sql
+
+    z = morton_key_sql("user_id", "epoch_us(ts) // 60000000")
+    return (
+        f"SELECT CAST(event_id AS BIGINT) AS event_id, {z} AS zkey "
+        "FROM events ORDER BY zkey, event_id LIMIT 20"
     )
 
 
@@ -2434,6 +2445,10 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY lang, q"
         ),
         "pagerank_user_types": _pagerank_sql(3),
+        # Morton interleave via the SAME mask/shift spread expressions the
+        # engine evaluates (functions/zorder.py) — non-negative 31-bit
+        # coords keep every intermediate inside BIGINT in both engines
+        "events_zorder_head": _zorder_head_sql(),
         # bipartite degree distribution: users per distinct-type count
         "user_type_degree_histogram": (
             "SELECT CAST(d AS BIGINT) AS degree, "

@@ -9634,3 +9634,42 @@ def user_type_degree_histogram(sf_dir: str):
         return pa.table({"degree": t["degree"], "n_users": t["count()"]})
 
     return hist.map_batches(finish, batch_format="pyarrow").sort("degree")
+
+
+def events_zorder_head(sf_dir: str):
+    """Z-order layout keys over events: the Morton interleave of
+    (user_id, event minute) — the locality-preserving sort key that gives
+    every block a bounding rectangle in (user, time) space so min/max
+    block stats prune range predicates on EITHER dimension at 100 TB
+    (functions/zorder.py). Key computation is per-row bit arithmetic
+    (zero shuffle); this query surfaces the first 20 rows of the layout
+    via block-local top-k partials + one tiny global sort — the oracle
+    evaluates the IDENTICAL mask/shift expressions on BIGINT."""
+    from ..functions.zorder import morton_key
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        minute = (
+            pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 60_000_000
+        )
+        out = pa.table(
+            {
+                "event_id": t["event_id"],
+                "zkey": pa.array(morton_key(uid, minute)),
+            }
+        )
+        if out.num_rows > 20:
+            order = pc.sort_indices(
+                out, sort_keys=[("zkey", "ascending"), ("event_id", "ascending")]
+            )
+            out = out.take(order[:20])
+        return out
+
+    return (
+        ev.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["zkey", "event_id"])
+        .limit(20)
+    )

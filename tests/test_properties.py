@@ -127,3 +127,65 @@ def test_bloom_cardinality_merge_invariant(keys, splits):
     est = merged.approx_cardinality()
     exact = len(set(keys))
     assert abs(est - exact) <= max(0.02 * exact, 2.0)
+
+
+class TestMortonZorder:
+    def test_interleave_exact_bits(self):
+        """morton_key(x, y) places x's bit i at position 2i and y's at
+        2i+1 — checked against a direct per-bit reference."""
+        import numpy as np
+
+        from sprout_ray.functions.zorder import MAX_COORD, morton_key
+
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, MAX_COORD + 1, size=500).astype(np.int64)
+        y = rng.randint(0, MAX_COORD + 1, size=500).astype(np.int64)
+        got = morton_key(x, y)
+        ref = np.zeros(500, dtype=np.int64)
+        for i in range(31):
+            ref |= ((x >> i) & 1) << (2 * i)
+            ref |= ((y >> i) & 1) << (2 * i + 1)
+        assert (got == ref).all()
+        assert (got >= 0).all()  # bit 63 never set
+
+    def test_locality_monotone_in_each_dim(self):
+        """With the other coordinate fixed, the key is strictly monotone
+        in each dimension (the property block-range pruning relies on)."""
+        import numpy as np
+
+        from sprout_ray.functions.zorder import morton_key
+
+        xs = np.arange(1000, dtype=np.int64)
+        fixed = np.full(1000, 12345, dtype=np.int64)
+        assert (np.diff(morton_key(xs, fixed)) > 0).all()
+        assert (np.diff(morton_key(fixed, xs)) > 0).all()
+
+    def test_coord_range_guard(self):
+        import numpy as np
+        import pytest
+
+        from sprout_ray.functions.zorder import morton_key
+
+        bad = np.array([1 << 31], dtype=np.int64)
+        ok = np.array([0], dtype=np.int64)
+        with pytest.raises(ValueError, match="rescale or"):
+            morton_key(bad, ok)
+        with pytest.raises(ValueError, match="rescale or"):
+            morton_key(ok, -ok - 1)
+
+    def test_sql_twin_same_bits(self):
+        """The DuckDB expression evaluates the identical spread — byte
+        parity on random coordinates."""
+        import duckdb
+        import numpy as np
+
+        from sprout_ray.functions.zorder import MAX_COORD, morton_key, morton_key_sql
+
+        rng = np.random.RandomState(11)
+        x = rng.randint(0, MAX_COORD + 1, size=200).astype(np.int64)
+        y = rng.randint(0, MAX_COORD + 1, size=200).astype(np.int64)
+        con = duckdb.connect()
+        con.register("t", __import__("pandas").DataFrame({"x": x, "y": y}))
+        sql = morton_key_sql("x", "y")
+        got = con.execute(f"SELECT {sql} AS z FROM t").fetchnumpy()["z"]
+        assert (got.astype(np.int64) == morton_key(x, y)).all()
