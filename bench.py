@@ -448,10 +448,17 @@ def _emit(result: dict) -> None:
     """
     print(json.dumps(result))
     try:
+        # scaling mode gets its own artifact so a --scaling run can never
+        # clobber the last full-suite record (it did once in round 4)
+        name = (
+            "bench_last_scaling.json"
+            if "scaling_efficiency" in result
+            else "bench_last_full.json"
+        )
         path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "artifacts",
-            "bench_last_full.json",
+            name,
         )
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
