@@ -230,6 +230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_user_types": A.pagerank_user_types,
         "user_type_degree_histogram": A.user_type_degree_histogram,
         "events_zorder_head": A.events_zorder_head,
+        # no SQL oracle (eigenvector): rows-only driver check; accuracy
+        # rides in-band (rayleigh_monotone/residual_ratio/within_bound)
+        # and pytest pins loadings against numpy.linalg.eigh
+        "embedding_top_component": A.embedding_top_component,
     }
 
 

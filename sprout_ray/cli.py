@@ -466,7 +466,7 @@ def cmd_query(args) -> int:
     """Run any registered pipeline (``__ray_entry__.queries()`` name) over
     an sf-style directory of the ten standard tables; print the row count
     and optionally write the result as parquet. ``--list`` enumerates the
-    registry (132 pipelines) without starting Ray."""
+    full registry without starting Ray."""
     import importlib
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

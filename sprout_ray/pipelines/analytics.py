@@ -9673,3 +9673,38 @@ def events_zorder_head(sf_dir: str):
         .sort(["zkey", "event_id"])
         .limit(20)
     )
+
+
+def embedding_top_component(sf_dir: str):
+    """Top principal component of the embeddings table by distributed
+    power iteration (stages/linalg.py): per-iteration exchange is
+    O(blocks x d) float partials — covariance never materializes. No SQL
+    oracle exists for an eigenvector, so accuracy rides in-band (the
+    hll_hourly_users convention): `rayleigh_monotone` asserts the power-
+    iteration invariant over the run's Rayleigh history, `residual_ratio`
+    = ||Cv - lambda*v|| / lambda from one extra verification pass, and
+    `within_bound` gates it at 1e-6; pytest pins the loadings against
+    numpy.linalg.eigh on the same rows."""
+    from ..stages.linalg import covariance_apply, top_principal_component
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ds = ds.materialize()
+    v, eigval, mean, n_rows, hist = top_principal_component(ds)
+    w = covariance_apply(ds, mean, v, float(n_rows), "embedding")
+    lam = float(v @ w)
+    residual = float(np.linalg.norm(w - lam * v)) / max(abs(lam), 1e-300)
+    monotone = all(
+        b >= a - 1e-9 * max(abs(b), 1.0) for a, b in zip(hist, hist[1:])
+    )
+    d = len(v)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading": pa.array(np.round(v, 9)),
+            "eigval": pa.array(np.full(d, round(eigval, 9))),
+            "residual_ratio": pa.array(np.full(d, round(residual, 9))),
+            "rayleigh_monotone": pa.array([monotone] * d),
+            "within_bound": pa.array([residual <= 1e-6] * d),
+            "n_rows": pa.array(np.full(d, n_rows, dtype=np.int64)),
+        }
+    )
