@@ -292,6 +292,8 @@ def query_suite(sf_dir: str) -> dict:
         ("q2_min_balance_supplier", A.q2_min_balance_supplier),
         ("q20_volume_share_suppliers", A.q20_volume_share_suppliers),
         ("pagerank_user_types", A.pagerank_user_types),
+        ("events_zorder_head", A.events_zorder_head),
+        ("embedding_top_component", A.embedding_top_component),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))
