@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": A.token_counts,
         "doc_quality": A.doc_quality,
         "nchars_stats_by_lang": A.nchars_stats_by_lang,
+        "moments_by_type": A.moments_by_type,
         "q1_pricing_summary": A.q1_pricing_summary,
         "event_type_counts": A.event_type_counts,
         "top_event_types": A.top_event_types,
@@ -603,6 +604,47 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(n_chars) AS BIGINT) AS max_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "moments_by_type": (
+            # expression trees mirror kernel/moments.derived_stats token-for-
+            # token so the doubles match bit-exactly (sums are exact integers
+            # on both sides; int->double casts and IEEE ops are deterministic)
+            "WITH cents AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(c) AS BIGINT) AS s1, CAST(min(c) AS BIGINT) AS mn, "
+            "CAST(max(c) AS BIGINT) AS mx, sum(CAST(c AS HUGEINT) * c) AS s2, "
+            "sum(CAST(c AS HUGEINT) * c * c) AS s3, "
+            "sum(CAST(c AS HUGEINT) * c * c * c) AS s4 FROM cents GROUP BY event_type), "
+            # HUGEINT -> DOUBLE via the floor-mod 3-limb tree mirrored by
+            # kernel/moments.limb_double (DuckDB's CAST(HUGEINT AS DOUBLE)
+            # is off by an ulp vs correctly-rounded conversion)
+            "lb AS (SELECT *, "
+            "((s2 % 4294967296) + 4294967296) % 4294967296 AS s2l0, "
+            "((s3 % 4294967296) + 4294967296) % 4294967296 AS s3l0, "
+            "((s4 % 4294967296) + 4294967296) % 4294967296 AS s4l0 FROM base), "
+            "lq AS (SELECT *, (s2 - s2l0) // 4294967296 AS s2q, "
+            "(s3 - s3l0) // 4294967296 AS s3q, (s4 - s4l0) // 4294967296 AS s4q FROM lb), "
+            "lm AS (SELECT *, ((s2q % 4294967296) + 4294967296) % 4294967296 AS s2l1, "
+            "((s3q % 4294967296) + 4294967296) % 4294967296 AS s3l1, "
+            "((s4q % 4294967296) + 4294967296) % 4294967296 AS s4l1 FROM lq), "
+            "d AS (SELECT *, CAST(n AS DOUBLE) AS n_d, CAST(s1 AS DOUBLE) AS s1_d, "
+            "CAST((s2q - s2l1) // 4294967296 AS DOUBLE) * 18446744073709551616.0 "
+            "+ (CAST(s2l1 AS DOUBLE) * 4294967296.0 + CAST(s2l0 AS DOUBLE)) AS s2_d, "
+            "CAST((s3q - s3l1) // 4294967296 AS DOUBLE) * 18446744073709551616.0 "
+            "+ (CAST(s3l1 AS DOUBLE) * 4294967296.0 + CAST(s3l0 AS DOUBLE)) AS s3_d, "
+            "CAST((s4q - s4l1) // 4294967296 AS DOUBLE) * 18446744073709551616.0 "
+            "+ (CAST(s4l1 AS DOUBLE) * 4294967296.0 + CAST(s4l0 AS DOUBLE)) AS s4_d FROM lm), "
+            "m1 AS (SELECT *, s1_d / n_d AS mean FROM d), "
+            "m2t AS (SELECT *, s2_d / n_d - mean * mean AS m2, "
+            "s3_d / n_d - 3.0 * mean * (s2_d / n_d) + 2.0 * (mean * mean * mean) AS m3, "
+            "s4_d / n_d - 4.0 * mean * (s3_d / n_d) + 6.0 * (mean * mean) * (s2_d / n_d) "
+            "- 3.0 * (mean * mean) * (mean * mean) AS m4 FROM m1) "
+            "SELECT event_type, n, s1 AS sum_c, mn AS min_c, mx AS max_c, "
+            "s2_d AS sum_c2_d, s3_d AS sum_c3_d, s4_d AS sum_c4_d, "
+            "round(mean, 6) AS mean_c, round(m2, 6) AS var_c, "
+            "round(CASE WHEN m2 > 0.0 THEN m3 / sqrt(m2 * m2 * m2) ELSE 0.0 END, 6) AS skew, "
+            "round(CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6) AS kurt "
+            "FROM m2t"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -294,6 +294,7 @@ def query_suite(sf_dir: str) -> dict:
         ("pagerank_user_types", A.pagerank_user_types),
         ("events_zorder_head", A.events_zorder_head),
         ("embedding_top_component", A.embedding_top_component),
+        ("moments_by_type", A.moments_by_type),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -76,7 +76,9 @@ def _bootstrap() -> None:
     from .hll import HyperLogLog
     from .kll import KLLSketch
     from .kmv import KMVSketch
+    from .fd import FrequentDirections
     from .misragries import MisraGries
+    from .moments import MomentsSketch
     from .scalable_bloom import ScalableBloomFilter
     from .tdigest import TDigest
 
@@ -89,6 +91,8 @@ def _bootstrap() -> None:
     register_sketch("mg", MisraGries, MisraGries.from_bytes)
     register_sketch("kmv", KMVSketch, KMVSketch.from_bytes)
     register_sketch("ams", AMSF2Sketch, AMSF2Sketch.from_bytes)
+    register_sketch("moments", MomentsSketch, MomentsSketch.from_bytes)
+    register_sketch("fd", FrequentDirections, FrequentDirections.from_bytes)
 
 
 _bootstrap()

@@ -9708,3 +9708,136 @@ def embedding_top_component(sf_dir: str):
             "n_rows": pa.array(np.full(d, n_rows, dtype=np.int64)),
         }
     )
+
+
+def moments_by_type(sf_dir: str):
+    """Grouped exact-moments profile of events.value (integer cents).
+
+    The moments sketch's distributed build, inlined as the library's
+    standard per-block pre-agg plan: each block computes per-type power
+    sums with per-element hi/lo bit-32 splits (kernel/moments.py), the
+    (a2, a1, a0) base-2^32 limb columns ride one |types|-bounded Ray
+    groupby-sum, and the finisher reconstructs exact Python-int sums and
+    derives mean / population variance / skewness / excess kurtosis with
+    the float64 expression trees the SQL twin mirrors token-for-token.
+    Scale shape: only |types| x 16 small integers shuffle per block; the
+    limb scheme stays exact to 2^127 (Σc⁴ over 10^12 max-magnitude rows)."""
+    from ..kernel.moments import derived_stats, limb_double, limbs3, unlimbs3
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
+        cn = c.to_numpy(zero_copy_only=False)
+        if cn.size and int(np.abs(cn).max()) > 55108:
+            raise ValueError("moments_by_type: |cents| > 55108; rescale unit")
+        c2 = cn * cn
+        c3, c4 = cn * c2, c2 * c2
+        m32 = np.int64(0xFFFFFFFF)
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "c": c,
+                    "c2": pa.array(c2),
+                    "h3": pa.array(c3 >> np.int64(32)),
+                    "l3": pa.array(c3 & m32),
+                    "h4": pa.array(c4 >> np.int64(32)),
+                    "l4": pa.array(c4 & m32),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate(
+                [
+                    ("c", "count"),
+                    ("c", "sum"),
+                    ("c", "min"),
+                    ("c", "max"),
+                    ("c2", "sum"),
+                    ("h3", "sum"),
+                    ("l3", "sum"),
+                    ("h4", "sum"),
+                    ("l4", "sum"),
+                ]
+            )
+        )
+        g = g.rename_columns(
+            ["event_type", "n", "s1", "mn", "mx", "s2", "h3", "l3", "h4", "l4"]
+        )
+        # carry each (hi, lo) pair and s2 into 3-limb base-2^32 columns so
+        # the cross-block int64 sums stay exact at any block count
+        cols = {"event_type": g["event_type"], "n": g["n"], "s1": g["s1"],
+                "mn": g["mn"], "mx": g["mx"]}
+        for name, hi, lo in (("s3", "h3", "l3"), ("s4", "h4", "l4")):
+            hs = g[hi].to_numpy(zero_copy_only=False)
+            ls = g[lo].to_numpy(zero_copy_only=False)
+            trip = [limbs3((int(h) << 32) + int(l)) for h, l in zip(hs, ls)]
+            for j, part in enumerate(("a2", "a1", "a0")):
+                cols[f"{name}_{part}"] = pa.array(
+                    np.array([t[j] for t in trip], dtype=np.int64)
+                )
+        s2 = g["s2"].to_numpy(zero_copy_only=False)
+        trip = [limbs3(int(v)) for v in s2]
+        for j, part in enumerate(("a2", "a1", "a0")):
+            cols[f"s2_{part}"] = pa.array(
+                np.array([t[j] for t in trip], dtype=np.int64)
+            )
+        return pa.table(cols)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    limb_cols = [f"{s}_{p}" for s in ("s2", "s3", "s4") for p in ("a2", "a1", "a0")]
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+            *[Sum(c, alias_name=c) for c in limb_cols],
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {k: [] for k in (
+            "event_type", "n", "sum_c", "min_c", "max_c",
+            "sum_c2_d", "sum_c3_d", "sum_c4_d", "mean_c", "var_c", "skew", "kurt",
+        )}
+        for r in rows:
+            s2 = unlimbs3(r["s2_a2"], r["s2_a1"], r["s2_a0"])
+            s3 = unlimbs3(r["s3_a2"], r["s3_a1"], r["s3_a0"])
+            s4 = unlimbs3(r["s4_a2"], r["s4_a1"], r["s4_a0"])
+            st = derived_stats(r["n"], r["s1"], s2, s3, s4)
+            out["event_type"].append(r["event_type"])
+            out["n"].append(r["n"])
+            out["sum_c"].append(r["s1"])
+            out["min_c"].append(r["mn"])
+            out["max_c"].append(r["mx"])
+            out["sum_c2_d"].append(limb_double(s2))
+            out["sum_c3_d"].append(limb_double(s3))
+            out["sum_c4_d"].append(limb_double(s4))
+            out["mean_c"].append(st["mean"])
+            out["var_c"].append(st["var"])
+            out["skew"].append(st["skew"])
+            out["kurt"].append(st["kurt"])
+        t2 = pa.table(
+            {
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "sum_c": pa.array(out["sum_c"], pa.int64()),
+                "min_c": pa.array(out["min_c"], pa.int64()),
+                "max_c": pa.array(out["max_c"], pa.int64()),
+                "sum_c2_d": pa.array(out["sum_c2_d"], pa.float64()),
+                "sum_c3_d": pa.array(out["sum_c3_d"], pa.float64()),
+                "sum_c4_d": pa.array(out["sum_c4_d"], pa.float64()),
+                "mean_c": _oround(pa.array(out["mean_c"], pa.float64()), 6),
+                "var_c": _oround(pa.array(out["var_c"], pa.float64()), 6),
+                "skew": _oround(pa.array(out["skew"], pa.float64()), 6),
+                "kurt": _oround(pa.array(out["kurt"], pa.float64()), 6),
+            }
+        )
+        return t2
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

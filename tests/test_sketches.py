@@ -528,3 +528,102 @@ class TestCmsInnerProduct:
         b = SketchSpec.of("cms", 0.01, 0.01).make()
         with pytest.raises(ValueError, match="geometry"):
             a.inner_product(b)
+
+
+class TestMomentsSketch:
+    """kernel/moments.py — exact mergeable power sums."""
+
+    def _brute(self, vals):
+        n = len(vals)
+        return (
+            n,
+            sum(int(v) for v in vals),
+            sum(int(v) ** 2 for v in vals),
+            sum(int(v) ** 3 for v in vals),
+            sum(int(v) ** 4 for v in vals),
+        )
+
+    def test_exact_vs_bignum_brute_force(self):
+        import numpy as np
+
+        from sprout_ray.kernel.moments import MAXC, MomentsSketch
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(-MAXC, MAXC + 1, size=20000, dtype=np.int64)
+        sk = MomentsSketch()
+        sk.update_batch(vals)
+        n, s1, s2, s3, s4 = self._brute(vals)
+        assert (sk.n, sk.s1, sk.s2, sk.s3, sk.s4) == (n, s1, s2, s3, s4)
+        assert sk.mn == int(vals.min()) and sk.mx == int(vals.max())
+
+    def test_merge_associative_and_roundtrip(self):
+        import numpy as np
+
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        rng = np.random.default_rng(11)
+        parts = [
+            rng.integers(-55108, 55109, size=rng.integers(1, 5000), dtype=np.int64)
+            for _ in range(7)
+        ]
+        whole = MomentsSketch()
+        whole.update_batch(np.concatenate(parts))
+        # arbitrary merge tree over per-part sketches
+        sks = []
+        for p in parts:
+            s = MomentsSketch()
+            s.update_batch(p)
+            sks.append(s)
+        left = sks[0]
+        for s in sks[1:4]:
+            left.merge(s)
+        right = sks[4]
+        for s in sks[5:]:
+            right.merge(s)
+        left.merge(right)
+        assert left.result() == whole.result()
+        # serialization round-trip preserves bignum sums exactly
+        from sprout_ray.kernel.moments import MomentsSketch as M
+
+        back = M.from_bytes(left.to_bytes())
+        assert back.result() == whole.result()
+
+    def test_range_guard_is_loud(self):
+        import numpy as np
+        import pytest
+
+        from sprout_ray.kernel.moments import MAXC, MomentsSketch
+
+        sk = MomentsSketch()
+        with pytest.raises(ValueError, match="rescale"):
+            sk.update_batch(np.array([MAXC + 1], dtype=np.int64))
+
+    def test_limb_double_matches_correct_rounding_here(self):
+        """limb_double equals float(int) whenever the limb tree's partial
+        sums are exactly representable (always true for v < 2^53 * 2^64
+        in one addition chain from exact doubles of limbs <= 2^32)."""
+        from sprout_ray.kernel.moments import limb_double, limbs3, unlimbs3
+
+        for v in (0, 1, 2**31, 2**64 + 12345, 55108**4 * 10**6, -(2**70 + 3)):
+            assert unlimbs3(*limbs3(v)) == v
+        assert limb_double(2**40) == float(2**40)
+
+    def test_derived_stats_match_numpy(self):
+        import numpy as np
+
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(1, 50000, size=4096, dtype=np.int64)
+        sk = MomentsSketch()
+        sk.update_batch(vals)
+        r = sk.result()
+        x = vals.astype(np.float64)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert abs(r["mean"] - m) < 1e-6 * abs(m)
+        assert abs(r["var"] - m2) < 1e-6 * m2
+        assert abs(r["skew"] - m3 / m2**1.5) < 1e-6
+        assert abs(r["kurt"] - (m4 / m2**2 - 3.0)) < 1e-6
