@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": A.doc_quality,
         "nchars_stats_by_lang": A.nchars_stats_by_lang,
         "moments_by_type": A.moments_by_type,
+        "fd_spectral_head": A.fd_spectral_head,
         "q1_pricing_summary": A.q1_pricing_summary,
         "event_type_counts": A.event_type_counts,
         "top_event_types": A.top_event_types,

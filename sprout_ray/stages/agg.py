@@ -32,6 +32,9 @@ from ray.data.block import Block, BlockAccessor
 from ..kernel.sketch import SketchSpec
 
 _NUMERIC_KINDS = {"tdigest", "kll"}
+# sketches whose update_batch consumes the Arrow column as-is (vector /
+# integer-native inputs) — no string canonicalization
+_RAW_KINDS = {"fd", "moments"}
 
 
 def _update_input(kind: str, col: pa.ChunkedArray):
@@ -43,6 +46,8 @@ def _update_input(kind: str, col: pa.ChunkedArray):
     """
     if kind in _NUMERIC_KINDS:
         return col.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    if kind in _RAW_KINDS:
+        return col
     t = col.type
     if not (
         pa.types.is_string(t)

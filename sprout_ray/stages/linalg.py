@@ -181,3 +181,56 @@ def top_principal_component(
     if v[pivot] < 0:
         v = -v
     return v, eigval, mean, int(n_rows), history
+
+
+def fd_build(ds, l: int = 64, emb_col: str = "embedding"):
+    """Distributed Frequent Directions build over an embedding column.
+
+    One streaming aggregate: AggregateFnV2 partials are whole FD sketches
+    (l x d floats, sketch-sized by construction), tree-merged by the same
+    associativity-checked path as every scalar sketch. The 10^12-row
+    shape: each block ships one <= l x d matrix; nothing else moves."""
+    from ..kernel.sketch import SketchSpec, sketch_from_bytes
+    from ..stages.agg import SketchAgg
+
+    spec = SketchSpec.of("fd", l)
+    res = ds.aggregate(SketchAgg(spec, on=emb_col, alias_name="fd"))
+    return sketch_from_bytes(res["fd"])
+
+
+def exact_gram(ds, emb_col: str = "embedding") -> tuple[np.ndarray, int]:
+    """One-pass exact uncentered Gram A^T A (d x d driver floats; gate on
+    d before calling — d^2 partials per block)."""
+    def gram_partials(t: pa.Table) -> pa.Table:
+        from .similarity import _emb_matrix
+
+        x = _emb_matrix(t[emb_col], dtype=np.float64)
+        if not x.size:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "part": pa.array([], pa.float64()),
+                 "n": pa.array([], pa.float64())}
+            )
+        g = x.T @ x
+        d = x.shape[1]
+        tbl = pa.table(
+            {
+                "dim": pa.array(np.arange(d * d, dtype=np.int64)),
+                "part": pa.array(g.ravel()),
+            }
+        )
+        return tbl.append_column("n", pa.array(np.full(d * d, float(len(x)))))
+
+    from .dedup import _collect_table
+
+    t = _collect_table(
+        ds.map_batches(gram_partials, batch_format="pyarrow"),
+        pa.schema([("dim", pa.int64()), ("part", pa.float64()), ("n", pa.float64())]),
+    )
+    if t.num_rows == 0:
+        raise ValueError("exact_gram: empty input")
+    dims = t["dim"].to_numpy(zero_copy_only=False)
+    d = int(np.sqrt(float(dims.max()) + 1.0) + 0.5)
+    flat = np.zeros(d * d)
+    np.add.at(flat, dims, t["part"].to_numpy(zero_copy_only=False))
+    n_rows = int(t.filter(pc.equal(t["dim"], 0))["n"].to_numpy().sum())
+    return flat.reshape(d, d), n_rows

@@ -74,3 +74,113 @@ class TestTopPrincipalComponent:
         assert out.rayleigh_monotone.all()
         assert float(out.residual_ratio.iloc[0]) <= 1e-6
         assert abs(np.linalg.norm(out.loading.to_numpy()) - 1.0) < 1e-6
+
+
+class TestFrequentDirections:
+    """kernel/fd.py — mergeable Gram sketch with tracked shed-mass bound."""
+
+    def _planted(self, n=4000, d=48, rank=3, seed=0):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return rng.normal(size=(n, rank)) @ rng.normal(size=(rank, d)) * 3.0 + (
+            rng.normal(size=(n, d)) * 0.1
+        )
+
+    def test_guarantee_vs_exact_gram(self):
+        import numpy as np
+
+        from sprout_ray.kernel.fd import FrequentDirections
+
+        A = self._planted()
+        sk = FrequentDirections(l=24)
+        for i in range(0, len(A), 333):
+            sk.update_batch(A[i : i + 333])
+        G = A.T @ A
+        B = sk.sketch_matrix()
+        ev = np.linalg.eigvalsh(G - B.T @ B)
+        scale = float(np.abs(G).max())
+        assert ev.min() >= -1e-9 * scale  # PSD: B^T B never overshoots
+        assert ev.max() <= sk.delta + 1e-9 * scale  # tracked bound
+        assert sk.delta <= 2.0 * sk.frob2 / sk.l + 1e-9 * scale  # worst case
+
+    def test_merge_preserves_guarantee_and_counters(self):
+        import numpy as np
+
+        from sprout_ray.kernel.fd import FrequentDirections
+
+        A = self._planted(seed=5)
+        parts = np.array_split(A, 7)
+        sks = []
+        for p in parts:
+            s = FrequentDirections(l=24)
+            s.update_batch(p)
+            sks.append(s)
+        m = sks[0]
+        for s in sks[1:]:
+            m.merge(s)
+        assert m.n_rows == len(A)
+        assert abs(m.frob2 - float((A * A).sum())) < 1e-6 * m.frob2
+        G = A.T @ A
+        B = m.sketch_matrix()
+        ev = np.linalg.eigvalsh(G - B.T @ B)
+        scale = float(np.abs(G).max())
+        assert ev.min() >= -1e-9 * scale
+        assert ev.max() <= m.delta + 1e-9 * scale
+
+    def test_degenerate_exact_below_capacity(self):
+        import numpy as np
+
+        from sprout_ray.kernel.fd import FrequentDirections
+
+        A = self._planted(n=30, d=16, seed=2)
+        parts = np.array_split(A, 3)
+        sks = []
+        for p in parts:
+            s = FrequentDirections(l=64)
+            s.update_batch(p)
+            sks.append(s)
+        m = sks[0]
+        for s in sks[1:]:
+            m.merge(s)
+        assert m.delta == 0.0
+        assert np.allclose(m.gram(), A.T @ A)
+
+    def test_geometry_guard_and_roundtrip(self):
+        import numpy as np
+        import pytest
+
+        from sprout_ray.kernel.fd import FrequentDirections
+
+        a = FrequentDirections(l=8)
+        a.update_batch(np.ones((4, 5)))
+        b = FrequentDirections(l=16)
+        b.update_batch(np.ones((4, 5)))
+        with pytest.raises(ValueError, match="geometry"):
+            a.merge(b)
+        c = FrequentDirections(l=8)
+        c.update_batch(np.ones((4, 7)))
+        with pytest.raises(ValueError, match="dimension"):
+            a.merge(c)
+        back = FrequentDirections.from_bytes(a.to_bytes())
+        assert np.allclose(back.rows, a.rows) and back.n_rows == a.n_rows
+
+    def test_distributed_build_matches_bound(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.linalg import exact_gram, fd_build
+
+        A = self._planted(n=2000, d=32, seed=9).astype(np.float32)
+        t = pa.table({"embedding": pa.array(list(A), pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(6).materialize()
+        sk = fd_build(ds, l=20)
+        assert sk.n_rows == 2000
+        G, n_rows = exact_gram(ds)
+        assert n_rows == 2000
+        B = sk.sketch_matrix()
+        ev = np.linalg.eigvalsh(G - B.T @ B)
+        scale = float(np.abs(G).max())
+        assert ev.min() >= -1e-6 * scale
+        assert ev.max() <= sk.delta + 1e-6 * scale
