@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_stats_by_lang": A.nchars_stats_by_lang,
         "moments_by_type": A.moments_by_type,
         "fd_spectral_head": A.fd_spectral_head,
+        "cbf_open_orders_lineitems": A.cbf_open_orders_lineitems,
         "q1_pricing_summary": A.q1_pricing_summary,
         "event_type_counts": A.event_type_counts,
         "top_event_types": A.top_event_types,
@@ -605,6 +606,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(n_chars) AS BIGINT) AS max_chars, "
             "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+        ),
+        "cbf_open_orders_lineitems": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(count(*) AS BIGINT) AS n_lines FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderstatus <> 'F') GROUP BY l_linestatus"
         ),
         "moments_by_type": (
             # expression trees mirror kernel/moments.derived_stats token-for-

@@ -296,6 +296,7 @@ def query_suite(sf_dir: str) -> dict:
         ("embedding_top_component", A.embedding_top_component),
         ("moments_by_type", A.moments_by_type),
         ("fd_spectral_head", A.fd_spectral_head),
+        ("cbf_open_orders_lineitems", A.cbf_open_orders_lineitems),
     ]:
         t0 = time.time()
         consume(fn(sf_dir))

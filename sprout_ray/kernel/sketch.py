@@ -76,6 +76,7 @@ def _bootstrap() -> None:
     from .hll import HyperLogLog
     from .kll import KLLSketch
     from .kmv import KMVSketch
+    from .counting_bloom import CountingBloomFilter
     from .fd import FrequentDirections
     from .misragries import MisraGries
     from .moments import MomentsSketch
@@ -93,6 +94,7 @@ def _bootstrap() -> None:
     register_sketch("ams", AMSF2Sketch, AMSF2Sketch.from_bytes)
     register_sketch("moments", MomentsSketch, MomentsSketch.from_bytes)
     register_sketch("fd", FrequentDirections, FrequentDirections.from_bytes)
+    register_sketch("cbf", CountingBloomFilter, CountingBloomFilter.from_bytes)
 
 
 _bootstrap()

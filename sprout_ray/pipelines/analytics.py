@@ -9896,3 +9896,99 @@ def fd_spectral_head(sf_dir: str, l: int = 48, max_exact_dim: int = 512):
             "n_rows": pa.array(np.full(d, n_rows, dtype=np.int64)),
         }
     )
+
+
+def cbf_open_orders_lineitems(sf_dir: str, broadcast_max: int = 4_000_000):
+    """Counting-Bloom DELETE demo, oracle-exact: lineitems of orders that
+    are NOT finalized (o_orderstatus <> 'F'), grouped by linestatus.
+
+    The one membership shape a plain Bloom cannot express: the filter is
+    built over ALL order keys, then the finalized orders are REMOVED
+    (kernel/counting_bloom.py decrements), so the probe prunes lineitem
+    against the post-delete multiset. Each orders block emits ONE signed
+    partial (adds + removes together — int32 counters make the merge
+    order-free even when a block's removes outnumber its adds);
+    ``validate()`` on the merged filter certifies the delete contract.
+    Pruned survivors are exact-verified against the open-order key set
+    (broadcast ``is_in`` under ``broadcast_max``, the orders_semi_join
+    discipline), so the result is exactly the SQL anti-status semi-join."""
+    import ray
+
+    from ..kernel.counting_bloom import CountingBloomFilter
+    from ..stages.builder import merge_partials, pack_partial
+    from ..stages.probe import probe_filter
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    n_orders = orders.count()
+
+    def cbf_partial(t: pa.Table) -> pa.Table:
+        sk = CountingBloomFilter(0.01, max(n_orders, 11))
+        keys = pc.cast(t["o_orderkey"], pa.string())
+        sk.add_batch(keys)
+        fin = pc.equal(t["o_orderstatus"], "F")
+        sk.remove_batch(pc.cast(t.filter(fin)["o_orderkey"], pa.string()))
+        return pa.table(
+            {"partial": pa.array([pack_partial(sk.to_bytes())], pa.large_binary())}
+        )
+
+    parts = orders.map_batches(
+        cbf_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..kernel.sketch import SketchSpec
+
+    spec = SketchSpec.of("cbf", 0.01, max(n_orders, 11))
+    cbf = merge_partials([r["partial"] for r in parts.take_all()], spec)
+    cbf.validate()
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_quantity"])
+    pruned = probe_filter(li, cbf, on="l_orderkey", mode="maybe", concurrency=2)
+
+    open_keys = orders.map_batches(
+        lambda t: t.filter(pc.not_equal(t["o_orderstatus"], "F")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    n_open = open_keys.count()
+    if n_open <= broadcast_max:
+        from ..stages.dedup import _collect_table
+
+        key_ref = ray.put(
+            _collect_table(open_keys, pa.schema([("o_orderkey", pa.int64())]))[
+                "o_orderkey"
+            ].combine_chunks()
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            ks = ray.get(key_ref)
+            return t.filter(pc.is_in(t["l_orderkey"], value_set=ks))
+
+        exact = pruned.map_batches(verify, batch_format="pyarrow")
+    else:  # pragma: no cover - bench scale stays under the budget
+        exact = pruned.join(
+            open_keys.map_batches(
+                lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+            ),
+            on=("l_orderkey",),
+            join_type="inner",
+            num_partitions=16,
+        ).select_columns(["l_orderkey", "l_linestatus", "l_quantity"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        qty = pc.cast(_oround(t["l_quantity"]), pa.int64())
+        return (
+            pa.table({"l_linestatus": t["l_linestatus"], "qty": qty, "one": qty})
+            .group_by(["l_linestatus"])
+            .aggregate([("qty", "sum"), ("one", "count")])
+            .rename_columns(["l_linestatus", "sum_qty", "n_lines"])
+        )
+
+    return (
+        exact.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .sum(["sum_qty", "n_lines"], ignore_nulls=True)
+        .map_batches(
+            lambda t: t.rename_columns(["l_linestatus", "sum_qty", "n_lines"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -243,3 +243,82 @@ def test_approx_cardinality_edges():
     assert bf.approx_cardinality() == 0.0
     bf.bits = np.full(bf.bit_width, 0xFF, dtype=np.uint8)  # saturate
     assert bf.approx_cardinality() == float("inf")
+
+
+class TestCountingBloomFilter:
+    """kernel/counting_bloom.py — the delete-capable bloom family member."""
+
+    def test_no_false_negatives_and_exact_delete(self):
+        import numpy as np
+
+        from sprout_ray.kernel.counting_bloom import CountingBloomFilter
+
+        keys = [f"k{i}".encode() for i in range(8000)]
+        cbf = CountingBloomFilter(0.001, 20_000)
+        cbf.add_batch(keys)
+        assert cbf.contains_batch(keys).all()  # never a false negative
+        cbf.remove_batch(keys[:3000])
+        cbf.validate()
+        assert cbf.contains_batch(keys[3000:]).all()  # survivors stay in
+        # removed keys may keep colliding slots warm, but the FP rate is
+        # bounded by the bloom geometry — at this load it is tiny
+        assert cbf.contains_batch(keys[:3000]).mean() < 0.05
+        assert cbf.count == 5000
+
+    def test_signed_partial_merge_is_order_free(self):
+        import numpy as np
+
+        from sprout_ray.kernel.counting_bloom import CountingBloomFilter
+
+        keys = [f"u{i}".encode() for i in range(1000)]
+        # partition A holds only deletes for keys added in partition B
+        a = CountingBloomFilter(0.01, 5000)
+        b = CountingBloomFilter(0.01, 5000)
+        a.remove_batch(keys[:400])
+        b.add_batch(keys)
+        for first, second in ((a, b), (b, a)):
+            m = CountingBloomFilter.from_bytes(first.to_bytes())
+            m.merge(CountingBloomFilter.from_bytes(second.to_bytes()))
+            m.validate()
+            assert m.count == 600
+            assert m.contains_batch(keys[400:]).all()
+
+    def test_validate_certifies_contract_violation(self):
+        import pytest
+
+        from sprout_ray.kernel.counting_bloom import CountingBloomFilter
+
+        cbf = CountingBloomFilter(0.01, 100)
+        cbf.add_batch([b"present"])
+        cbf.remove_batch([b"never-added"])
+        with pytest.raises(ValueError, match="never added"):
+            cbf.validate()
+
+    def test_capacity_guard_and_geometry_match(self):
+        import pytest
+
+        from sprout_ray.kernel.bloom import BloomCapacityError, derive_params
+        from sprout_ray.kernel.counting_bloom import CountingBloomFilter
+
+        cbf = CountingBloomFilter(0.001, 10)
+        with pytest.raises(BloomCapacityError):
+            cbf.add_batch([str(i).encode() for i in range(11)])
+        k, _, m, seeds = derive_params(0.001, 10)
+        assert (cbf.k, cbf.m, cbf.seeds) == (k, m, seeds)
+        other = CountingBloomFilter(0.001, 99)
+        with pytest.raises(ValueError, match="geometry"):
+            cbf.merge(other)
+
+    def test_roundtrip_sparse_and_dense(self):
+        import numpy as np
+
+        from sprout_ray.kernel.counting_bloom import CountingBloomFilter
+
+        sparse = CountingBloomFilter(0.001, 100_000)
+        sparse.add_batch([b"a", b"b"])
+        rt = CountingBloomFilter.from_bytes(sparse.to_bytes())
+        assert (rt.counts == sparse.counts).all() and rt.count == 2
+        dense = CountingBloomFilter(0.01, 2000)
+        dense.add_batch([str(i).encode() for i in range(2000)])
+        rt2 = CountingBloomFilter.from_bytes(dense.to_bytes())
+        assert (rt2.counts == dense.counts).all() and rt2.count == 2000
