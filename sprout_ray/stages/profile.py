@@ -104,16 +104,56 @@ def skew_stats(ds, columns: list[str], label_prefix: str = ""):
     whether a groupby/join key needs salting) and the hottest key's
     count.
 
-    All requested columns ride a single packed "label\\x1fkey" key space
-    per block (the multi-column-groupby workaround, CLAUDE.md) through
-    one thinned groupby; per-block stats partials + a |columns|-row
-    native finishing aggregate close it out. Returns a pa.Table
-    (col, n, n_distinct, f2, max_count) sorted by col."""
+    Integer key columns ride a PACKED int64 key space (column index in
+    the top byte, key value in the low 56 bits — loudly guarded): the
+    shuffle-groupby then sorts machine ints, not built-up
+    "label\\x1fkey" strings, which is the same multi-column-groupby
+    discipline as stages/dedup.dedupe_pair_stream (347 s -> 10.8 s
+    precedent) plus zero string materialization on the fat fact-table
+    legs. String key columns (tiny cardinality in every profiled table)
+    keep the kv string space. Per-block stats partials + a
+    |columns|-row native finishing aggregate close each leg out.
+    Returns a pa.Table (col, n, n_distinct, f2, max_count) sorted by
+    col."""
     from ray.data.aggregate import Max, Sum
 
-    def part(t: pa.Table) -> pa.Table:
+    schema = ds.schema()
+    types = dict(zip(schema.names, schema.types))
+    int_cols = [c for c in columns if pa.types.is_integer(types[c])]
+    str_cols = [c for c in columns if c not in int_cols]
+    idx_of = {c: i for i, c in enumerate(int_cols)}
+    _LIM = 1 << 56
+
+    def part_int(t: pa.Table) -> pa.Table:
         outs = []
-        for c in columns:
+        for c in int_cols:
+            g = (
+                t.select([c])
+                .drop_null()
+                .group_by([c])
+                .aggregate([(c, "count")])
+            )
+            k = g[c].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            if k.size and (int(k.min()) < 0 or int(k.max()) >= _LIM):
+                raise ValueError(
+                    f"skew_stats: {c} values outside [0, 2^56) — the packed"
+                    " int key space cannot hold them; profile it as a"
+                    " string column instead"
+                )
+            packed = (np.int64(idx_of[c]) << np.int64(56)) | k
+            outs.append(
+                pa.table(
+                    {
+                        "kv": pa.array(packed),
+                        "c": g[f"{c}_count"].cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    def part_str(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in str_cols:
             g = (
                 t.select([c])
                 .drop_null()
@@ -131,13 +171,11 @@ def skew_stats(ds, columns: list[str], label_prefix: str = ""):
             )
         return pa.concat_tables(outs)
 
-    def stats_part(t: pa.Table) -> pa.Table:
-        col = pc.list_element(pc.split_pattern(t["kv"], "\x1f"), 0)
-        c = t["sum(c)"]
+    def _stats(col_arr, c) -> pa.Table:
         g = (
             pa.table(
                 {
-                    "col": col,
+                    "col": col_arr,
                     "n": c,
                     "one": pa.array(np.ones(len(c), np.int64)),
                     "c2": pc.multiply(c, c),
@@ -151,12 +189,44 @@ def skew_stats(ds, columns: list[str], label_prefix: str = ""):
         )
         return g.rename_columns(["col", "n", "one", "c2", "mx"])
 
+    def stats_part_int(t: pa.Table) -> pa.Table:
+        kv = t["kv"].to_numpy(zero_copy_only=False)
+        names = pa.array(
+            np.array(
+                [f"{label_prefix}{c}" for c in int_cols], dtype=object
+            )[kv >> np.int64(56)],
+            pa.string(),
+        )
+        return _stats(names, t["sum(c)"])
+
+    def stats_part_str(t: pa.Table) -> pa.Table:
+        col = pc.list_element(pc.split_pattern(t["kv"], "\x1f"), 0)
+        return _stats(col, t["sum(c)"])
+
+    if int_cols and str_cols:
+        ds = ds.materialize()  # both legs read the same in-memory blocks
+    legs = []
+    if int_cols:
+        legs.append(
+            ds.map_batches(part_int, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kv")
+            .sum("c", ignore_nulls=True)
+            .map_batches(
+                stats_part_int, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    if str_cols:
+        legs.append(
+            ds.map_batches(part_str, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("kv")
+            .sum("c", ignore_nulls=True)
+            .map_batches(
+                stats_part_str, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    merged = legs[0].union(*legs[1:]) if len(legs) > 1 else legs[0]
     agg = (
-        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("kv")
-        .sum("c", ignore_nulls=True)
-        .map_batches(stats_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("col")
+        merged.groupby("col")
         .aggregate(Sum("n"), Sum("one"), Sum("c2"), Max("mx"))
         .take_all()  # one row per profiled column
     )

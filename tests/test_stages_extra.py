@@ -2432,3 +2432,43 @@ def test_media_phash_pairs_planted(ray_session):
     want = [(i - 1, i) for i in range(7, 64, 8)]
     assert got == want
     assert (out["hamming"] == 0).all()
+
+
+class TestSkewStatsPackedKeys:
+    """stages/profile.skew_stats — packed-int64 vs string key legs."""
+
+    def test_mixed_types_match_brute_force(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from sprout_ray.stages.profile import skew_stats
+
+        rng = np.random.default_rng(4)
+        ids = rng.integers(0, 500, size=20_000).astype(np.int64)
+        tags = np.array(["a", "b", "c"])[rng.integers(0, 3, size=20_000)]
+        t = pa.table({"id": pa.array(ids), "tag": pa.array(tags.tolist())})
+        out = skew_stats(
+            rd.from_arrow(t).repartition(5), ["id", "tag"]
+        ).to_pydict()
+        got = {c: row for c, *row in zip(out["col"], out["n"], out["n_distinct"], out["f2"], out["max_count"])}
+        for col, vals in (("id", ids), ("tag", tags)):
+            _, counts = np.unique(vals, return_counts=True)
+            assert got[col] == [
+                len(vals),
+                len(counts),
+                int((counts.astype(object) ** 2).sum()),
+                int(counts.max()),
+            ]
+
+    def test_out_of_range_int_guard_is_loud(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from sprout_ray.stages.profile import skew_stats
+
+        t = pa.table({"id": pa.array([1, 2, 1 << 60], pa.int64())})
+        with pytest.raises(Exception, match="2\\^56"):
+            skew_stats(rd.from_arrow(t), ["id"]).to_pydict()
