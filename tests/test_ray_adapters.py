@@ -307,3 +307,23 @@ def test_multi_checkpoint_derive_column(corpus, tmp_path):
     )
     assert m2["resumed"] == 2 and m2["built"] == 0
     assert resumed["bloom_sha"].count == built["bloom_sha"].count
+
+
+def test_checkpoint_resume_new_sketch_kinds(corpus, tmp_path):
+    """The round-4 sketches (cbf / moments / fd) ride the same per-partition
+    checkpoint + lineage machinery as the originals: registration in
+    kernel/sketch.py is the only integration point."""
+    from sprout_ray.state.checkpoint import build_with_checkpoints
+
+    files = sorted(
+        os.path.join(corpus, p) for p in os.listdir(corpus) if p.endswith(".parquet")
+    )
+    spec = SketchSpec.of("cbf", 0.01, N_ROWS + 11)
+    ck = str(tmp_path / "ckpt_cbf")
+    full, m1 = build_with_checkpoints(files, spec, on="repo", ckpt_dir=ck)
+    assert m1["built"] == len(files) and m1["resumed"] == 0
+    again, m2 = build_with_checkpoints(files, spec, on="repo", ckpt_dir=ck)
+    assert m2["built"] == 0 and m2["resumed"] == len(files)
+    assert full.count == N_ROWS and again.count == N_ROWS
+    assert (full.counts == again.counts).all()
+    full.validate()
