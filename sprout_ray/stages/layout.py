@@ -1,0 +1,111 @@
+"""Data-layout primitives: quantile range partitioning.
+
+The explicit-repartitioning half of the layout family (the Z-order keys
+in functions/zorder.py are the multi-dimension half): learn k-1 EXACT
+``percentile_disc`` boundaries of a key column from a distributed value
+HISTOGRAM (never a sort of the stream), then assign every row its range
+bucket with one shuffle-free map.  Buckets have near-equal row counts by
+construction (exactly equal up to value ties), so a downstream
+``repartition`` / partitioned write / range join gets balanced units no
+matter how skewed the raw key distribution is — the "explicit
+repartitioning to absorb skew" primitive at 10^12-row scale:
+
+- pass 1 ships per-block (value, count) partials; the exchange and the
+  driver reduce are bounded by |distinct values| (loudly guarded, the
+  percentile_band_filter convention), corpus-size independent for
+  bounded-domain keys (lengths, cents, scores);
+- pass 2 is map-only against the broadcast boundary vector.
+
+The bucket rule is a pure function of the value — ``bucket(v) = #{i :
+v > b_i}`` — so it is reproducible across runs and engines; the SQL
+oracle twin computes the identical rule from ``percentile_disc``
+scalars (__ray_entry__.oracle_sql()['events_range_layout']).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def range_boundaries(
+    ds, col: str, k: int, max_hist_rows: int = 2_000_000
+) -> np.ndarray:
+    """k-1 exact percentile_disc boundaries of integer column ``col``.
+
+    b_i = smallest value whose cumulative count reaches ceil(i*n/k)
+    (SQL-standard percentile_disc(i/k) semantics). Computed from a
+    distributed (value -> count) histogram; the driver reduce is bounded
+    by |distinct values| and fails loudly past ``max_hist_rows``."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([col])
+            .drop_null()
+            .group_by([col])
+            .aggregate([(col, "count")])
+        )
+        return g.rename_columns(["v", "cnt"]).set_column(
+            1, "cnt", g[f"{col}_count"].cast(pa.int64())
+        )
+
+    grouped = (
+        ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("cnt")
+    )
+    try:
+        hist = grouped.to_pandas(limit=max_hist_rows)
+    except ValueError as e:
+        raise ValueError(
+            f"range_boundaries: |distinct {col}| exceeds max_hist_rows="
+            f"{max_hist_rows}; quantize the key first or raise the budget"
+        ) from e
+    if not len(hist):
+        raise ValueError("range_boundaries: empty input")
+    hist = hist.sort_values("v")
+    vs = hist["v"].to_numpy()
+    cum = hist["sum(cnt)"].cumsum().to_numpy()
+    n = int(cum[-1])
+    targets = [-(-i * n // k) for i in range(1, k)]  # ceil(i*n/k)
+    idx = np.searchsorted(cum, targets, side="left")
+    return vs[np.minimum(idx, len(vs) - 1)].astype(np.int64)
+
+
+def assign_range_buckets(ds, col: str, boundaries: np.ndarray, bucket_col="bucket"):
+    """Map-only bucket assignment: bucket(v) = #{i : v > b_i} — the count
+    of boundaries strictly below v (np.searchsorted side='left')."""
+    import ray
+
+    b_ref = ray.put(np.asarray(boundaries, dtype=np.int64))
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = ray.get(b_ref)
+        v = t[col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            bucket_col, pa.array(np.searchsorted(b, v, side="left").astype(np.int64))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_range_partitioned(
+    ds, col: str, k: int, out_dir: str, max_hist_rows: int = 2_000_000
+):
+    """Balanced resumable layout: learn boundaries, tag buckets, write one
+    hive partition per bucket through the resumable sink (sources/io.py),
+    so a failed 100 TB re-layout skips finished ranges on retry."""
+    from ..sources.io import resumable_transform_write
+
+    bounds = range_boundaries(ds, col, k, max_hist_rows=max_hist_rows)
+    tagged = assign_range_buckets(ds, col, bounds)
+    metrics = resumable_transform_write(
+        tagged,
+        out_dir,
+        partition_by="bucket",
+        max_partition_values=max(k, 64),
+    )
+    return bounds, metrics
