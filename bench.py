@@ -175,19 +175,12 @@ def _timed(fn, *args):
     return time.time() - t0
 
 
-def query_suite(sf_dir: str) -> dict:
-    """Representative per-query timings over the driver sf dir."""
+def default_query_list() -> list:
+    """The timed (name, callable) suite; a function so tests can splice."""
     import sprout_ray.pipelines.analytics as A
     from sprout_ray.pipelines.flagship import flagship_over_documents
 
-    def consume(res):
-        import ray.data
-
-        if isinstance(res, ray.data.Dataset):
-            res.count()
-
-    out = {}
-    for name, fn in [
+    return [
         ("flagship_documents", flagship_over_documents),
         ("q1_pricing_summary", A.q1_pricing_summary),
         ("exact_dedup_first", A.exact_dedup_first),
@@ -297,10 +290,33 @@ def query_suite(sf_dir: str) -> dict:
         ("moments_by_type", A.moments_by_type),
         ("fd_spectral_head", A.fd_spectral_head),
         ("cbf_open_orders_lineitems", A.cbf_open_orders_lineitems),
-    ]:
+    ]
+
+
+def query_suite(sf_dir: str, queries: list | None = None) -> dict:
+    """Representative per-query timings over the driver sf dir.
+
+    CRASH-ISOLATED: one raising query records ``"ERROR: ..."`` in its
+    slot and the loop continues — round 4's `moments_by_type` raise
+    aborted the whole process before `_emit` printed anything and zeroed
+    BENCH_r04.json (rc=1, parsed null).  A bench artifact with one error
+    string beats no artifact at all."""
+
+    def consume(res):
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+
+    out = {}
+    for name, fn in queries if queries is not None else default_query_list():
         t0 = time.time()
-        consume(fn(sf_dir))
-        out[name] = round(time.time() - t0, 3)
+        try:
+            consume(fn(sf_dir))
+            out[name] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}".replace("\n", " ")
+            out[name] = f"ERROR: {msg[:300]}"
     return out
 
 
@@ -320,15 +336,22 @@ def run_once() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
-    head = headline(sf_dir)
+    # headline failure must not zero the whole artifact: record the error,
+    # keep the query timings, and still emit parseable JSON
+    head_err = None
+    try:
+        head = headline(sf_dir)
+    except Exception as e:  # noqa: BLE001
+        head = {}
+        head_err = f"{type(e).__name__}: {e}".replace("\n", " ")[:300]
     queries = {} if os.environ.get("SPROUT_BENCH_HEADLINE_ONLY") else query_suite(sf_dir)
     ray.shutdown()
-    return {
+    out = {
         "metric": f"corpus sketch-battery build ({BENCH_ROWS} rows: sha256 + 2xbloom/2xhll/2xcms/tdigest/kll)",
-        "value": round(head["sec"], 3),
+        "value": round(head["sec"], 3) if "sec" in head else None,
         "unit": "sec",
-        "rows": head["rows"],
-        "rows_per_sec": round(head["rows_per_sec"]),
+        "rows": head.get("rows"),
+        "rows_per_sec": round(head["rows_per_sec"]) if "rows_per_sec" in head else None,
         "trials": head.get("trials"),
         "bloom_fpr": head.get("bloom_fpr"),
         "bloom_eps": head.get("bloom_eps"),
@@ -336,6 +359,9 @@ def run_once() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
     }
+    if head_err:
+        out["headline_error"] = f"ERROR: {head_err}"
+    return out
 
 
 def run_scaling() -> dict:
@@ -453,6 +479,8 @@ def _emit(result: dict) -> None:
     """
     print(json.dumps(result))
     try:
+        if os.environ.get("SPROUT_BENCH_NO_ARTIFACT"):
+            raise OSError  # tests: skip the artifact write, keep the prints
         # scaling mode gets its own artifact so a --scaling run can never
         # clobber the last full-suite record (it did once in round 4)
         name = (
@@ -492,8 +520,13 @@ def _emit(result: dict) -> None:
             compact[k] = v
     queries = result.get("queries")
     if queries:
+        timed = [v for v in queries.values() if isinstance(v, (int, float))]
+        errs = [k for k, v in queries.items() if not isinstance(v, (int, float))]
         compact["n_queries"] = len(queries)
-        compact["queries_total_sec"] = round(sum(queries.values()), 3)
+        compact["queries_total_sec"] = round(sum(timed), 3)
+        if errs:
+            compact["n_query_errors"] = len(errs)
+            compact["query_errors"] = errs[:8]
     probe = result.get("engine_probe")
     if isinstance(probe, dict):
         compact["engine_probe_eff"] = next(
@@ -508,7 +541,13 @@ def _emit(result: dict) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
-        _emit(run_scaling())
-    else:
-        _emit(run_once())
+    try:
+        if "--scaling" in sys.argv:
+            _emit(run_scaling())
+        else:
+            _emit(run_once())
+    except Exception as e:  # noqa: BLE001 — last-resort parseable artifact
+        err = f"{type(e).__name__}: {e}".replace("\n", " ")[:300]
+        print(json.dumps({"metric": "bench harness failure", "value": None,
+                          "unit": "sec", "error": err}))
+        sys.exit(1)

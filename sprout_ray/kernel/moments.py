@@ -12,17 +12,28 @@ dependence.
 
 Exactness discipline
 --------------------
-Values are integers in a caller-chosen unit (cents, bytes, ...).  Per
-element, ``c⁴`` must fit int64, which bounds ``|c| <= 55108`` (loudly
-guarded — callers with wider ranges pass a coarser unit).  Per-element
-powers are then decomposed hi/lo around bit 32 and summed as int64
-pairs (vectorized, no Python per row); the pair is carried into a
-3-limb base-2³² representation ``a2·2⁶⁴ + a1·2³² + a0`` whose limbs are
-each int64 columns.  Limb-wise int64 sums stay exact up to ~2⁶³ blocks
-and reconstruct a Python int up to 2¹²⁷ — room for Σc⁴ over 10¹² rows
-of max-magnitude values (5.8e30 « 1.7e38).  The same limb scheme rides
-through Arrow shuffles in the distributed grouped build
-(pipelines/analytics.moments_by_type).
+Values are integers in a caller-chosen unit (cents, bytes, ...) with
+``|c| <= 2³¹ − 1`` (loudly guarded — callers with wider ranges pass a
+coarser unit).  ``c²`` then fits int64 exactly (≤ 2⁶²); ``c³`` and
+``c⁴`` do NOT, so they are never materialized per element.  Instead
+``c²`` is split at bit 32 into ``h2·2³² + l2`` and the higher powers
+are built as int64-safe partial products::
+
+    c³ = (c·h2)·2³² + c·l2                 (|c·l2| < 2⁶³)
+    c⁴ = h2²·2⁶⁴ + (2·h2·l2)·2³² + l2²     (l2² exact in uint64)
+
+Each partial-product column is summed via a further hi/lo bit-32 split
+(vectorized, no Python per row), so every int64 intermediate stays
+exact for any batch under 2³¹ rows; the reconstructed power sums are
+Python ints (unbounded).  The distributed grouped build
+(pipelines/analytics.moments_by_type) carries the same partial
+products through one Arrow group_by per block, then ships per-group
+3-limb base-2³² columns ``a2·2⁶⁴ + a1·2³² + a0`` through the Ray
+shuffle — exact while ``Σ|c|⁴ < 2¹²⁷``, which its finisher certifies
+post-hoc from the exact ``n``/``min``/``max`` (``n·max(|c|)⁴ < 2¹²⁷``:
+~10¹⁴ rows of $10k-magnitude cents, ~10⁹ rows at $1M; only sub-8-row
+groups may reach the absolute per-element max — raise loudly beyond,
+never silently wrap).
 
 Derived statistics (mean, population variance, skewness, excess
 kurtosis) are computed from the exact integer sums with float64
@@ -37,17 +48,58 @@ import json
 
 import numpy as np
 
-# |c| <= MAXC  <=>  c**4 fits in int64 per element.
-MAXC = 55108
+# |c| <= MAXC keeps c**2 (and every partial product below) int64-exact.
+MAXC = 2**31 - 1
 _MASK32 = np.int64(0xFFFFFFFF)
+_MASK32U = np.uint64(0xFFFFFFFF)
 
 
 def _check_range(c: np.ndarray) -> None:
     if c.size and (np.abs(c, dtype=np.int64).max() > MAXC):
         raise ValueError(
             f"moments sketch: |value| exceeds {MAXC} integer units "
-            f"(got {int(np.abs(c).max())}); c**4 would overflow int64 per "
+            f"(got {int(np.abs(c).max())}); c**2 would overflow int64 per "
             "element — rescale to a coarser unit before sketching"
+        )
+
+
+def power_parts(c: np.ndarray) -> dict[str, np.ndarray]:
+    """Int64-exact partial-product columns for c², c³, c⁴ (|c| ≤ 2³¹−1).
+
+    Returns vectors with ``c² = h2·2³² + l2``,
+    ``c³ = p3h·2³² + p3l`` and ``c⁴ = q2·2⁶⁴ + q1·2³² + q0h·2³² + q0l``
+    — every column's magnitude < 2⁶³ per element, most < 2³², so
+    downstream hi/lo-split sums stay exact for any group under 2³¹
+    rows.  uint64 squaring of l2 uses ``.view`` (never ``astype``; see
+    CLAUDE.md's checked-cast note)."""
+    c2 = c * c  # <= 2^62, exact
+    h2 = c2 >> np.int64(32)  # [0, 2^30)
+    l2 = c2 & _MASK32  # [0, 2^32)
+    l2u = l2.view(np.uint64)
+    q0 = l2u * l2u  # l2^2 < 2^64, exact in uint64
+    return {
+        "h2": h2,
+        "l2": l2,
+        "p3h": c * h2,  # |.| <= 2^61
+        "p3l": c * l2,  # |.| < 2^63
+        "q2": h2 * h2,  # <= 2^60
+        "q1": (h2 * l2) << np.int64(1),  # 2*h2*l2 < 2^63
+        "q0h": (q0 >> np.uint64(32)).view(np.int64),  # < 2^32
+        "q0l": (q0 & _MASK32U).view(np.int64),  # < 2^32
+    }
+
+
+def certify_total_range(n: int, mn: int, mx: int) -> None:
+    """Post-hoc certificate that 3-limb int64 sums could not have wrapped.
+
+    ``Σ|c|⁴ ≤ n·max(|mn|,|mx|)⁴`` exactly (n/min/max ride the shuffle as
+    plain exact aggregates), so if that Python-int bound is < 2¹²⁷ no
+    limb column overflowed anywhere in the plan."""
+    peak = max(abs(int(mn)), abs(int(mx)))
+    if int(n) * peak**4 >= 2**127:
+        raise ValueError(
+            "moments: n*max(|c|)^4 exceeds the 3-limb 2^127 range; "
+            "rescale to a coarser unit"
         )
 
 
@@ -138,19 +190,32 @@ class MomentsSketch:
         import pyarrow as pa
 
         if isinstance(values, (pa.Array, pa.ChunkedArray)):
+            if values.null_count:
+                values = values.drop_null()  # NaN->int64 wraps to INT64_MIN
             values = values.to_numpy(zero_copy_only=False)
         c = np.asarray(values)
+        if c.dtype.kind == "f":
+            if c.size and not np.isfinite(c).all():
+                raise ValueError(
+                    "moments sketch: non-finite values in float input — "
+                    "drop or impute before sketching"
+                )
         if c.dtype != np.int64:
             c = c.astype(np.int64)
         if c.size == 0:
             return
         _check_range(c)
-        c2 = c * c
+        p = power_parts(c)
         self.n += int(c.size)
-        self.s1 += int(c.sum())  # |c|<=55108: exact up to 1.6e14 rows/batch
-        self.s2 += _hilo_sum(c2)
-        self.s3 += _hilo_sum(c * c2)
-        self.s4 += _hilo_sum(c2 * c2)
+        self.s1 += _hilo_sum(c)
+        self.s2 += (_hilo_sum(p["h2"]) << 32) + int(p["l2"].sum())
+        self.s3 += (_hilo_sum(p["p3h"]) << 32) + _hilo_sum(p["p3l"])
+        self.s4 += (
+            (_hilo_sum(p["q2"]) << 64)
+            + (_hilo_sum(p["q1"]) << 32)
+            + (int(p["q0h"].sum()) << 32)
+            + int(p["q0l"].sum())
+        )
         bmn, bmx = int(c.min()), int(c.max())
         self.mn = bmn if self.mn is None else min(self.mn, bmn)
         self.mx = bmx if self.mx is None else max(self.mx, bmx)

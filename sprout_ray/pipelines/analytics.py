@@ -9714,75 +9714,86 @@ def moments_by_type(sf_dir: str):
     """Grouped exact-moments profile of events.value (integer cents).
 
     The moments sketch's distributed build, inlined as the library's
-    standard per-block pre-agg plan: each block computes per-type power
-    sums with per-element hi/lo bit-32 splits (kernel/moments.py), the
-    (a2, a1, a0) base-2^32 limb columns ride one |types|-bounded Ray
-    groupby-sum, and the finisher reconstructs exact Python-int sums and
-    derives mean / population variance / skewness / excess kurtosis with
-    the float64 expression trees the SQL twin mirrors token-for-token.
-    Scale shape: only |types| x 16 small integers shuffle per block; the
-    limb scheme stays exact to 2^127 (Σc⁴ over 10^12 max-magnitude rows)."""
-    from ..kernel.moments import derived_stats, limb_double, limbs3, unlimbs3
+    standard per-block pre-agg plan: each block builds int64-exact
+    partial-product columns for c²/c³/c⁴ (kernel/moments.power_parts —
+    c³ and c⁴ are never materialized per element, so the per-element
+    range is the full |cents| ≤ 2³¹−1, ~$21M), sums them per type with
+    one Arrow group_by, and ships per-group (a2, a1, a0) base-2^32 limb
+    columns through one |types|-bounded Ray groupby-sum.  The finisher
+    reconstructs exact Python-int sums, CERTIFIES the 3-limb 2^127
+    range post-hoc from the exact n/min/max (certify_total_range — a
+    wrap is impossible below n·max|c|⁴ = 2^127: ~10¹⁴ rows at $10k
+    magnitude, ~10⁹ at $1M), and derives mean / population variance /
+    excess kurtosis with the float64 expression trees the SQL twin
+    mirrors token-for-token."""
+    from ..kernel.moments import (
+        certify_total_range,
+        derived_stats,
+        limb_double,
+        limbs3,
+        power_parts,
+        unlimbs3,
+    )
 
     ds = _read(sf_dir, "events", ["event_type", "value"])
 
     def prep(t: pa.Table) -> pa.Table:
         c = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
         cn = c.to_numpy(zero_copy_only=False)
-        if cn.size and int(np.abs(cn).max()) > 55108:
-            raise ValueError("moments_by_type: |cents| > 55108; rescale unit")
-        c2 = cn * cn
-        c3, c4 = cn * c2, c2 * c2
+        if cn.size and int(np.abs(cn).max()) > 2**31 - 1:
+            raise ValueError("moments_by_type: |cents| >= 2^31; rescale unit")
         m32 = np.int64(0xFFFFFFFF)
+        p = power_parts(cn)
+        # re-split the two signed |.|<2^63 partial products so every Arrow
+        # group sum below is int64-exact for any block under 2^31 rows
+        cols = {"event_type": t["event_type"], "c": c}
+        for k in ("h2", "l2", "q2", "q1", "q0h", "q0l"):
+            cols[k] = pa.array(p[k])
+        for k in ("p3h", "p3l"):
+            cols[k + "h"] = pa.array(p[k] >> np.int64(32))
+            cols[k + "l"] = pa.array(p[k] & m32)
+        part_cols = [k for k in cols if k not in ("event_type", "c")]
         g = (
-            pa.table(
-                {
-                    "event_type": t["event_type"],
-                    "c": c,
-                    "c2": pa.array(c2),
-                    "h3": pa.array(c3 >> np.int64(32)),
-                    "l3": pa.array(c3 & m32),
-                    "h4": pa.array(c4 >> np.int64(32)),
-                    "l4": pa.array(c4 & m32),
-                }
-            )
+            pa.table(cols)
             .group_by(["event_type"])
             .aggregate(
-                [
-                    ("c", "count"),
-                    ("c", "sum"),
-                    ("c", "min"),
-                    ("c", "max"),
-                    ("c2", "sum"),
-                    ("h3", "sum"),
-                    ("l3", "sum"),
-                    ("h4", "sum"),
-                    ("l4", "sum"),
-                ]
+                [("c", "count"), ("c", "sum"), ("c", "min"), ("c", "max")]
+                + [(k, "sum") for k in part_cols]
             )
         )
-        g = g.rename_columns(
-            ["event_type", "n", "s1", "mn", "mx", "s2", "h3", "l3", "h4", "l4"]
-        )
-        # carry each (hi, lo) pair and s2 into 3-limb base-2^32 columns so
-        # the cross-block int64 sums stay exact at any block count
-        cols = {"event_type": g["event_type"], "n": g["n"], "s1": g["s1"],
-                "mn": g["mn"], "mx": g["mx"]}
-        for name, hi, lo in (("s3", "h3", "l3"), ("s4", "h4", "l4")):
-            hs = g[hi].to_numpy(zero_copy_only=False)
-            ls = g[lo].to_numpy(zero_copy_only=False)
-            trip = [limbs3((int(h) << 32) + int(l)) for h, l in zip(hs, ls)]
-            for j, part in enumerate(("a2", "a1", "a0")):
-                cols[f"{name}_{part}"] = pa.array(
-                    np.array([t[j] for t in trip], dtype=np.int64)
-                )
-        s2 = g["s2"].to_numpy(zero_copy_only=False)
-        trip = [limbs3(int(v)) for v in s2]
-        for j, part in enumerate(("a2", "a1", "a0")):
-            cols[f"s2_{part}"] = pa.array(
-                np.array([t[j] for t in trip], dtype=np.int64)
-            )
-        return pa.table(cols)
+        g = g.rename_columns(["event_type", "n", "s1", "mn", "mx"] + part_cols)
+        v = {k: g[k].to_numpy(zero_copy_only=False) for k in part_cols}
+        out = {"event_type": g["event_type"], "n": g["n"], "s1": g["s1"],
+               "mn": g["mn"], "mx": g["mx"]}
+        n_grp = len(g)
+        sums = {
+            "s2": [
+                (int(v["h2"][i]) << 32) + int(v["l2"][i]) for i in range(n_grp)
+            ],
+            "s3": [
+                (((int(v["p3hh"][i]) << 32) + int(v["p3hl"][i])) << 32)
+                + (int(v["p3lh"][i]) << 32) + int(v["p3ll"][i])
+                for i in range(n_grp)
+            ],
+            "s4": [
+                (int(v["q2"][i]) << 64) + (int(v["q1"][i]) << 32)
+                + (int(v["q0h"][i]) << 32) + int(v["q0l"][i])
+                for i in range(n_grp)
+            ],
+        }
+        try:
+            for name, vals in sums.items():
+                trips = [limbs3(s) for s in vals]
+                for j, part in enumerate(("a2", "a1", "a0")):
+                    out[f"{name}_{part}"] = pa.array(
+                        np.array([tr[j] for tr in trips], dtype=np.int64)
+                    )
+        except OverflowError:
+            raise ValueError(
+                "moments_by_type: per-block power sum exceeds the 3-limb "
+                "2^127 range; rescale to a coarser unit"
+            ) from None
+        return pa.table(out)
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -9806,6 +9817,7 @@ def moments_by_type(sf_dir: str):
             "sum_c2_d", "sum_c3_d", "sum_c4_d", "mean_c", "var_c", "skew", "kurt",
         )}
         for r in rows:
+            certify_total_range(r["n"], r["mn"], r["mx"])
             s2 = unlimbs3(r["s2_a2"], r["s2_a1"], r["s2_a0"])
             s3 = unlimbs3(r["s3_a2"], r["s3_a1"], r["s3_a0"])
             s4 = unlimbs3(r["s4_a2"], r["s4_a1"], r["s4_a0"])

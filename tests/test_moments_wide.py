@@ -1,0 +1,141 @@
+"""Round-5 regression coverage for the widened moments range.
+
+Round 4's `moments_by_type` guarded |cents| <= 55108 and crashed on
+sf0.1's legitimate $560.21 values (BENCH_r04 rc=1).  The kernel now
+builds c^3/c^4 from int64-safe partial products (kernel/moments.
+power_parts), widening the per-element bound to |c| <= 2^31 - 1; these
+tests plant exactly the regimes the sf testdata cannot hit: the old
+crash magnitude, near-2^31 magnitudes, and the post-hoc 2^127
+total-range certificate.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import sprout_ray.pipelines.analytics as A
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def _write_events(tmp_path, values_dollars, types=None):
+    n = len(values_dollars)
+    t = pa.table(
+        {
+            "event_type": pa.array(
+                types if types is not None else ["click"] * n, pa.string()
+            ),
+            "value": pa.array(np.asarray(values_dollars, dtype=np.float64)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    return t
+
+
+def _oracle(tmp_path):
+    from __ray_entry__ import oracle_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    return (
+        con.execute(oracle_sql()["moments_by_type"])
+        .fetch_arrow_table()
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+def test_wide_values_match_oracle_exactly(tmp_path):
+    """Values far past the old $551.08 ceiling (incl. sf0.1's killer
+    magnitude and near-2^31 cents) stay bit-exact vs the DuckDB twin."""
+    rng = np.random.default_rng(42)
+    vals = list(rng.uniform(-100_000.0, 100_000.0, size=400))
+    vals += [560.21, -560.21, 5602.10, 0.0]
+    types = [f"t{i % 4}" for i in range(len(vals))]
+    # absolute-max magnitudes get their own tiny group: n*max|c|^4 must
+    # stay under the certified 2^127 (n < 8 at |c| = 2^31 - 1)
+    vals += [21_474_836.47, -21_474_836.47, 10_000_000.0, 1.0]
+    types += ["xmax"] * 4
+    _write_events(tmp_path, vals, types)
+    got = (
+        A.moments_by_type(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = _oracle(tmp_path)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        if got[col].dtype == object:
+            assert (got[col] == want[col]).all(), col
+        else:
+            # exact equality: integer sums are exact on both sides and the
+            # float64 expression trees are mirrored token-for-token
+            assert np.array_equal(
+                got[col].to_numpy(), want[col].to_numpy()
+            ), col
+
+
+def test_sf01_magnitude_no_longer_raises():
+    """The exact round-4 failure: the driver bench's own sf0.1 data."""
+    out = A.moments_by_type("/root/testdata/sf0.1").to_pandas()
+    assert len(out) > 0 and int(out["max_c"].max()) > 55108
+
+
+def test_total_range_certificate_is_loud(tmp_path):
+    """8+ rows at the absolute-max magnitude push n*max|c|^4 past 2^127;
+    the plan must refuse loudly (prep limb overflow or the finisher's
+    certify_total_range), never wrap silently."""
+    _write_events(tmp_path, [21_474_836.47] * 12)
+    # Ray Data re-wraps user exceptions (RayTaskError(UserCodeException)),
+    # so match on the message rather than the ValueError subclass
+    with pytest.raises(Exception, match="rescale|2\\^127"):
+        A.moments_by_type(str(tmp_path)).to_pandas()
+
+
+def test_cents_past_int32_raise(tmp_path):
+    _write_events(tmp_path, [30_000_000.0])  # 3e9 cents > 2^31 - 1
+    with pytest.raises(Exception, match="rescale"):
+        A.moments_by_type(str(tmp_path)).to_pandas()
+
+
+class TestKernelWideRange:
+    def test_exact_at_new_maxc(self):
+        from sprout_ray.kernel.moments import MAXC, MomentsSketch
+
+        assert MAXC == 2**31 - 1
+        vals = np.array([MAXC, -MAXC, MAXC - 1, 56021, -56021, 1], np.int64)
+        sk = MomentsSketch()
+        sk.update_batch(vals)
+        assert sk.s4 == sum(int(v) ** 4 for v in vals)
+        assert sk.s3 == sum(int(v) ** 3 for v in vals)
+
+    def test_nulls_dropped_not_wrapped(self):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        sk = MomentsSketch()
+        sk.update_batch(pa.chunked_array([[5, None], [None, 7]], pa.int64()))
+        assert (sk.n, sk.s1, sk.s2) == (2, 12, 74)
+
+    def test_nonfinite_floats_loud(self):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        with pytest.raises(ValueError, match="non-finite"):
+            MomentsSketch().update_batch(np.array([1.0, np.nan]))
+
+    def test_certify_total_range(self):
+        from sprout_ray.kernel.moments import certify_total_range
+
+        certify_total_range(10**9, -56021, 56021)
+        with pytest.raises(ValueError, match="rescale"):
+            # (2^31 - 1)^4 is a hair under 2^124, so 8 rows still fit — 9 do not
+            certify_total_range(9, -(2**31 - 1), 2**31 - 1)
