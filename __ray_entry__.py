@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_user_types": A.pagerank_user_types,
         "user_type_degree_histogram": A.user_type_degree_histogram,
         "events_zorder_head": A.events_zorder_head,
+        "events_range_layout": A.events_range_layout,
         # no SQL oracle (eigenvector): rows-only driver check; accuracy
         # rides in-band (rayleigh_monotone/residual_ratio/within_bound)
         # and pytest pins loadings against numpy.linalg.eigh
@@ -2504,6 +2505,27 @@ def oracle_sql() -> dict[str, str]:
         # engine evaluates (functions/zorder.py) — non-negative 31-bit
         # coords keep every intermediate inside BIGINT in both engines
         "events_zorder_head": _zorder_head_sql(),
+        # quantile range layout (stages/layout.py): SQL-standard
+        # percentile_disc boundaries + the identical bucket(v) = #{i: v > b_i}
+        # rule; i/8 fractions are binary-exact so both engines pick the same
+        # boundary rows
+        "events_range_layout": (
+            "WITH cents AS (SELECT CAST(round(value * 100) AS BIGINT) AS c "
+            "FROM events), b AS (SELECT "
+            + ", ".join(
+                f"percentile_disc({i}.0/8) WITHIN GROUP (ORDER BY c) AS b{i}"
+                for i in range(1, 8)
+            )
+            + " FROM cents), tagged AS (SELECT c, ("
+            + " + ".join(
+                f"(CASE WHEN c > b{i} THEN 1 ELSE 0 END)" for i in range(1, 8)
+            )
+            + ") AS bucket FROM cents, b) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n, CAST(min(c) AS BIGINT) AS min_c, "
+            "CAST(max(c) AS BIGINT) AS max_c FROM tagged "
+            "GROUP BY bucket ORDER BY bucket"
+        ),
         # bipartite degree distribution: users per distinct-type count
         "user_type_degree_histogram": (
             "SELECT CAST(d AS BIGINT) AS degree, "

@@ -43,10 +43,31 @@ def _rows_matrix(values, dtype=np.float64) -> np.ndarray:
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
         if isinstance(values, pa.Array):
-            flat = np.asarray(values.flatten(), dtype=dtype)
             n = len(values)
             if n == 0:
                 return np.empty((0, 0), dtype=dtype)
+            # a ragged list column (or one with null slots, which
+            # flatten() silently drops) would mis-associate values across
+            # rows whenever the total happens to divide by n — require a
+            # rectangular, null-free column loudly instead
+            if values.null_count:
+                raise ValueError(
+                    "_rows_matrix: embedding column has null rows — drop "
+                    "or impute before sketching"
+                )
+            if not pa.types.is_fixed_size_list(values.type):
+                lens = np.asarray(values.value_lengths())
+                if lens.size and (lens != lens[0]).any():
+                    raise ValueError(
+                        "_rows_matrix: ragged list column (value lengths "
+                        f"{int(lens.min())}..{int(lens.max())}) — embeddings "
+                        "must be fixed-dimension"
+                    )
+            flat = np.asarray(values.flatten(), dtype=dtype)
+            if len(flat) % n:
+                raise ValueError(
+                    "_rows_matrix: flattened length not divisible by rows"
+                )
             return flat.reshape(n, len(flat) // n)
     except ImportError:  # pragma: no cover - pyarrow is baked in
         pass

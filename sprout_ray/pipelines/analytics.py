@@ -10004,3 +10004,57 @@ def cbf_open_orders_lineitems(sf_dir: str, broadcast_max: int = 4_000_000):
             batch_format="pyarrow",
         )
     )
+
+
+def events_range_layout(sf_dir: str, k: int = 8):
+    """Quantile range-layout profile of events.value cents (k buckets).
+
+    The stages/layout.py primitive as an oracle-checked query: learn k-1
+    exact percentile_disc boundaries from a distributed (value, count)
+    histogram (never a sort of the stream), tag every row with
+    ``bucket(v) = #{i : v > b_i}`` map-only against the broadcast
+    boundary vector, and report per-bucket row count and value range.
+    Bucket populations are near-equal by construction (exactly equal up
+    to value ties) — the explicit-repartitioning primitive that absorbs
+    key skew before a partitioned write or range join.  The SQL twin
+    computes the identical rule from percentile_disc scalars (k must
+    keep i/k binary-exact: 2/4/8/16...)."""
+    from ..stages.layout import assign_range_buckets, range_boundaries
+
+    if k & (k - 1):
+        raise ValueError("events_range_layout: k must be a power of two")
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())}
+        )
+
+    def cents_ds():
+        return _read(sf_dir, "events", ["value"]).map_batches(
+            to_cents, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    bounds = range_boundaries(cents_ds(), "c", k)
+    tagged = assign_range_buckets(cents_ds(), "c", bounds)
+
+    def pre(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by(["bucket"])
+            .aggregate([("c", "count"), ("c", "min"), ("c", "max")])
+            .rename_columns(["bucket", "n", "min_c", "max_c"])
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = (
+        tagged.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("min_c", alias_name="min_c"),
+            Max("max_c", alias_name="max_c"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: t.sort_by("bucket"), batch_format="pyarrow"
+    )

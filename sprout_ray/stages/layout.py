@@ -93,18 +93,32 @@ def assign_range_buckets(ds, col: str, boundaries: np.ndarray, bucket_col="bucke
 
 
 def write_range_partitioned(
-    ds, col: str, k: int, out_dir: str, max_hist_rows: int = 2_000_000
+    input_files: list,
+    col: str,
+    k: int,
+    out_dir: str,
+    max_hist_rows: int = 2_000_000,
+    files_per_partition: int = 1,
 ):
-    """Balanced resumable layout: learn boundaries, tag buckets, write one
-    hive partition per bucket through the resumable sink (sources/io.py),
-    so a failed 100 TB re-layout skips finished ranges on retry."""
+    """Balanced resumable layout over parquet shards: learn boundaries
+    from one column-pruned histogram pass over ALL shards, then re-layout
+    shard group by shard group through the resumable sink (sources/io.py)
+    with the bucket tagger as the per-group transform — a failed 100 TB
+    re-layout skips finished shard groups on retry, and rows are read and
+    written exactly once (the histogram pass ships only (value, count)
+    partials, never rows)."""
+    import ray.data as rd
+
     from ..sources.io import resumable_transform_write
 
-    bounds = range_boundaries(ds, col, k, max_hist_rows=max_hist_rows)
-    tagged = assign_range_buckets(ds, col, bounds)
+    input_files = list(input_files)
+    hist_ds = rd.read_parquet(input_files, columns=[col])
+    bounds = range_boundaries(hist_ds, col, k, max_hist_rows=max_hist_rows)
     metrics = resumable_transform_write(
-        tagged,
+        input_files,
         out_dir,
+        transform=lambda d: assign_range_buckets(d, col, bounds),
+        files_per_partition=files_per_partition,
         partition_by="bucket",
         max_partition_values=max(k, 64),
     )

@@ -1,0 +1,94 @@
+"""stages/layout.py — quantile range partitioning (round-5 ADVICE fix:
+write_range_partitioned previously passed a Dataset where the resumable
+sink needs a shard list and raised on every call; now it is shard-driven
+and resumable, exercised end-to-end here)."""
+
+import glob
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+from sprout_ray.stages.layout import (
+    assign_range_buckets,
+    range_boundaries,
+    write_range_partitioned,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def _skewed(n=20_000, seed=3):
+    rng = np.random.default_rng(seed)
+    # heavy-tailed: most mass near 0, long positive tail
+    return np.concatenate(
+        [
+            rng.integers(-5, 5, size=n // 2),
+            (rng.pareto(1.5, size=n // 2) * 100).astype(np.int64),
+        ]
+    ).astype(np.int64)
+
+
+def test_boundaries_match_percentile_disc():
+    v = _skewed()
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    for k in (2, 4, 8):
+        got = range_boundaries(ds, "v", k)
+        con = duckdb.connect()
+        con.register("t", pa.table({"v": pa.array(v)}))
+        want = [
+            con.execute(
+                f"SELECT percentile_disc({i}.0/{k}) WITHIN GROUP (ORDER BY v) FROM t"
+            ).fetchone()[0]
+            for i in range(1, k)
+        ]
+        assert got.tolist() == want, k
+
+
+def test_bucket_populations_near_equal():
+    v = _skewed()
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)}))
+    bounds = range_boundaries(ds, "v", 8)
+    tagged = assign_range_buckets(ds, "v", bounds).to_pandas()
+    counts = tagged.groupby("bucket").size()
+    # ties can distort individual buckets (the -5..5 mass), but no bucket
+    # may exceed 2x the ideal share and the rule must be a pure fn of v
+    assert counts.max() <= 2 * len(v) / 8 + np.unique(v, return_counts=True)[1].max()
+    m = tagged.groupby("v")["bucket"].nunique()
+    assert (m == 1).all()
+
+
+def test_write_range_partitioned_end_to_end(tmp_path):
+    v = _skewed(8_000)
+    files = []
+    for i in range(4):
+        f = tmp_path / f"shard{i}.parquet"
+        pq.write_table(
+            pa.table({"v": pa.array(v[i * 2000 : (i + 1) * 2000])}), f
+        )
+        files.append(str(f))
+    out = tmp_path / "layout"
+    bounds, metrics = write_range_partitioned(files, "v", 4, str(out))
+    assert len(bounds) == 3
+    assert metrics == {"partitions": 4, "written": 4, "resumed": 0}
+    part_files = glob.glob(str(out / "part=*" / "bucket=*" / "*.parquet"))
+    assert part_files
+    back = pa.concat_tables(pq.read_table(f) for f in part_files)
+    assert sorted(back["v"].to_pylist()) == sorted(v.tolist())
+    # every bucket dir holds only rows in that bucket's value range
+    bl = bounds.tolist()
+    for f in part_files:
+        b = int(f.split("bucket=")[1].split("/")[0])
+        vals = pq.read_table(f)["v"].to_numpy()
+        lo = -np.inf if b == 0 else bl[b - 1]
+        hi = np.inf if b == len(bl) else bl[b]
+        assert ((vals > lo) & (vals <= hi)).all() or b == len(bl)
+    # resume: second call skips every finished shard group
+    _, metrics2 = write_range_partitioned(files, "v", 4, str(out))
+    assert metrics2 == {"partitions": 4, "written": 0, "resumed": 4}

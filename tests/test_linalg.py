@@ -184,3 +184,50 @@ class TestFrequentDirections:
         scale = float(np.abs(G).max())
         assert ev.min() >= -1e-6 * scale
         assert ev.max() <= sk.delta + 1e-6 * scale
+
+
+class TestRowsMatrixGuards:
+    """Round-5 ADVICE: ragged / null list columns must fail loudly, not
+    silently mis-associate values across rows."""
+
+    def test_ragged_list_raises(self):
+        import pyarrow as pa
+        import pytest
+
+        from sprout_ray.kernel.fd import _rows_matrix
+
+        # 2 rows x 6 total values: divisible, so the old reshape would
+        # silently produce a (2, 3) matrix from a (4, 2) intent
+        col = pa.array([[1.0, 2.0, 3.0, 4.0], [5.0, 6.0]])
+        with pytest.raises(ValueError, match="ragged"):
+            _rows_matrix(col)
+
+    def test_null_rows_raise(self):
+        import pyarrow as pa
+        import pytest
+
+        from sprout_ray.kernel.fd import _rows_matrix
+
+        col = pa.array([[1.0, 2.0], None, [3.0, 4.0]])
+        with pytest.raises(ValueError, match="null"):
+            _rows_matrix(col)
+
+    def test_fixed_size_list_ok(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sprout_ray.kernel.fd import _rows_matrix
+
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array([1.0, 2.0, 3.0, 4.0]), 2
+        )
+        assert np.array_equal(_rows_matrix(col), [[1.0, 2.0], [3.0, 4.0]])
+
+    def test_uniform_list_ok(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from sprout_ray.kernel.fd import _rows_matrix
+
+        col = pa.array([[1.0, 2.0], [3.0, 4.0]])
+        assert np.array_equal(_rows_matrix(col), [[1.0, 2.0], [3.0, 4.0]])
