@@ -48,6 +48,10 @@ def _spec_from_args(args):
         return SketchSpec.of("mg", args.m)
     if kind == "kmv":
         return SketchSpec.of("kmv", args.k)
+    if kind == "moments":
+        # geometry-free: exact integer power sums (kernel/moments.py) over
+        # an int64 column in a caller-chosen unit
+        return SketchSpec.of("moments")
     raise SystemExit(f"unknown sketch kind {kind!r}")
 
 
@@ -524,7 +528,7 @@ def main(argv=None) -> int:
     def common(sp):
         sp.add_argument("--sketch", default="bloom",
                         choices=["bloom", "sbf", "hll", "cms", "tdigest", "kll",
-                                 "mg", "kmv"])
+                                 "mg", "kmv", "moments"])
         sp.add_argument("--err-rate", type=float, default=0.001)
         sp.add_argument("--capacity", type=int, default=10_000)
         sp.add_argument("--growth-rate", type=int, default=2)

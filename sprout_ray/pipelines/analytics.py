@@ -1450,26 +1450,119 @@ def kll_quantiles_exact(sf_dir: str):
     )
 
 
-def minhash_neardup(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs over documents.text."""
-    from ..stages.dedup import minhash_dedup_pairs
+def _gather_texts(sf_dir: str, ids) -> dict:
+    """text by doc_id for a BOUNDED id set (O(emitted pairs), never the
+    corpus): one filtered column-pruned scan, collected via arrow refs."""
+    import ray
 
+    id_list = sorted(set(int(i) for i in ids))
+    if not id_list:
+        return {}
+    ids_arr = pa.array(id_list, pa.int64())
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tbl = pa.concat_tables(
+        ray.get(
+            ds.map_batches(
+                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=ids_arr)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+    )
+    return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+
+def minhash_neardup(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents.text, with the
+    estimator's accuracy SELF-CERTIFIED in-band per pair (the
+    hll_hourly_users convention; the oracle-checked twin is
+    minhash_neardup_exact): ``exact_jaccard`` is the true Jaccard over
+    the SAME char-5-shingle murmur space the signatures minhash,
+    ``abs_err`` = |est − exact|, and ``within_bound`` checks the
+    3-sigma binomial band 3·sqrt(J(1−J)/128) plus the 1/128 signature
+    granularity floor. The exact recompute is bounded by the EMITTED
+    pair set (a broadcast text gather + per-pair set intersection),
+    so the certificate costs O(pairs), not a second corpus pass."""
+    from ..stages.dedup import minhash_dedup_pairs, shingle_hashes
     from ..tuning import actor_pool_size
 
-    return minhash_dedup_pairs(
-        ds, threshold=0.8, concurrency=actor_pool_size(cap=8)
-    ).select_columns(
-        ["left_id", "right_id", "est_jaccard"]
+    num_perm = 128
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = (
+        minhash_dedup_pairs(ds, threshold=0.8, concurrency=actor_pool_size(cap=8))
+        .select_columns(["left_id", "right_id", "est_jaccard"])
+        .to_pandas()
+    )
+    texts = _gather_texts(
+        sf_dir, list(pairs["left_id"]) + list(pairs["right_id"])
+    )
+    sets = {i: shingle_hashes(texts[i], 5) for i in texts}
+    exact, err, ok = [], [], []
+    for l, r, est in zip(
+        pairs["left_id"], pairs["right_id"], pairs["est_jaccard"]
+    ):
+        a, b = sets[int(l)], sets[int(r)]
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        j = inter / max(a.size + b.size - inter, 1)
+        e = abs(float(est) - j)
+        exact.append(j)
+        err.append(e)
+        ok.append(e <= 3.0 * math.sqrt(j * (1.0 - j) / num_perm) + 1.0 / num_perm)
+    return pa.table(
+        {
+            "left_id": pa.array(pairs["left_id"], pa.int64()),
+            "right_id": pa.array(pairs["right_id"], pa.int64()),
+            "est_jaccard": pa.array(pairs["est_jaccard"], pa.float64()),
+            "exact_jaccard": pa.array(exact, pa.float64()),
+            "abs_err": pa.array(err, pa.float64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
     )
 
 
 def simhash_neardup(sf_dir: str):
-    """SimHash candidate pairs (Hamming <= 3) over documents.text."""
+    """SimHash candidate pairs (Hamming <= 3) over documents.text, with
+    the sign-random-projection estimate SELF-CERTIFIED in-band per pair:
+    ``exact_cos`` is the true cosine of the token-count vectors the
+    signature projects (same whitespace tokens, multiset counts),
+    ``est_angle_frac`` = hamming/64 estimates arccos(exact_cos)/pi, and
+    ``within_bound`` checks the 3-sigma binomial band over 64 bits plus
+    a 1/64 granularity floor. Bounded by the emitted pair set."""
+    from collections import Counter
+
     from ..stages.dedup import simhash_candidates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_candidates(ds)
+    pairs = simhash_candidates(ds).to_pandas()
+    texts = _gather_texts(
+        sf_dir, list(pairs["left_id"]) + list(pairs["right_id"])
+    )
+    vecs = {i: Counter(t.split() if t else []) for i, t in texts.items()}
+    norms = {i: math.sqrt(sum(v * v for v in c.values())) for i, c in vecs.items()}
+    exact, estf, ok = [], [], []
+    for l, r, h in zip(pairs["left_id"], pairs["right_id"], pairs["hamming"]):
+        a, b = vecs[int(l)], vecs[int(r)]
+        dot = sum(c * b[t] for t, c in a.items() if t in b)
+        cos = dot / max(norms[int(l)] * norms[int(r)], 1e-300)
+        p_exact = math.acos(min(max(cos, -1.0), 1.0)) / math.pi
+        p_est = float(h) / 64.0
+        exact.append(cos)
+        estf.append(p_est)
+        ok.append(
+            abs(p_est - p_exact)
+            <= 3.0 * math.sqrt(max(p_exact * (1.0 - p_exact), 0.0) / 64.0)
+            + 1.0 / 64.0
+        )
+    return pa.table(
+        {
+            "left_id": pa.array(pairs["left_id"], pa.int64()),
+            "right_id": pa.array(pairs["right_id"], pa.int64()),
+            "hamming": pa.array(pairs["hamming"], pa.int64()),
+            "exact_cos": pa.array(exact, pa.float64()),
+            "est_angle_frac": pa.array(estf, pa.float64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
 
 
 def _planted_dup_docs(sf_dir: str, n_plant: int = 100, offset: int = 1_000_000):
@@ -1857,11 +1950,56 @@ def embedding_neardup(sf_dir: str):
     sf0.1), so a 0.95+ threshold would truthfully-but-uselessly return zero
     rows. At 0.5 the band width auto-derived by band_bits_for keeps recall
     >= 0.9 while still blocking (the planted-dup recall test in
-    tests/test_edge_cases.py exercises the 0.95 regime)."""
+    tests/test_edge_cases.py exercises the 0.95 regime).
+
+    Accuracy SELF-CERTIFIED in-band per pair: the emitted ``cosine``
+    comes from the fused float32 in-bucket verify; ``exact_cos64``
+    recomputes each emitted pair independently in float64 from the raw
+    embeddings, and ``within_bound`` checks agreement to 5e-3 (float32
+    normalize+matmul rounding at d<=512). Bounded by the emitted pairs;
+    recall is separately evidenced by embedding_neardup_planted."""
+    import ray
+
     from ..stages.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup_pairs(ds, threshold=0.5)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    ids = sorted(set(pairs["left_id"]) | set(pairs["right_id"]))
+    vecs = {}
+    if ids:
+        ids_arr = pa.array([int(i) for i in ids], pa.int64())
+        tbl = pa.concat_tables(
+            ray.get(
+                ds.map_batches(
+                    lambda t: t.filter(
+                        pc.is_in(t["vec_id"], value_set=ids_arr)
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+        )
+        for vid, emb in zip(
+            tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()
+        ):
+            v = np.asarray(emb, dtype=np.float64)
+            vecs[vid] = v / max(float(np.linalg.norm(v)), 1e-300)
+    exact, err, ok = [], [], []
+    for l, r, c in zip(pairs["left_id"], pairs["right_id"], pairs["cosine"]):
+        e64 = float(vecs[int(l)] @ vecs[int(r)])
+        exact.append(e64)
+        err.append(abs(float(c) - e64))
+        ok.append(abs(float(c) - e64) <= 5e-3)
+    return pa.table(
+        {
+            "left_id": pa.array(pairs["left_id"], pa.int64()),
+            "right_id": pa.array(pairs["right_id"], pa.int64()),
+            "cosine": pa.array(pairs["cosine"], pa.float64()),
+            "exact_cos64": pa.array(exact, pa.float64()),
+            "abs_err": pa.array(err, pa.float64()),
+            "within_bound": pa.array(ok, pa.bool_()),
+        }
+    )
 
 
 def embedding_neardup_exact(sf_dir: str):

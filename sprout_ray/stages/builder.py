@@ -66,9 +66,11 @@ def update_chunked(sk, kind: str, col) -> None:
     the whole chunk to its width (tens of GB); length-bucketed spans keep
     every matrix under MAX_MATRIX_BYTES while preserving row order."""
     from ..kernel.murmur3 import byte_lengths, length_bucketed_spans
-    from .agg import _NUMERIC_KINDS
+    from .agg import _NUMERIC_KINDS, _RAW_KINDS
 
-    if kind in _NUMERIC_KINDS:
+    if kind in _NUMERIC_KINDS or kind in _RAW_KINDS:
+        # float64 (tdigest/kll) and column-native (fd/moments) inputs:
+        # no key canonicalization, no padded-matrix budget
         for off in range(0, len(col), UPDATE_CHUNK):
             sk.update_batch(_update_input(kind, col.slice(off, UPDATE_CHUNK)))
         return

@@ -230,6 +230,19 @@ def semantic_dedup_survivors(
     SQL-twinnable); clusters are only ever compared internally, so any
     cross-cluster near-dup pair is invisible by design (the paper's
     recall/cost trade).
+
+    Why per-cluster ``map_groups`` is FINAL here rather than the fused
+    single-pyarrow-call hot-bucket shape the LSH tails use
+    (dedup.dedupe_pair_stream / _matmul_bucket_pairs): map_groups costs
+    one Python dispatch per GROUP, which was pathological for the LSH
+    pair streams only because those had ~10^5 singleton buckets (pure
+    dispatch, no work per call). Here groups are exactly the k clusters
+    — k is chosen ~ n/2000, so dispatch is one Python call per ~2000
+    rows — and every call amortizes an O(c^2/chunk_rows) numpy matmul
+    that dwarfs it (at n=10^9/k=500k: 5e5 dispatches ~ seconds, vs
+    ~1e15 matmul flops ~ hours of aggregate compute). Fusing clusters
+    into one call would also force cross-cluster padding of the matmul
+    tiles for zero flop savings. Measured: 0.58 s end-to-end at sf0.1.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")

@@ -139,3 +139,90 @@ class TestKernelWideRange:
         with pytest.raises(ValueError, match="rescale"):
             # (2^31 - 1)^4 is a hair under 2^124, so 8 rows still fit — 9 do not
             certify_total_range(9, -(2**31 - 1), 2**31 - 1)
+
+
+class TestMomentsGroupedAndCLI:
+    """Round-5 VERDICT #6: moments through the same grouped-aggregate and
+    CLI build/resume surfaces as every other sketch kind."""
+
+    def test_build_grouped_matches_sql_exactly(self):
+        import duckdb
+
+        from sprout_ray.kernel.sketch import SketchSpec
+        from sprout_ray.stages.builder import build_grouped
+
+        import ray.data as rd
+
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["lang", "n_chars"],
+        )
+        rows = build_grouped(
+            ds,
+            SketchSpec.of("moments"),
+            on="n_chars",
+            key="lang",
+            finalizer=lambda s: {
+                "n": s.n, "s1": s.s1, "s2": s.s2, "s3": s.s3, "s4": s.s4,
+            },
+            alias="m",
+        ).take_all()
+        got = {r["lang"]: r["m"] for r in rows}
+        con = duckdb.connect()
+        want = con.execute(
+            "SELECT lang, count(*), sum(n_chars), "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars), "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars), "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) "
+            "FROM read_parquet('/root/testdata/sf0.001/documents.parquet') "
+            "GROUP BY lang"
+        ).fetchall()
+        assert len(want) == len(got)
+        for lang, n, s1, s2, s3, s4 in want:
+            m = got[lang]
+            assert (m["n"], m["s1"], m["s2"], m["s3"], m["s4"]) == (
+                n, int(s1), int(s2), int(s3), int(s4)
+            ), lang
+
+    def test_cli_build_resume_stats(self, tmp_path):
+        import json as j
+        import subprocess as sp
+        import sys
+
+        ck = str(tmp_path / "ck_moments")
+        cmd = [
+            sys.executable, "-m", "sprout_ray.cli", "build",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--on", "n_chars", "--sketch", "moments",
+            "--ckpt", ck, "--num-cpus", "2",
+        ]
+        r = sp.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        out = j.loads(r.stdout.strip().splitlines()[-1])
+        assert out["metrics"]["built"] >= 1 and out["metrics"]["resumed"] == 0
+        import duckdb
+
+        n, s1, s4 = duckdb.connect().execute(
+            "SELECT count(*), sum(n_chars), "
+            "sum(CAST(n_chars AS HUGEINT) * n_chars * n_chars * n_chars) "
+            "FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchone()
+        assert out["result"]["n"] == n and out["result"]["sum"] == int(s1)
+        assert out["result"]["sum4"] == int(s4)
+        # resume: all partitions skipped, identical exact result
+        r2 = sp.run(
+            [c if c != "build" else "resume" for c in cmd],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        out2 = j.loads(r2.stdout.strip().splitlines()[-1])
+        assert out2["metrics"]["built"] == 0 and out2["metrics"]["resumed"] >= 1
+        assert out2["result"] == out["result"]
+        # stats readout over the checkpoint dir
+        r3 = sp.run(
+            [sys.executable, "-m", "sprout_ray.cli", "stats", "--ckpt", ck,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r3.returncode == 0, r3.stderr[-2000:]
+        assert j.loads(r3.stdout.strip().splitlines()[-1])["sum4"] == int(s4)
