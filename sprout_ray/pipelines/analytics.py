@@ -1493,6 +1493,17 @@ def minhash_neardup(sf_dir: str):
         .select_columns(["left_id", "right_id", "est_jaccard"])
         .to_pandas()
     )
+    if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+                "exact_jaccard": pa.array([], pa.float64()),
+                "abs_err": pa.array([], pa.float64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
     texts = _gather_texts(
         sf_dir, list(pairs["left_id"]) + list(pairs["right_id"])
     )
@@ -1534,6 +1545,17 @@ def simhash_neardup(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = simhash_candidates(ds).to_pandas()
+    if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+                "exact_cos": pa.array([], pa.float64()),
+                "est_angle_frac": pa.array([], pa.float64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
     texts = _gather_texts(
         sf_dir, list(pairs["left_id"]) + list(pairs["right_id"])
     )
@@ -1964,6 +1986,17 @@ def embedding_neardup(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
+        return pa.table(
+            {
+                "left_id": pa.array([], pa.int64()),
+                "right_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "exact_cos64": pa.array([], pa.float64()),
+                "abs_err": pa.array([], pa.float64()),
+                "within_bound": pa.array([], pa.bool_()),
+            }
+        )
     ids = sorted(set(pairs["left_id"]) | set(pairs["right_id"]))
     vecs = {}
     if ids:
