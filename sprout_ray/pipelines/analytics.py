@@ -8013,7 +8013,26 @@ def q17_small_quantity_revenue(sf_dir: str):
     )
 
 
-def q21_waiting_suppliers(sf_dir: str):
+def _q21_finish(cnt, sf_dir: str) -> pa.Table:
+    """Shared q21 tail: attach supplier names, order by (numwait DESC,
+    name), top-10 — identical for both tiers."""
+    names = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .to_pandas()  # dimension table
+    )
+    out = cnt.merge(names, on="s_suppkey", how="inner")
+    out = out.sort_values(
+        ["numwait", "s_name"], ascending=[False, True]
+    ).head(10)
+    return pa.table(
+        {
+            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
+            "numwait": pa.array(out["numwait"].tolist(), pa.int64()),
+        }
+    )
+
+
+def q21_waiting_suppliers(sf_dir: str, driver_tier_max_rows: int = 20_000_000):
     """TPC-H Q21 shape: suppliers who were the ONLY late shipper in a
     multi-supplier order (late = latest line ships > 60 days after the
     order date, the late_shipment_priority convention), top-10 by count.
@@ -8026,7 +8045,16 @@ def q21_waiting_suppliers(sf_dir: str):
     n_late) fold decides the Q21 predicate (EXISTS other supplier AND NOT
     EXISTS other late supplier == n_supp >= 2 AND n_late == 1) -> winning
     orders' late pairs count per supplier (|suppliers|-bounded) and the
-    25-to-10k-row supplier name table broadcasts last."""
+    25-to-10k-row supplier name table broadcasts last.
+
+    Below ``driver_tier_max_rows`` lineitem rows (parquet metadata, no
+    scan) the two global reductions run as ONE pyarrow group_by over the
+    collected per-block partials instead — the leakage_safe_split /
+    connected-components size-gated driver-tier convention.  The Ray
+    sort-shuffle groupby pays ~5 s of fixed exchange cost on a ~600k-row
+    nearly-all-unique pair stream where the driver fold is ~0.5 s
+    (measured at sf0.1: 8.5 -> 2.4 s); outputs are identical (pytest
+    pins both tiers against each other and the oracle)."""
     from ..stages.dedup import id_set_filter
     from ..stages.joins import broadcast_lookup_join
 
@@ -8053,6 +8081,76 @@ def q21_waiting_suppliers(sf_dir: str):
             .aggregate([("ship_us", "max")])
         )
         return g.rename_columns(["pk", "ship_us"])
+
+    import ray
+
+    late_us = 60 * 86_400 * 1_000_000
+    n_lineitem = _read(sf_dir, "lineitem", ["l_orderkey"]).count()  # metadata
+    if n_lineitem <= driver_tier_max_rows:
+        part = pa.concat_tables(
+            ray.get(
+                _read(
+                    sf_dir,
+                    "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"],
+                )
+                .map_batches(
+                    pair_premax, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .to_arrow_refs()
+            )
+        )
+        g = part.group_by(["pk"]).aggregate([("ship_us", "max")])
+        pk = g["pk"].to_numpy(zero_copy_only=False)
+        max_ship = g["ship_us_max"].to_numpy(zero_copy_only=False)
+        ot = pa.concat_tables(
+            ray.get(
+                _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+                .to_arrow_refs()
+            )
+        )
+        okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        ous = pc.cast(ot["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.argsort(okeys)
+        okeys_s, ous_s = okeys[order], ous[order]
+        ok_col = pk >> SUPP_BITS
+        sk_col = pk & ((1 << SUPP_BITS) - 1)
+        pos = np.searchsorted(okeys_s, ok_col)
+        if len(ok_col) and (
+            (pos >= len(okeys_s)).any() or (okeys_s[pos] != ok_col).any()
+        ):
+            raise ValueError("q21: lineitem order key missing from orders")
+        late = max_ship > (ous_s[pos] + late_us)
+        f = pa.table(
+            {
+                "o": pa.array(ok_col),
+                "one": pa.array(np.ones(len(ok_col), np.int64)),
+                "late": pa.array(late.astype(np.int64)),
+            }
+        )
+        po = f.group_by(["o"]).aggregate([("one", "sum"), ("late", "sum")])
+        o_k = po["o"].to_numpy(zero_copy_only=False)
+        n_supp = po["one_sum"].to_numpy(zero_copy_only=False)
+        n_late = po["late_sum"].to_numpy(zero_copy_only=False)
+        winners = np.sort(o_k[(n_supp >= 2) & (n_late == 1)])
+        wpos = np.searchsorted(winners, ok_col)
+        in_w = (wpos < len(winners)) & (
+            winners[np.minimum(wpos, max(len(winners) - 1, 0))] == ok_col
+        ) if len(winners) else np.zeros(len(ok_col), bool)
+        uk, uc = np.unique(sk_col[late & in_w], return_counts=True)
+        import pandas as pd
+
+        return _q21_finish(
+            pd.DataFrame(
+                {
+                    "s_suppkey": uk.astype(np.int64),
+                    "numwait": uc.astype(np.int64),
+                }
+            ),
+            sf_dir,
+        )
 
     pairs = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
@@ -8082,7 +8180,6 @@ def q21_waiting_suppliers(sf_dir: str):
         batch_format="pyarrow",
     )
     n_orders = _read(sf_dir, "orders", ["o_orderkey"]).count()  # metadata
-    late_us = 60 * 86_400 * 1_000_000
     flagged = broadcast_lookup_join(
         pairs, orders, on="o_orderkey", right_count=n_orders
     ).map_batches(
@@ -8158,20 +8255,7 @@ def q21_waiting_suppliers(sf_dir: str):
             "numwait": [int(r["sum(n)"]) for r in counts],
         }
     )
-    names = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-        .to_pandas()  # dimension table
-    )
-    out = cnt.merge(names, on="s_suppkey", how="inner")
-    out = out.sort_values(
-        ["numwait", "s_name"], ascending=[False, True]
-    ).head(10)
-    return pa.table(
-        {
-            "s_name": pa.array(out["s_name"].tolist(), pa.string()),
-            "numwait": pa.array(out["numwait"].tolist(), pa.int64()),
-        }
-    )
+    return _q21_finish(cnt, sf_dir)
 
 
 def q22_idle_balance(sf_dir: str):

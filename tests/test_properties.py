@@ -189,3 +189,53 @@ class TestMortonZorder:
         sql = morton_key_sql("x", "y")
         got = con.execute(f"SELECT {sql} AS z FROM t").fetchnumpy()["z"]
         assert (got.astype(np.int64) == morton_key(x, y)).all()
+
+
+class TestMomentsPartialProducts:
+    """Property: the round-5 int64-safe partial-product construction
+    (kernel/moments.power_parts + the hi/lo-split sums) equals bignum
+    brute force for ANY int64 batch within |c| <= 2^31 - 1, including
+    adversarial boundary clusters hypothesis likes to find."""
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-(2**31 - 1), max_value=2**31 - 1),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_update_batch_exact(self, vals):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        c = np.array(vals, dtype=np.int64)
+        sk = MomentsSketch()
+        sk.update_batch(c)
+        assert sk.s1 == sum(int(v) for v in vals)
+        assert sk.s2 == sum(int(v) ** 2 for v in vals)
+        assert sk.s3 == sum(int(v) ** 3 for v in vals)
+        assert sk.s4 == sum(int(v) ** 4 for v in vals)
+
+    @given(
+        parts=st.lists(
+            st.lists(
+                st.integers(min_value=-(2**31 - 1), max_value=2**31 - 1),
+                min_size=1,
+                max_size=60,
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_merge_equals_whole(self, parts):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        whole = MomentsSketch()
+        whole.update_batch(np.array(sum(parts, []), dtype=np.int64))
+        acc = MomentsSketch()
+        for p in parts:
+            s = MomentsSketch()
+            s.update_batch(np.array(p, dtype=np.int64))
+            acc.merge(s)
+        assert acc.result() == whole.result()

@@ -148,3 +148,13 @@ def test_q2_matches_oracle_at_sf0001():
     assert got["p_partkey"].astype("int64").tolist() == want[
         "p_partkey"
     ].astype("int64").tolist()
+
+
+def test_q21_driver_tier_matches_distributed():
+    """Round-5 perf: the size-gated driver tier (pyarrow fold over
+    collected per-block partials) must be row-identical to the
+    distributed sort-shuffle plan at both testdata scales."""
+    d = A.q21_waiting_suppliers(SF).to_pandas()
+    x = A.q21_waiting_suppliers(SF, driver_tier_max_rows=0).to_pandas()
+    assert d.equals(x)
+    assert len(d) > 0
