@@ -290,6 +290,8 @@ def default_query_list() -> list:
         ("moments_by_type", A.moments_by_type),
         ("fd_spectral_head", A.fd_spectral_head),
         ("cbf_open_orders_lineitems", A.cbf_open_orders_lineitems),
+        ("events_range_layout", A.events_range_layout),
+        ("q21_waiting_suppliers", A.q21_waiting_suppliers),
     ]
 
 

@@ -627,3 +627,106 @@ class TestMomentsSketch:
         assert abs(r["var"] - m2) < 1e-6 * m2
         assert abs(r["skew"] - m3 / m2**1.5) < 1e-6
         assert abs(r["kurt"] - (m4 / m2**2 - 3.0)) < 1e-6
+
+
+class TestHLLSparseMode:
+    """Round-5: sparse-until-dense HLL partials (HLL++ sparse idea).
+
+    Grouped SketchAgg ships one accumulator per (group x block); a
+    windowed partial that saw 40 users is ~0.3 KB sparse vs 4 KB dense.
+    The contract: registers and estimates are BIT-IDENTICAL to a dense
+    build in every mode combination, and the legacy dense wire format
+    still loads."""
+
+    def _dense(self, p, keys):
+        from sprout_ray.kernel.hll import HyperLogLog
+
+        h = HyperLogLog(p)
+        h._densify()
+        if keys:
+            h.update_batch(keys)
+        return h
+
+    def test_sparse_build_matches_dense_exactly(self):
+        import numpy as np
+
+        from sprout_ray.kernel.hll import HyperLogLog
+
+        rng = np.random.default_rng(5)
+        for p in (4, 12, 14):
+            for n in (1, 5, 50, 2000, 40000):
+                keys = [f"k{i}" for i in rng.integers(0, n * 3, size=n)]
+                a = HyperLogLog(p)
+                a.update_batch(keys)
+                b = self._dense(p, keys)
+                assert (a.registers == b.registers).all(), (p, n)
+                assert a.estimate() == b.estimate(), (p, n)
+
+    def test_merge_matrix_and_wire_roundtrip(self):
+        import numpy as np
+
+        from sprout_ray.kernel.hll import HyperLogLog
+
+        rng = np.random.default_rng(7)
+        parts = [
+            [f"u{i}" for i in rng.integers(0, 400, size=30)] for _ in range(6)
+        ]
+        whole = HyperLogLog(12)
+        for pt in parts:
+            whole.update_batch(pt)
+        acc = HyperLogLog(12)
+        for pt in parts:  # sparse x sparse merges
+            s = HyperLogLog(12)
+            s.update_batch(pt)
+            acc.merge(s)
+        assert (acc.registers == whole.registers).all()
+        big = HyperLogLog(12)  # force-dense side
+        big.update_batch([f"x{i}" for i in range(50000)])
+        acc.merge(big)
+        whole.merge(big)
+        assert (acc.registers == whole.registers).all()
+        # wire round-trips in both modes + merge_bytes into both modes
+        small = HyperLogLog(12)
+        small.update_batch([f"u{i}" for i in range(40)])
+        assert len(small.to_bytes()) < 400 < 4000 < len(big.to_bytes())
+        for src in (small, big):
+            back = HyperLogLog.from_bytes(src.to_bytes())
+            assert (back.registers == src.registers).all()
+            for seed_dense in (False, True):
+                tgt = HyperLogLog(12)
+                if seed_dense:
+                    tgt._densify()
+                tgt.merge_bytes(src.to_bytes())
+                assert (tgt.registers == src.registers).all()
+
+    def test_grouped_windowed_partials_stay_sparse(self, ray_session):
+        """The motivating case: per-window grouped build produces sparse
+        accumulators (small pickled payloads) and the same estimates as a
+        per-window dense brute force."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+        from sprout_ray.kernel.sketch import SketchSpec
+        from sprout_ray.stages.builder import build_grouped
+
+        rng = np.random.default_rng(3)
+        win = np.repeat(np.arange(50, dtype=np.int64), 40)
+        users = np.array(
+            [f"u{rng.integers(0, 25)}" for _ in range(len(win))]
+        )
+        ds = rd.from_arrow(
+            pa.table({"w": pa.array(win), "u": pa.array(users)})
+        )
+        rows = build_grouped(
+            ds, SketchSpec.of("hll", 12), on="u", key="w",
+            finalizer=lambda s: (float(s.estimate()), s._dense is None),
+            alias="r",
+        ).take_all()
+        assert len(rows) == 50
+        for r in rows:
+            est, was_sparse = r["r"]
+            assert was_sparse  # 25 users << 4096/9 registers
+            mask = win == r["w"]
+            brute = self._dense(12, list(users[mask]))
+            assert est == brute.estimate()
