@@ -1450,6 +1450,21 @@ def kll_quantiles_exact(sf_dir: str):
     )
 
 
+def _evidence_gate(n_pairs: int, query: str, streaming_api: str,
+                   max_pairs: int = 250_000) -> None:
+    """The three estimator queries collect their EMITTED pairs to the
+    driver for the in-band exact-evidence columns — a verification-scale
+    readout. Gate it loudly (the kll_quantiles_exact convention): past
+    ``max_pairs`` the self-certifying readout is no longer a readout and
+    callers should consume the streaming stage API instead."""
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"{query} is a verification-scale readout: {n_pairs} emitted "
+            f"pairs exceed the {max_pairs} driver evidence gate — consume "
+            f"{streaming_api} (fully streaming) for production pruning"
+        )
+
+
 def _gather_texts(sf_dir: str, ids) -> dict:
     """text by doc_id for a BOUNDED id set (O(emitted pairs), never the
     corpus): one filtered column-pruned scan, collected via arrow refs."""
@@ -1482,17 +1497,22 @@ def minhash_neardup(sf_dir: str):
     3-sigma binomial band 3·sqrt(J(1−J)/128) plus the 1/128 signature
     granularity floor. The exact recompute is bounded by the EMITTED
     pair set (a broadcast text gather + per-pair set intersection),
-    so the certificate costs O(pairs), not a second corpus pass."""
+    so the certificate costs O(pairs), not a second corpus pass — and
+    the pair collection is a VERIFICATION-scale readout, loudly gated
+    (the kll_quantiles_exact convention): a dup-heavy corpus whose pair
+    stream exceeds the gate should consume
+    stages/dedup.minhash_dedup_pairs directly (fully streaming)."""
     from ..stages.dedup import minhash_dedup_pairs, shingle_hashes
     from ..tuning import actor_pool_size
 
     num_perm = 128
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = (
-        minhash_dedup_pairs(ds, threshold=0.8, concurrency=actor_pool_size(cap=8))
-        .select_columns(["left_id", "right_id", "est_jaccard"])
-        .to_pandas()
-    )
+    pairs_ds = minhash_dedup_pairs(
+        ds, threshold=0.8, concurrency=actor_pool_size(cap=8)
+    ).select_columns(["left_id", "right_id", "est_jaccard"]).materialize()
+    _evidence_gate(pairs_ds.count(), "minhash_neardup",
+                   "stages/dedup.minhash_dedup_pairs")
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
         return pa.table(
             {
@@ -1544,7 +1564,10 @@ def simhash_neardup(sf_dir: str):
     from ..stages.dedup import simhash_candidates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    pairs = simhash_candidates(ds).to_pandas()
+    pairs_ds = simhash_candidates(ds).materialize()
+    _evidence_gate(pairs_ds.count(), "simhash_neardup",
+                   "stages/dedup.simhash_candidates")
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
         return pa.table(
             {
@@ -1985,7 +2008,10 @@ def embedding_neardup(sf_dir: str):
     from ..stages.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(ds, threshold=0.5).to_pandas()
+    pairs_ds = embedding_near_dup_pairs(ds, threshold=0.5).materialize()
+    _evidence_gate(pairs_ds.count(), "embedding_neardup",
+                   "stages/similarity.embedding_near_dup_pairs")
+    pairs = pairs_ds.to_pandas()
     if pairs.empty:  # 0-row to_pandas drops the schema (CLAUDE.md gotcha)
         return pa.table(
             {

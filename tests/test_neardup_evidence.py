@@ -60,3 +60,13 @@ def test_embedding_neardup_self_certifies():
     assert t["within_bound"].all()
     # float32 fused verify vs independent float64 recompute
     assert float(t["abs_err"].max()) < 5e-3
+
+
+def test_evidence_gate_is_loud():
+    """The driver-side evidence collection is verification-scale: past the
+    pair gate it must refuse with a pointer to the streaming stage API."""
+    from sprout_ray.pipelines.analytics import _evidence_gate
+
+    _evidence_gate(250_000, "q", "api")
+    with pytest.raises(ValueError, match="streaming"):
+        _evidence_gate(250_001, "q", "api")
