@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": A.media_features,
         "media_ppm_features": A.media_ppm_features,
         "media_wav_features": A.media_wav_features,
+        # no SQL oracle (FFT): rows-only; accuracy rides in-band
+        # (expected_mel from the synth sine contract + band_match)
+        "media_spectrogram": A.media_spectrogram,
         "media_phash_pairs": A.media_phash_pairs,
         "media_dedup": A.media_dedup,
         "media_resize": A.media_resize,

@@ -2607,6 +2607,63 @@ def media_wav_features(sf_dir: str):
     return decode_features(ds, fake=False, concurrency=2)
 
 
+def media_spectrogram(sf_dir: str):
+    """REAL spectral audio analysis end to end: PCM16 WAV payloads ->
+    actor-pool framing + Hann + np.fft.rfft + HTK mel filterbank ->
+    per-row log-mel features (stages/multimodal.SpectrogramStage).
+
+    SELF-EVIDENCE in-band: the synth corpus's row i carries a sine at
+    220*(1+i%5) Hz over 256+128*(i%3) samples (synth_wav_media_table's
+    contract), so the expected dominant mel band is computable
+    analytically — ``expected_mel`` runs the NOISELESS sine of that
+    (freq, duration) through the identical DSP (leakage and windowing
+    included) and ``band_match`` certifies the measured dominant band
+    equals it on every row, i.e. the 24 dB noise floor never flips the
+    band."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        audio_spectral_ds,
+        log_mel_features,
+        mel_filterbank,
+        synth_wav_media_table,
+    )
+
+    n_mels, n_fft, rate = 16, 256, 16000
+    ds = rd.from_arrow(synth_wav_media_table(200, seed=42, sample_rate=rate))
+    out = audio_spectral_ds(
+        ds.select_columns(["media_id", "payload"]),
+        n_mels=n_mels, n_fft=n_fft, concurrency=2,
+    ).to_pandas().sort_values("media_id").reset_index(drop=True)
+    fb = mel_filterbank(n_mels, n_fft, rate)
+    pure = {}
+    for i in out["media_id"]:
+        freq_k, dur_k = int(i) % 5, int(i) % 3
+        if (freq_k, dur_k) not in pure:
+            dur = 256 + 128 * dur_k
+            t = np.arange(dur, dtype=np.float64)
+            wave = np.clip(
+                12000 * np.sin(2 * np.pi * 220.0 * (1 + freq_k) * t / rate),
+                -32768, 32767,
+            ).astype(np.int16)
+            pure[(freq_k, dur_k)] = log_mel_features(
+                wave, rate, n_mels=n_mels, n_fft=n_fft, fb=fb
+            )[2]
+    exp = np.array(
+        [pure[(int(i) % 5, int(i) % 3)] for i in out["media_id"]], np.int64
+    )
+    dom = out["dominant_mel"].to_numpy()
+    return pa.table(
+        {
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "dominant_mel": pa.array(dom, pa.int64()),
+            "expected_mel": pa.array(exp),
+            "band_match": pa.array(dom == exp),
+        }
+    )
+
+
 def media_phash_pairs(sf_dir: str):
     """Image near-dup via perceptual hashing over REAL decoded pixels:
     dHash-64 per image (actor-pool pure-numpy PPM decode) feeds the same

@@ -607,3 +607,141 @@ def synth_ppm_noise_table(
             "sample_rate": pa.array(np.zeros(n, np.int32)),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# Spectral audio features — REAL numpy DSP over the PCM16 path (no codec
+# libs needed: framing + Hann window + np.fft.rfft + HTK mel filterbank).
+# The actor-pool stage caches the filterbank per (rate, geometry) on the
+# actor, decodes payloads with the pure-numpy RIFF codec above, and emits
+# fixed-dimension feature vectors; payloads are dropped before any shuffle.
+# --------------------------------------------------------------------------
+
+
+def hann_window(n: int) -> np.ndarray:
+    """Periodic Hann window (the STFT convention)."""
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def stft_magnitude(samples: np.ndarray, n_fft: int = 256, hop: int = 128) -> np.ndarray:
+    """(n_frames, n_fft//2+1) magnitude spectrogram: Hann-windowed full
+    frames via one batched ``np.fft.rfft`` (no Python per frame); inputs
+    shorter than one frame are zero-padded to a single frame."""
+    x = samples.astype(np.float64)
+    if x.size < n_fft:
+        x = np.pad(x, (0, n_fft - x.size))
+    n_frames = 1 + (x.size - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * hann_window(n_fft)[None, :]
+    return np.abs(np.fft.rfft(frames, axis=1))
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, rate: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filters on the HTK mel scale
+    ``mel(f) = 2595 log10(1 + f/700)`` (public textbook construction)."""
+    fmax = fmax if fmax is not None else rate / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    pts = from_mel(np.linspace(to_mel(fmin), to_mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1), dtype=np.float64)
+    for i in range(n_mels):
+        left, center, right = bins[i], bins[i + 1], bins[i + 2]
+        if center > left:
+            fb[i, left:center] = (np.arange(left, center) - left) / (center - left)
+        if right > center:
+            fb[i, center:right] = (right - np.arange(center, right)) / (right - center)
+    return fb
+
+
+def log_mel_features(
+    samples: np.ndarray,
+    rate: int,
+    n_mels: int = 16,
+    n_fft: int = 256,
+    hop: int = 128,
+    fb: np.ndarray | None = None,
+) -> tuple:
+    """(features, n_frames, dominant_mel): features = per-band log1p mel
+    power mean ++ std (2*n_mels floats); dominant_mel = argmax of the mean
+    log energy (ties break to the lowest band, deterministic)."""
+    mag = stft_magnitude(samples, n_fft=n_fft, hop=hop)
+    if fb is None:
+        fb = mel_filterbank(n_mels, n_fft, rate)
+    logm = np.log1p((mag**2) @ fb.T)  # (frames, n_mels)
+    mean = logm.mean(axis=0)
+    return (
+        np.concatenate([mean, logm.std(axis=0)]),
+        mag.shape[0],
+        int(np.argmax(mean)),
+    )
+
+
+class SpectrogramStage:
+    """Actor-pool stage: PCM16 WAV payload -> log-mel spectral features.
+
+    Filterbanks are cached per sample rate on the actor (built once, not
+    per batch); non-audio rows raise loudly (callers filter by
+    media_type first, the DecodeStage convention)."""
+
+    def __init__(self, n_mels: int = 16, n_fft: int = 256, hop: int = 128):
+        self.n_mels, self.n_fft, self.hop = n_mels, n_fft, hop
+        self._fbs: dict = {}
+
+    def _fb(self, rate: int) -> np.ndarray:
+        fb = self._fbs.get(rate)
+        if fb is None:
+            fb = self._fbs[rate] = mel_filterbank(self.n_mels, self.n_fft, rate)
+        return fb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, frames, dom, rates = [], [], [], []
+        for payload in batch["payload"]:
+            samples, rate = decode_wav(
+                payload.as_py() if hasattr(payload, "as_py") else payload
+            )
+            f, n_frames, dominant = log_mel_features(
+                samples, rate, n_mels=self.n_mels, n_fft=self.n_fft,
+                hop=self.hop, fb=self._fb(rate),
+            )
+            feats.append(f)
+            frames.append(n_frames)
+            dom.append(dominant)
+            rates.append(rate)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(np.array(rates, np.int32)),
+                "n_frames": pa.array(np.array(frames, np.int64)),
+                "dominant_mel": pa.array(np.array(dom, np.int64)),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(feats)
+                        if feats
+                        else np.empty(0, np.float64)
+                    ),
+                    2 * self.n_mels,
+                ),
+            }
+        )
+
+
+def audio_spectral_ds(
+    ds, n_mels: int = 16, n_fft: int = 256, hop: int = 128,
+    concurrency: int = 2, batch_size: int = 64,
+):
+    """Distributed spectral features over an audio payload Dataset."""
+    return ds.map_batches(
+        SpectrogramStage,
+        fn_constructor_kwargs={"n_mels": n_mels, "n_fft": n_fft, "hop": hop},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

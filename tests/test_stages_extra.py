@@ -2472,3 +2472,77 @@ class TestSkewStatsPackedKeys:
         t = pa.table({"id": pa.array([1, 2, 1 << 60], pa.int64())})
         with pytest.raises(Exception, match="2\\^56"):
             skew_stats(rd.from_arrow(t), ["id"]).to_pydict()
+
+
+class TestSpectralAudio:
+    """Round-5 multimodal addition: real numpy DSP (framing + Hann +
+    rfft + HTK mel filterbank) over the PCM16 path."""
+
+    def test_stft_parseval_sanity(self):
+        import numpy as np
+
+        from sprout_ray.stages.multimodal import hann_window, stft_magnitude
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(0, 1000, 1024)
+        n_fft = 256
+        mag = stft_magnitude(x, n_fft=n_fft, hop=n_fft)  # disjoint frames
+        # Parseval per frame: sum|X|^2 (two-sided) == n * sum|xw|^2
+        w = hann_window(n_fft)
+        for f in range(mag.shape[0]):
+            xw = x[f * n_fft : (f + 1) * n_fft] * w
+            two_sided = mag[f, 0] ** 2 + 2 * (mag[f, 1:-1] ** 2).sum() + mag[f, -1] ** 2
+            assert abs(two_sided - n_fft * (xw**2).sum()) < 1e-4 * n_fft * (xw**2).sum()
+
+    def test_dominant_band_monotone_in_frequency(self):
+        import numpy as np
+
+        from sprout_ray.stages.multimodal import log_mel_features
+
+        rate, doms = 16000, []
+        t = np.arange(4096, dtype=np.float64)
+        for freq in (200, 500, 1000, 2500, 6000):
+            wave = (10000 * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+            doms.append(log_mel_features(wave, rate, n_mels=16)[2])
+        assert doms == sorted(doms) and len(set(doms)) >= 4
+
+    def test_filterbank_geometry(self):
+        import numpy as np
+
+        from sprout_ray.stages.multimodal import mel_filterbank
+
+        fb = mel_filterbank(16, 256, 16000)
+        assert fb.shape == (16, 129)
+        assert (fb >= 0).all() and fb.max() <= 1.0
+        assert (fb.sum(axis=1) > 0).all()  # no empty filter at this geometry
+
+    def test_stage_end_to_end_deterministic(self, ray_session):
+        import numpy as np
+
+        import ray.data as rd
+        from sprout_ray.stages.multimodal import (
+            audio_spectral_ds,
+            synth_wav_media_table,
+        )
+
+        ds = rd.from_arrow(synth_wav_media_table(24, seed=7))
+        a = (
+            audio_spectral_ds(ds.select_columns(["media_id", "payload"]))
+            .to_pandas()
+            .sort_values("media_id")
+        )
+        b = (
+            audio_spectral_ds(ds.select_columns(["media_id", "payload"]))
+            .to_pandas()
+            .sort_values("media_id")
+        )
+        assert len(a) == 24 and (a["n_frames"] >= 1).all()
+        for x, y in zip(a["features"], b["features"]):
+            assert np.array_equal(np.asarray(x), np.asarray(y))
+
+    def test_media_spectrogram_query_self_certifies(self, ray_session):
+        import sprout_ray.pipelines.analytics as A
+
+        t = A.media_spectrogram("unused").to_pandas()
+        assert len(t) == 200
+        assert t["band_match"].all()
