@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_degree_histogram": A.user_type_degree_histogram,
         "events_zorder_head": A.events_zorder_head,
         "events_range_layout": A.events_range_layout,
+        "customer_rfm_segments": A.customer_rfm_segments,
         # no SQL oracle (eigenvector): rows-only driver check; accuracy
         # rides in-band (rayleigh_monotone/residual_ratio/within_bound)
         # and pytest pins loadings against numpy.linalg.eigh
@@ -2510,6 +2511,41 @@ def oracle_sql() -> dict[str, str]:
         # engine evaluates (functions/zorder.py) — non-negative 31-bit
         # coords keep every intermediate inside BIGINT in both engines
         "events_zorder_head": _zorder_head_sql(),
+        # RFM segmentation: per-customer (recency days, order count, cents)
+        # cut into quartile segments by the same percentile_disc bucket rule
+        # as events_range_layout (seg = 1 + #{i: v > b_i}); integer day and
+        # cent math keeps both engines exact
+        "customer_rfm_segments": (
+            "WITH cust AS (SELECT o_custkey, "
+            "max(epoch_us(o_orderdate) // 86400000000) AS last_day, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders GROUP BY o_custkey), "
+            "m AS (SELECT (SELECT max(last_day) FROM cust) - last_day AS recency, "
+            "n AS freq, cents AS monetary FROM cust), "
+            "b AS (SELECT "
+            + ", ".join(
+                f"percentile_disc({i}.0/4) WITHIN GROUP (ORDER BY {c}) AS {c[0]}{i}"
+                for c in ("recency", "freq", "monetary")
+                for i in range(1, 4)
+            )
+            + " FROM m), tagged AS (SELECT "
+            + ", ".join(
+                "(1 + "
+                + " + ".join(
+                    f"(CASE WHEN {c} > {c[0]}{i} THEN 1 ELSE 0 END)"
+                    for i in range(1, 4)
+                )
+                + f") AS {c[0]}_seg"
+                for c in ("recency", "freq", "monetary")
+            )
+            + ", monetary FROM m, b) "
+            "SELECT CAST(r_seg AS BIGINT) AS r_seg, "
+            "CAST(f_seg AS BIGINT) AS f_seg, CAST(m_seg AS BIGINT) AS m_seg, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(monetary) AS BIGINT) AS sum_cents FROM tagged "
+            "GROUP BY r_seg, f_seg, m_seg ORDER BY r_seg, f_seg, m_seg"
+        ),
         # quantile range layout (stages/layout.py): SQL-standard
         # percentile_disc boundaries + the identical bucket(v) = #{i: v > b_i}
         # rule; i/8 fractions are binary-exact so both engines pick the same

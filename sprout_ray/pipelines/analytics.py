@@ -10454,3 +10454,104 @@ def events_range_layout(sf_dir: str, k: int = 8):
     return agg.map_batches(
         lambda t: t.sort_by("bucket"), batch_format="pyarrow"
     )
+
+
+def customer_rfm_segments(sf_dir: str, k: int = 4):
+    """RFM segmentation (recency / frequency / monetary), the classic
+    warehouse cohort op, oracle-exact end to end.
+
+    Per customer: days since last order (vs the corpus max order date),
+    order count, and lifetime spend in integer cents — one per-block
+    pre-agg + one |customers|-bounded groupby.  Each metric is then cut
+    into k quartile segments with the SQL-standard percentile_disc
+    bucket rule ``seg(v) = 1 + #{i : v > b_i}`` (stages/layout.
+    range_boundaries over the bounded per-customer aggregate — the
+    events_range_layout rule, so NTILE-style tie ambiguity never
+    arises), and the output is the (r_seg, f_seg, m_seg) segment grid
+    with exact customer counts and spend sums.  k must keep i/k
+    binary-exact (2/4/8...) so both engines pick identical boundary
+    rows."""
+    import ray.data as rd
+
+    from ..stages.layout import range_boundaries
+
+    if k & (k - 1):
+        raise ValueError("customer_rfm_segments: k must be a power of two")
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        cents = pc.cast(_oround(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        # integer µs // µs-per-day (non-negative, so truncation == floor;
+        # float division risks an off-by-one at exact-midnight boundaries)
+        day = pc.divide(
+            pc.cast(t["o_orderdate"], pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        g = (
+            pa.table(
+                {"c": t["o_custkey"], "day": day, "cents": cents, "one": cents}
+            )
+            .group_by(["c"])
+            .aggregate([("day", "max"), ("one", "count"), ("cents", "sum")])
+        )
+        return g.rename_columns(["c", "last_day", "n", "cents"])
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c")
+        .aggregate(
+            Max("last_day", alias_name="last_day"),
+            Sum("n", alias_name="n"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()  # |customers|-bounded; reused by 3 boundary passes
+    )
+    max_day = agg.max("last_day")
+
+    def metrics(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "recency": pc.subtract(pa.scalar(max_day, pa.int64()), t["last_day"]),
+                "freq": t["n"],
+                "monetary": t["cents"],
+            }
+        )
+
+    mds = agg.map_batches(metrics, batch_format="pyarrow").materialize()
+    bounds = {
+        col: range_boundaries(mds, col, k) for col in ("recency", "freq", "monetary")
+    }
+
+    def seg(t: pa.Table) -> pa.Table:
+        out = {}
+        for col in ("recency", "freq", "monetary"):
+            v = t[col].to_numpy(zero_copy_only=False)
+            out[col[0] + "_seg"] = pa.array(
+                1 + np.searchsorted(bounds[col], v, side="left").astype(np.int64)
+            )
+        out["n_customers"] = pa.array(np.ones(t.num_rows, np.int64))
+        out["sum_cents"] = t["monetary"]
+        g = (
+            pa.table(out)
+            .group_by(["r_seg", "f_seg", "m_seg"])
+            .aggregate([("n_customers", "sum"), ("sum_cents", "sum")])
+        )
+        return g.rename_columns(
+            ["r_seg", "f_seg", "m_seg", "n_customers", "sum_cents"]
+        )
+
+    grid = (
+        mds.map_batches(seg, batch_format="pyarrow")
+        .groupby(["r_seg", "f_seg", "m_seg"])
+        .sum(["n_customers", "sum_cents"], ignore_nulls=True)
+    )
+    return grid.map_batches(
+        lambda t: t.rename_columns(
+            ["r_seg", "f_seg", "m_seg", "n_customers", "sum_cents"]
+        ).sort_by([("r_seg", "ascending"), ("f_seg", "ascending"), ("m_seg", "ascending")]),
+        batch_format="pyarrow",
+    )
