@@ -292,6 +292,7 @@ def default_query_list() -> list:
         ("cbf_open_orders_lineitems", A.cbf_open_orders_lineitems),
         ("events_range_layout", A.events_range_layout),
         ("q21_waiting_suppliers", A.q21_waiting_suppliers),
+        ("customer_rfm_segments", A.customer_rfm_segments),
     ]
 
 
@@ -483,6 +484,13 @@ def _emit(result: dict) -> None:
     try:
         if os.environ.get("SPROUT_BENCH_NO_ARTIFACT"):
             raise OSError  # tests: skip the artifact write, keep the prints
+        if os.environ.get("SPROUT_BENCH_HEADLINE_ONLY"):
+            # --scaling CHILD runs (headline-only subprocesses) must not
+            # clobber the last full-suite record either — round 4 routed
+            # only the parent --scaling result away, and the children
+            # silently overwrote bench_last_full.json with a queries={}
+            # single-trial run
+            raise OSError
         # scaling mode gets its own artifact so a --scaling run can never
         # clobber the last full-suite record (it did once in round 4)
         name = (

@@ -69,3 +69,25 @@ def test_emit_compact_line_survives_headline_failure(capsys, monkeypatch):
     assert compact["value"] is None
     assert compact["headline_error"].startswith("ERROR:")
     assert compact["queries_total_sec"] == 2.0
+
+
+def test_headline_only_children_do_not_write_artifacts(
+    capsys, monkeypatch, tmp_path
+):
+    """--scaling child runs (SPROUT_BENCH_HEADLINE_ONLY) must never clobber
+    bench_last_full.json — a round-5 regression found when a scaling run's
+    8-CPU child overwrote the 104-query artifact with a queries={} record."""
+    import os
+
+    monkeypatch.delenv("SPROUT_BENCH_NO_ARTIFACT", raising=False)
+    monkeypatch.setenv("SPROUT_BENCH_HEADLINE_ONLY", "1")
+    artifact = os.path.join(
+        os.path.dirname(os.path.abspath(bench.__file__)),
+        "artifacts",
+        "bench_last_full.json",
+    )
+    before = open(artifact).read() if os.path.exists(artifact) else None
+    bench._emit({"metric": "m", "value": 9.9, "unit": "sec", "queries": {}})
+    after = open(artifact).read() if os.path.exists(artifact) else None
+    assert before == after  # untouched
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["value"] == 9.9
