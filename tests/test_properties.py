@@ -239,3 +239,37 @@ class TestMomentsPartialProducts:
             s.update_batch(np.array(p, dtype=np.int64))
             acc.merge(s)
         assert acc.result() == whole.result()
+
+
+class TestRangeBoundariesProperty:
+    """Property: range_boundaries == SQL percentile_disc for ANY integer
+    multiset (ties, negatives, singletons) and any power-of-two k —
+    the rule events_range_layout and customer_rfm_segments both ride."""
+
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=400
+        ),
+        k=st.sampled_from([2, 4, 8]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_matches_percentile_disc(self, ray_session, vals, k):
+        import duckdb
+        import pyarrow as pa
+
+        import ray.data as rd
+        from sprout_ray.stages.layout import range_boundaries
+
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array(np.array(vals, dtype=np.int64))})
+        )
+        got = range_boundaries(ds, "v", k).tolist()
+        con = duckdb.connect()
+        con.register("t", pa.table({"v": pa.array(np.array(vals, np.int64))}))
+        want = [
+            con.execute(
+                f"SELECT percentile_disc({i}.0/{k}) WITHIN GROUP (ORDER BY v) FROM t"
+            ).fetchone()[0]
+            for i in range(1, k)
+        ]
+        assert got == want, (vals, k)
