@@ -466,6 +466,25 @@ def cmd_semdedup(args) -> int:
     return 0
 
 
+def cmd_layout(args) -> int:
+    """Resumable balanced re-layout (stages/layout.write_range_partitioned):
+    learn k-1 percentile_disc boundaries of --col from one column-pruned
+    histogram pass, then rewrite each input shard group under
+    out/part=NNNNN/bucket=B/ — a killed run skips finished groups on retry."""
+    _init_ray(args.num_cpus)
+    from .stages.layout import write_range_partitioned
+
+    files = _input_files(args.input)
+    if not files:
+        raise SystemExit(f"no parquet files under {args.input}")
+    bounds, metrics = write_range_partitioned(
+        files, args.col, args.buckets, args.out,
+        files_per_partition=args.files_per_partition,
+    )
+    print(json.dumps({"boundaries": [int(b) for b in bounds], **metrics}))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered pipeline (``__ray_entry__.queries()`` name) over
     an sf-style directory of the ten standard tables; print the row count
@@ -740,6 +759,18 @@ def main(argv=None) -> int:
     sd.add_argument("--seed", type=int, default=11)
     common(sd)
     sd.set_defaults(fn=cmd_semdedup)
+
+    ly = sub.add_parser(
+        "layout",
+        help="resumable range-partitioned re-layout (quantile buckets of --col)",
+    )
+    ly.add_argument("--input", required=True, help="parquet file/dir/glob")
+    ly.add_argument("--col", required=True, help="integer column to bucket by")
+    ly.add_argument("--buckets", type=int, default=8)
+    ly.add_argument("--out", required=True)
+    ly.add_argument("--files-per-partition", type=int, default=1)
+    common(ly)
+    ly.set_defaults(fn=cmd_layout)
 
     args = p.parse_args(argv)
     return args.fn(args)

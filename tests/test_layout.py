@@ -92,3 +92,37 @@ def test_write_range_partitioned_end_to_end(tmp_path):
     # resume: second call skips every finished shard group
     _, metrics2 = write_range_partitioned(files, "v", 4, str(out))
     assert metrics2 == {"partitions": 4, "written": 0, "resumed": 4}
+
+
+def test_layout_cli_end_to_end(tmp_path):
+    import json
+    import subprocess as sp
+    import sys
+
+    src = tmp_path / "src"
+    src.mkdir()
+    v = _skewed(4000)
+    for i in range(2):
+        pq.write_table(
+            pa.table({"v": pa.array(v[i * 2000 : (i + 1) * 2000])}),
+            src / f"s{i}.parquet",
+        )
+    out = tmp_path / "laidout"
+    cmd = [
+        sys.executable, "-m", "sprout_ray.cli", "layout",
+        "--input", str(src), "--col", "v", "--buckets", "4",
+        "--out", str(out), "--num-cpus", "2",
+    ]
+    r = sp.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(rec["boundaries"]) == 3
+    assert rec["written"] == 2 and rec["resumed"] == 0
+    back = pa.concat_tables(
+        pq.read_table(f)
+        for f in glob.glob(str(out / "part=*" / "bucket=*" / "*.parquet"))
+    )
+    assert sorted(back["v"].to_pylist()) == sorted(v.tolist())
+    r2 = sp.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rec2["written"] == 0 and rec2["resumed"] == 2
