@@ -55,10 +55,15 @@ _MASK32U = np.uint64(0xFFFFFFFF)
 
 
 def _check_range(c: np.ndarray) -> None:
-    if c.size and (np.abs(c, dtype=np.int64).max() > MAXC):
+    if not c.size:
+        return
+    # peak via Python-int min/max, NOT np.abs: np.abs(INT64_MIN) wraps
+    # negative and fails open (round-5 review finding)
+    peak = max(-int(c.min()), int(c.max()))
+    if peak > MAXC:
         raise ValueError(
             f"moments sketch: |value| exceeds {MAXC} integer units "
-            f"(got {int(np.abs(c).max())}); c**2 would overflow int64 per "
+            f"(got {peak}); c**2 would overflow int64 per "
             "element — rescale to a coarser unit before sketching"
         )
 
@@ -199,6 +204,13 @@ class MomentsSketch:
                 raise ValueError(
                     "moments sketch: non-finite values in float input — "
                     "drop or impute before sketching"
+                )
+            # bound-check BEFORE the int64 cast: a finite 1e30 wraps to
+            # INT64_MIN under astype and would corrupt silently
+            if c.size and float(np.abs(c).max()) > MAXC:
+                raise ValueError(
+                    f"moments sketch: |value| exceeds {MAXC} integer units "
+                    "— rescale to a coarser unit before sketching"
                 )
         if c.dtype != np.int64:
             c = c.astype(np.int64)

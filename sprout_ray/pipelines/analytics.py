@@ -1465,26 +1465,34 @@ def _evidence_gate(n_pairs: int, query: str, streaming_api: str,
         )
 
 
-def _gather_texts(sf_dir: str, ids) -> dict:
-    """text by doc_id for a BOUNDED id set (O(emitted pairs), never the
-    corpus): one filtered column-pruned scan, collected via arrow refs."""
+def _gather_column(
+    sf_dir: str, table: str, id_col: str, col: str, ids
+) -> dict:
+    """``{id: value}`` for a BOUNDED id set (O(emitted pairs), never the
+    corpus): one filtered column-pruned scan, collected via arrow refs.
+    Shared by all three estimator evidence readouts (round-5 review:
+    embedding_neardup had its own copy of this gather)."""
     import ray
 
     id_list = sorted(set(int(i) for i in ids))
     if not id_list:
         return {}
     ids_arr = pa.array(id_list, pa.int64())
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = _read(sf_dir, table, [id_col, col])
     tbl = pa.concat_tables(
         ray.get(
             ds.map_batches(
-                lambda t: t.filter(pc.is_in(t["doc_id"], value_set=ids_arr)),
+                lambda t: t.filter(pc.is_in(t[id_col], value_set=ids_arr)),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             ).to_arrow_refs()
         )
     )
-    return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    return dict(zip(tbl[id_col].to_pylist(), tbl[col].to_pylist()))
+
+
+def _gather_texts(sf_dir: str, ids) -> dict:
+    return _gather_column(sf_dir, "documents", "doc_id", "text", ids)
 
 
 def minhash_neardup(sf_dir: str):
@@ -2003,8 +2011,6 @@ def embedding_neardup(sf_dir: str):
     embeddings, and ``within_bound`` checks agreement to 5e-3 (float32
     normalize+matmul rounding at d<=512). Bounded by the emitted pairs;
     recall is separately evidenced by embedding_neardup_planted."""
-    import ray
-
     from ..stages.similarity import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -2024,25 +2030,11 @@ def embedding_neardup(sf_dir: str):
             }
         )
     ids = sorted(set(pairs["left_id"]) | set(pairs["right_id"]))
+    raw = _gather_column(sf_dir, "embeddings", "vec_id", "embedding", ids)
     vecs = {}
-    if ids:
-        ids_arr = pa.array([int(i) for i in ids], pa.int64())
-        tbl = pa.concat_tables(
-            ray.get(
-                ds.map_batches(
-                    lambda t: t.filter(
-                        pc.is_in(t["vec_id"], value_set=ids_arr)
-                    ),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                ).to_arrow_refs()
-            )
-        )
-        for vid, emb in zip(
-            tbl["vec_id"].to_pylist(), tbl["embedding"].to_pylist()
-        ):
-            v = np.asarray(emb, dtype=np.float64)
-            vecs[vid] = v / max(float(np.linalg.norm(v)), 1e-300)
+    for vid, emb in raw.items():
+        v = np.asarray(emb, dtype=np.float64)
+        vecs[vid] = v / max(float(np.linalg.norm(v)), 1e-300)
     exact, err, ok = [], [], []
     for l, r, c in zip(pairs["left_id"], pairs["right_id"], pairs["cosine"]):
         e64 = float(vecs[int(l)] @ vecs[int(r)])
@@ -10136,16 +10128,20 @@ def moments_by_type(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         c = pc.cast(_oround(pc.multiply(t["value"], 100.0)), pa.int64())
         cn = c.to_numpy(zero_copy_only=False)
-        if cn.size and int(np.abs(cn).max()) > 2**31 - 1:
+        # min/max form, not np.abs: abs(INT64_MIN) wraps (kernel convention)
+        if cn.size and max(-int(cn.min()), int(cn.max())) > 2**31 - 1:
             raise ValueError("moments_by_type: |cents| >= 2^31; rescale unit")
         m32 = np.int64(0xFFFFFFFF)
         p = power_parts(cn)
-        # re-split the two signed |.|<2^63 partial products so every Arrow
-        # group sum below is int64-exact for any block under 2^31 rows
+        # re-split EVERY partial product that can exceed 2^32 per element
+        # (p3h/p3l signed <2^63, q1 <2^63, q2 <=2^60) so every Arrow group
+        # sum below is int64-exact for any block under 2^31 rows — a q1 of
+        # ~9.2e18 per element wraps a 2-row Arrow sum silently (round-5
+        # review finding, regression-tested with near-2^31 cents)
         cols = {"event_type": t["event_type"], "c": c}
-        for k in ("h2", "l2", "q2", "q1", "q0h", "q0l"):
+        for k in ("h2", "l2", "q0h", "q0l"):
             cols[k] = pa.array(p[k])
-        for k in ("p3h", "p3l"):
+        for k in ("p3h", "p3l", "q1", "q2"):
             cols[k + "h"] = pa.array(p[k] >> np.int64(32))
             cols[k + "l"] = pa.array(p[k] & m32)
         part_cols = [k for k in cols if k not in ("event_type", "c")]
@@ -10159,20 +10155,28 @@ def moments_by_type(sf_dir: str):
         )
         g = g.rename_columns(["event_type", "n", "s1", "mn", "mx"] + part_cols)
         v = {k: g[k].to_numpy(zero_copy_only=False) for k in part_cols}
-        out = {"event_type": g["event_type"], "n": g["n"], "s1": g["s1"],
+        out = {"event_type": g["event_type"], "n": g["n"],
                "mn": g["mn"], "mx": g["mx"]}
         n_grp = len(g)
+
+        def _join(hi_col, lo_col, i):
+            return (int(v[hi_col][i]) << 32) + int(v[lo_col][i])
+
+        # s1 rides the cross-block shuffle as 3-limb columns too: a plain
+        # int64 Sum can wrap inside the certified envelope (10^14 rows of
+        # 10^6-cent values -> Σc = 10^20 > 2^63; round-5 review finding).
+        # The certificate covers it: n·peak ≤ n·peak⁴ < 2^127 for peak ≥ 1.
         sums = {
+            "s1": [int(g["s1"][i].as_py()) for i in range(n_grp)],
             "s2": [
                 (int(v["h2"][i]) << 32) + int(v["l2"][i]) for i in range(n_grp)
             ],
             "s3": [
-                (((int(v["p3hh"][i]) << 32) + int(v["p3hl"][i])) << 32)
-                + (int(v["p3lh"][i]) << 32) + int(v["p3ll"][i])
+                (_join("p3hh", "p3hl", i) << 32) + _join("p3lh", "p3ll", i)
                 for i in range(n_grp)
             ],
             "s4": [
-                (int(v["q2"][i]) << 64) + (int(v["q1"][i]) << 32)
+                (_join("q2h", "q2l", i) << 64) + (_join("q1h", "q1l", i) << 32)
                 + (int(v["q0h"][i]) << 32) + int(v["q0l"][i])
                 for i in range(n_grp)
             ],
@@ -10193,13 +10197,14 @@ def moments_by_type(sf_dir: str):
 
     from ray.data.aggregate import Max, Min, Sum
 
-    limb_cols = [f"{s}_{p}" for s in ("s2", "s3", "s4") for p in ("a2", "a1", "a0")]
+    limb_cols = [
+        f"{s}_{p}" for s in ("s1", "s2", "s3", "s4") for p in ("a2", "a1", "a0")
+    ]
     agg = (
         ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
         .aggregate(
             Sum("n", alias_name="n"),
-            Sum("s1", alias_name="s1"),
             Min("mn", alias_name="mn"),
             Max("mx", alias_name="mx"),
             *[Sum(c, alias_name=c) for c in limb_cols],
@@ -10214,13 +10219,14 @@ def moments_by_type(sf_dir: str):
         )}
         for r in rows:
             certify_total_range(r["n"], r["mn"], r["mx"])
+            s1 = unlimbs3(r["s1_a2"], r["s1_a1"], r["s1_a0"])
             s2 = unlimbs3(r["s2_a2"], r["s2_a1"], r["s2_a0"])
             s3 = unlimbs3(r["s3_a2"], r["s3_a1"], r["s3_a0"])
             s4 = unlimbs3(r["s4_a2"], r["s4_a1"], r["s4_a0"])
-            st = derived_stats(r["n"], r["s1"], s2, s3, s4)
+            st = derived_stats(r["n"], s1, s2, s3, s4)
             out["event_type"].append(r["event_type"])
             out["n"].append(r["n"])
-            out["sum_c"].append(r["s1"])
+            out["sum_c"].append(s1)
             out["min_c"].append(r["mn"])
             out["max_c"].append(r["mx"])
             out["sum_c2_d"].append(limb_double(s2))

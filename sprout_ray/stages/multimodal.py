@@ -735,9 +735,17 @@ class SpectrogramStage:
 
 def audio_spectral_ds(
     ds, n_mels: int = 16, n_fft: int = 256, hop: int = 128,
-    concurrency: int = 2, batch_size: int = 64,
+    concurrency: int | None = None, batch_size: int = 64,
 ):
-    """Distributed spectral features over an audio payload Dataset."""
+    """Distributed spectral features over an audio payload Dataset.
+
+    ``concurrency`` defaults through ``tuning.actor_pool_size`` — a pool
+    >= cluster CPUs deadlocks the streaming executor when the upstream
+    read needs a CPU (CLAUDE.md; round-5 review finding)."""
+    if concurrency is None:
+        from ..tuning import actor_pool_size
+
+        concurrency = actor_pool_size(cap=4)
     return ds.map_batches(
         SpectrogramStage,
         fn_constructor_kwargs={"n_mels": n_mels, "n_fft": n_fft, "hop": hop},
@@ -795,7 +803,7 @@ def synth_wav_dup_table(
 
 def audio_neardup_pairs(
     ds, threshold: float = 0.9, n_fft: int = 256, hop: int = 128,
-    concurrency: int = 2,
+    concurrency: int | None = None,
 ):
     """Audio near-dup: per-payload spectral fingerprint (mean log power
     spectrum over STFT frames, per-vector mean-centered so the shared
@@ -837,6 +845,10 @@ def audio_neardup_pairs(
             }
         )
 
+    if concurrency is None:
+        from ..tuning import actor_pool_size
+
+        concurrency = actor_pool_size(cap=4)
     feats = ds.select_columns(["media_id", "payload"]).map_batches(
         fingerprint, batch_format="pyarrow"
     )

@@ -226,3 +226,47 @@ class TestMomentsGroupedAndCLI:
         )
         assert r3.returncode == 0, r3.stderr[-2000:]
         assert j.loads(r3.stdout.strip().splitlines()[-1])["sum4"] == int(s4)
+
+
+def test_grouped_pipeline_partial_product_sums_cannot_wrap(tmp_path):
+    """Round-5 review finding: q1 = 2*h2*l2 reaches ~9.2e18 per element at
+    |cents| near 2^31 with a large l2, so an un-split Arrow group sum wraps
+    on TWO rows while certify_total_range(n=2) passes. Values are chosen to
+    maximize q1 (c = 2^31 - 92681 makes l2 huge); exactness is asserted
+    bit-for-bit against the DuckDB HUGEINT twin."""
+    c = (2**31 - 92681) / 100.0  # dollars -> the adversarial cents value
+    # 4 rows in one group: q1-sum wraps int64 pre-fix; n*max^4 < 2^127 so
+    # the certificate (correctly) stays quiet — only the re-split saves it
+    vals = [c, c, -c, c, 1.0, 2.0]
+    types = ["hot"] * 4 + ["cold"] * 2
+    _write_events(tmp_path, vals, types)
+    got = (
+        A.moments_by_type(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = _oracle(tmp_path)
+    for col in got.columns:
+        if got[col].dtype == object:
+            assert (got[col] == want[col]).all(), col
+        else:
+            assert np.array_equal(got[col].to_numpy(), want[col].to_numpy()), col
+
+
+class TestKernelGuardBypasses:
+    """Round-5 review findings: fail-open paths around INT64_MIN."""
+
+    def test_int64_min_rejected_loudly(self):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        with pytest.raises(ValueError, match="rescale"):
+            MomentsSketch().update_batch(
+                np.array([-(2**63), 5], dtype=np.int64)
+            )
+
+    def test_huge_finite_float_rejected_before_cast(self):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        with pytest.raises(ValueError, match="rescale"):
+            MomentsSketch().update_batch(np.array([1.0e30, 5.0]))
