@@ -10479,7 +10479,7 @@ def customer_rfm_segments(sf_dir: str, k: int = 4):
     rows."""
     import ray.data as rd
 
-    from ..stages.layout import range_boundaries
+    from ..stages.layout import range_boundaries_multi
 
     if k & (k - 1):
         raise ValueError("customer_rfm_segments: k must be a power of two")
@@ -10528,9 +10528,12 @@ def customer_rfm_segments(sf_dir: str, k: int = 4):
         )
 
     mds = agg.map_batches(metrics, batch_format="pyarrow").materialize()
-    bounds = {
-        col: range_boundaries(mds, col, k) for col in ("recency", "freq", "monetary")
-    }
+    # one fused histogram exchange for all three metrics (packed-key
+    # space; metrics are non-negative by construction) instead of three
+    # sequential groupbys — bit-identical boundaries, pytest-pinned
+    bounds = range_boundaries_multi(
+        mds, ["recency", "freq", "monetary"], k
+    )
 
     def seg(t: pa.Table) -> pa.Table:
         out = {}

@@ -123,3 +123,82 @@ def write_range_partitioned(
         max_partition_values=max(k, 64),
     )
     return bounds, metrics
+
+
+def range_boundaries_multi(
+    ds, cols: list, k: int, max_hist_rows: int = 2_000_000
+) -> dict:
+    """Exact percentile_disc boundaries for SEVERAL non-negative integer
+    columns in ONE distributed histogram pass.
+
+    Each (column, value) pair packs into a single int64 key — column
+    index in the top byte, value in the low 56 bits (the skew_stats
+    packed-key convention, loudly guarded) — so all histograms ride one
+    Ray groupby-sum instead of one exchange per column.  Per-column
+    results are bit-identical to :func:`range_boundaries` (asserted in
+    tests); callers with negative or >=2^56 values use the per-column
+    function instead."""
+    import numpy as np
+    import pyarrow as pa
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if len(cols) > 127:
+        raise ValueError("too many columns for the packed key space")
+    idx = {c: j for j, c in enumerate(cols)}
+
+    def block_hist(t: pa.Table) -> pa.Table:
+        keys, cnts = [], []
+        for c in cols:
+            g = (
+                t.select([c]).drop_null().group_by([c]).aggregate([(c, "count")])
+            )
+            v = g[c].to_numpy(zero_copy_only=False)
+            if v.size and (int(v.min()) < 0 or int(v.max()) >= (1 << 56)):
+                raise ValueError(
+                    f"range_boundaries_multi: {c} values outside [0, 2^56) "
+                    "— use range_boundaries per column"
+                )
+            keys.append((np.int64(idx[c]) << np.int64(56)) | v)
+            cnts.append(g[f"{c}_count"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "k": pa.array(np.concatenate(keys) if keys else
+                              np.empty(0, np.int64)),
+                "cnt": pa.array(
+                    np.concatenate(cnts).astype(np.int64) if cnts else
+                    np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    grouped = (
+        ds.map_batches(block_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .sum("cnt")
+    )
+    try:
+        hist = grouped.to_pandas(limit=max_hist_rows * len(cols))
+    except ValueError as e:
+        raise ValueError(
+            f"range_boundaries_multi: total distinct values exceed "
+            f"{max_hist_rows * len(cols)}; quantize keys or raise the budget"
+        ) from e
+    if not len(hist):
+        raise ValueError("range_boundaries_multi: empty input")
+    hist = hist.sort_values("k")
+    keys = hist["k"].to_numpy()
+    cnt_all = hist["sum(cnt)"].to_numpy()
+    out = {}
+    for c in cols:
+        j = idx[c]
+        sel = (keys >> np.int64(56)) == j
+        vs = keys[sel] & np.int64((1 << 56) - 1)
+        cum = cnt_all[sel].cumsum()
+        if not len(vs):
+            raise ValueError(f"range_boundaries_multi: no rows for {c}")
+        n = int(cum[-1])
+        targets = [-(-i * n // k) for i in range(1, k)]
+        pos = np.searchsorted(cum, targets, side="left")
+        out[c] = vs[np.minimum(pos, len(vs) - 1)].astype(np.int64)
+    return out

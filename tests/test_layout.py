@@ -126,3 +126,30 @@ def test_layout_cli_end_to_end(tmp_path):
     r2 = sp.run(cmd, capture_output=True, text=True, cwd="/root/repo")
     rec2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rec2["written"] == 0 and rec2["resumed"] == 2
+
+
+def test_range_boundaries_multi_bit_identical():
+    from sprout_ray.stages.layout import range_boundaries, range_boundaries_multi
+
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "a": pa.array(rng.integers(0, 40, 5000).astype(np.int64)),
+            "b": pa.array((rng.pareto(1.3, 5000) * 50).astype(np.int64)),
+            "c": pa.array(np.full(5000, 7, np.int64)),  # constant column
+        }
+    )
+    ds = rd.from_arrow(t)
+    for k in (2, 4, 8):
+        multi = range_boundaries_multi(ds, ["a", "b", "c"], k)
+        for col in ("a", "b", "c"):
+            single = range_boundaries(ds, col, k)
+            assert multi[col].tolist() == single.tolist(), (col, k)
+
+
+def test_range_boundaries_multi_rejects_negative():
+    from sprout_ray.stages.layout import range_boundaries_multi
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([-1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="0, 2\\^56"):
+        range_boundaries_multi(ds, ["a"], 4)
