@@ -472,15 +472,21 @@ def cmd_layout(args) -> int:
     histogram pass, then rewrite each input shard group under
     out/part=NNNNN/bucket=B/ — a killed run skips finished groups on retry."""
     _init_ray(args.num_cpus)
-    from .stages.layout import write_range_partitioned
+    from .stages.layout import write_range_partitioned, write_zorder_partitioned
 
     files = _input_files(args.input)
     if not files:
         raise SystemExit(f"no parquet files under {args.input}")
-    bounds, metrics = write_range_partitioned(
-        files, args.col, args.buckets, args.out,
-        files_per_partition=args.files_per_partition,
-    )
+    if args.zorder_y:
+        bounds, metrics = write_zorder_partitioned(
+            files, args.col, args.zorder_y, args.buckets, args.out,
+            files_per_partition=args.files_per_partition,
+        )
+    else:
+        bounds, metrics = write_range_partitioned(
+            files, args.col, args.buckets, args.out,
+            files_per_partition=args.files_per_partition,
+        )
     print(json.dumps({"boundaries": [int(b) for b in bounds], **metrics}))
     return 0
 
@@ -767,6 +773,12 @@ def main(argv=None) -> int:
     ly.add_argument("--input", required=True, help="parquet file/dir/glob")
     ly.add_argument("--col", required=True, help="integer column to bucket by")
     ly.add_argument("--buckets", type=int, default=8)
+    ly.add_argument(
+        "--zorder-y",
+        default=None,
+        help="second coordinate column: cluster by Z-order(col, zorder_y) "
+        "quantile ranges instead of 1-D buckets",
+    )
     ly.add_argument("--out", required=True)
     ly.add_argument("--files-per-partition", type=int, default=1)
     common(ly)

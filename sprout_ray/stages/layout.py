@@ -202,3 +202,66 @@ def range_boundaries_multi(
         pos = np.searchsorted(cum, targets, side="left")
         out[c] = vs[np.minimum(pos, len(vs) - 1)].astype(np.int64)
     return out
+
+
+def write_zorder_partitioned(
+    input_files: list,
+    x_col: str,
+    y_col: str,
+    k: int,
+    out_dir: str,
+    max_hist_rows: int = 2_000_000,
+    files_per_partition: int = 1,
+):
+    """Two-dimensional balanced clustering layout: Morton-interleave
+    (x, y) into one Z-order key (functions/zorder.morton_key — the
+    multi-dimension half of the layout family), learn k-1 percentile
+    boundaries of the KEY, and rewrite shard groups into near-equal
+    Z-range buckets through the resumable sink.  Each bucket then holds
+    a contiguous Z-range = a compact 2-D region, so a downstream range
+    predicate on EITHER column prunes whole buckets (the data-clustering
+    layout warehouses call Z-ORDER BY), and bucket populations stay
+    balanced no matter how skewed either coordinate is.  Same recovery
+    unit and single read/write pass as :func:`write_range_partitioned`."""
+    import ray.data as rd
+
+    from ..functions.zorder import morton_key
+    from ..sources.io import resumable_transform_write
+
+    zcol = "_zkey"
+
+    def with_z(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            zcol,
+            pa.array(
+                morton_key(
+                    t[x_col].to_numpy(zero_copy_only=False),
+                    t[y_col].to_numpy(zero_copy_only=False),
+                )
+            ),
+        )
+
+    input_files = list(input_files)
+    hist_ds = rd.read_parquet(input_files, columns=[x_col, y_col]).map_batches(
+        with_z, batch_format="pyarrow", zero_copy_batch=True
+    )
+    bounds = range_boundaries(hist_ds, zcol, k, max_hist_rows=max_hist_rows)
+
+    def tag(d):
+        return assign_range_buckets(
+            d.map_batches(with_z, batch_format="pyarrow", zero_copy_batch=True),
+            zcol,
+            bounds,
+        ).map_batches(
+            lambda t: t.drop_columns([zcol]), batch_format="pyarrow"
+        )
+
+    metrics = resumable_transform_write(
+        input_files,
+        out_dir,
+        transform=tag,
+        files_per_partition=files_per_partition,
+        partition_by="bucket",
+        max_partition_values=max(k, 64),
+    )
+    return bounds, metrics

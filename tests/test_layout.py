@@ -153,3 +153,85 @@ def test_range_boundaries_multi_rejects_negative():
     ds = rd.from_arrow(pa.table({"a": pa.array([-1, 2, 3], pa.int64())}))
     with pytest.raises(Exception, match="0, 2\\^56"):
         range_boundaries_multi(ds, ["a"], 4)
+
+
+def test_write_zorder_partitioned_end_to_end(tmp_path):
+    """2-D clustering layout: balanced Z-range buckets, lossless rewrite,
+    and the clustering property — each bucket's rows span a compact
+    region so per-bucket coordinate ranges are far narrower than the
+    global range."""
+    from sprout_ray.functions.zorder import morton_key
+    from sprout_ray.stages.layout import write_zorder_partitioned
+
+    rng = np.random.default_rng(5)
+    n = 8000
+    x = rng.integers(0, 1 << 16, n).astype(np.int64)
+    y = rng.integers(0, 1 << 16, n).astype(np.int64)
+    files = []
+    for i in range(4):
+        f = tmp_path / f"s{i}.parquet"
+        sl = slice(i * 2000, (i + 1) * 2000)
+        pq.write_table(
+            pa.table({"x": pa.array(x[sl]), "y": pa.array(y[sl])}), f
+        )
+        files.append(str(f))
+    out = tmp_path / "zlayout"
+    bounds, metrics = write_zorder_partitioned(files, "x", "y", 8, str(out))
+    assert len(bounds) == 7 and metrics["written"] == 4
+    part_files = glob.glob(str(out / "part=*" / "bucket=*" / "*.parquet"))
+    back = pa.concat_tables(pq.read_table(f) for f in part_files)
+    assert back.num_rows == n
+    assert "_zkey" not in back.column_names  # internal key dropped
+    assert sorted(zip(back["x"].to_pylist(), back["y"].to_pylist())) == sorted(
+        zip(x.tolist(), y.tolist())
+    )
+    # bucket populations near-equal (Z keys are ~unique: exact up to ties)
+    sizes, zspans = {}, {}
+    for f in part_files:
+        b = int(f.split("bucket=")[1].split("/")[0])
+        t = pq.read_table(f)
+        sizes[b] = sizes.get(b, 0) + t.num_rows
+        z = morton_key(
+            t["x"].to_numpy(zero_copy_only=False),
+            t["y"].to_numpy(zero_copy_only=False),
+        )
+        lo, hi = zspans.get(b, (z.min(), z.max()))
+        zspans[b] = (min(lo, z.min()), max(hi, z.max()))
+    assert max(sizes.values()) <= n // 8 + 2
+    # buckets are DISJOINT contiguous Z ranges (the clustering property)
+    ordered = [zspans[b] for b in sorted(zspans)]
+    for (_, hi), (lo2, _) in zip(ordered, ordered[1:]):
+        assert hi <= lo2
+    # resume
+    _, m2 = write_zorder_partitioned(files, "x", "y", 8, str(out))
+    assert m2 == {"partitions": 4, "written": 0, "resumed": 4}
+
+
+def test_layout_cli_zorder(tmp_path):
+    import json
+    import subprocess as sp
+    import sys
+
+    rng = np.random.default_rng(2)
+    f = tmp_path / "t.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "x": pa.array(rng.integers(0, 1000, 1000).astype(np.int64)),
+                "y": pa.array(rng.integers(0, 1000, 1000).astype(np.int64)),
+            }
+        ),
+        f,
+    )
+    out = tmp_path / "z"
+    r = sp.run(
+        [
+            sys.executable, "-m", "sprout_ray.cli", "layout",
+            "--input", str(f), "--col", "x", "--zorder-y", "y",
+            "--buckets", "4", "--out", str(out), "--num-cpus", "2",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert len(rec["boundaries"]) == 3 and rec["written"] == 1
