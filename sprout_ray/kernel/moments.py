@@ -212,6 +212,14 @@ class MomentsSketch:
                     f"moments sketch: |value| exceeds {MAXC} integer units "
                     "— rescale to a coarser unit before sketching"
                 )
+        elif c.dtype.kind == "u":
+            # same pre-cast discipline for unsigned ints: 2^64-5 wraps to
+            # -5 under astype(int64) and passes the post-cast guard
+            if c.size and int(c.max()) > MAXC:
+                raise ValueError(
+                    f"moments sketch: value exceeds {MAXC} integer units "
+                    "— rescale to a coarser unit before sketching"
+                )
         if c.dtype != np.int64:
             c = c.astype(np.int64)
         if c.size == 0:

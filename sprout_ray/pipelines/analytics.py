@@ -10220,6 +10220,15 @@ def moments_by_type(sf_dir: str):
         for r in rows:
             certify_total_range(r["n"], r["mn"], r["mx"])
             s1 = unlimbs3(r["s1_a2"], r["s1_a1"], r["s1_a0"])
+            if not (-(2**63) <= s1 < 2**63):
+                # the OUTPUT column contract is BIGINT (mirrors the SQL
+                # twin, whose CAST(sum(c) AS BIGINT) also refuses here);
+                # the limbed shuffle computed s1 exactly — it is only the
+                # readout column that cannot carry it
+                raise ValueError(
+                    "moments_by_type: exact sum_c exceeds the BIGINT "
+                    "output-column contract; rescale to a coarser unit"
+                )
             s2 = unlimbs3(r["s2_a2"], r["s2_a1"], r["s2_a0"])
             s3 = unlimbs3(r["s3_a2"], r["s3_a1"], r["s3_a0"])
             s4 = unlimbs3(r["s4_a2"], r["s4_a1"], r["s4_a0"])
@@ -10514,7 +10523,8 @@ def customer_rfm_segments(sf_dir: str, k: int = 4):
             Sum("n", alias_name="n"),
             Sum("cents", alias_name="cents"),
         )
-        .materialize()  # |customers|-bounded; reused by 3 boundary passes
+        .materialize()  # |customers|-bounded; reused by the fused
+        # boundary pass, the native max, and the segment-tagging pass
     )
     max_day = agg.max("last_day")
 

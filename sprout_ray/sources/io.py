@@ -22,6 +22,7 @@ def resumable_transform_write(
     output_format: str = "parquet",
     partition_by: str | None = None,
     max_partition_values: int = 64,
+    layout_tag: str | None = None,
 ) -> dict:
     """Apply ``transform(Dataset) -> Dataset`` per input-shard group and write
     each group's result under ``out_dir/part=<i>/``; skip completed groups.
@@ -77,6 +78,18 @@ def resumable_transform_write(
                     f"was written with partition_by={prev_pb!r}, run "
                     f"requests {partition_by!r} — use a fresh out_dir"
                 )
+            # callers that derive the partition rule from data (bucket
+            # boundaries, bucket counts) pass a layout_tag so a re-run
+            # with different parameters cannot silently mix layouts
+            # (legacy manifests without the key resume freely)
+            prev_tag = done[key].get("layout_tag")
+            if (layout_tag is not None and prev_tag is not None
+                    and prev_tag != layout_tag):
+                raise ValueError(
+                    f"resume layout-tag mismatch in {out_dir}: partition "
+                    f"{pid} was written under {prev_tag!r}, run requests "
+                    f"{layout_tag!r} — use a fresh out_dir"
+                )
             metrics["resumed"] += 1
             continue
         ds = rd.read_parquet(files, columns=columns)
@@ -119,6 +132,8 @@ def resumable_transform_write(
             values = [str(v) for v in vals]
         os.replace(tmp_dir, part_dir)
         done[key] = {"input_files": files, "format": output_format}
+        if layout_tag is not None:
+            done[key]["layout_tag"] = layout_tag
         if partition_by is not None:
             done[key]["partition_by"] = partition_by
             done[key]["values"] = values

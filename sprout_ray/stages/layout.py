@@ -29,6 +29,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _boundaries_from_hist(vs: np.ndarray, cum: np.ndarray, k: int) -> np.ndarray:
+    """percentile_disc(i/k) boundaries from a sorted (value, cumcount)
+    histogram: b_i = value at the first cum >= ceil(i*n/k). The ONE copy
+    of the quantile semantics both boundary passes share."""
+    n = int(cum[-1])
+    targets = [-(-i * n // k) for i in range(1, k)]  # ceil(i*n/k)
+    pos = np.searchsorted(cum, targets, side="left")
+    return vs[np.minimum(pos, len(vs) - 1)].astype(np.int64)
+
+
 def range_boundaries(
     ds, col: str, k: int, max_hist_rows: int = 2_000_000
 ) -> np.ndarray:
@@ -67,12 +77,9 @@ def range_boundaries(
     if not len(hist):
         raise ValueError("range_boundaries: empty input")
     hist = hist.sort_values("v")
-    vs = hist["v"].to_numpy()
-    cum = hist["sum(cnt)"].cumsum().to_numpy()
-    n = int(cum[-1])
-    targets = [-(-i * n // k) for i in range(1, k)]  # ceil(i*n/k)
-    idx = np.searchsorted(cum, targets, side="left")
-    return vs[np.minimum(idx, len(vs) - 1)].astype(np.int64)
+    return _boundaries_from_hist(
+        hist["v"].to_numpy(), hist["sum(cnt)"].cumsum().to_numpy(), k
+    )
 
 
 def assign_range_buckets(ds, col: str, boundaries: np.ndarray, bucket_col="bucket"):
@@ -111,9 +118,18 @@ def write_range_partitioned(
 
     from ..sources.io import resumable_transform_write
 
+    import hashlib
+
     input_files = list(input_files)
     hist_ds = rd.read_parquet(input_files, columns=[col])
     bounds = range_boundaries(hist_ds, col, k, max_hist_rows=max_hist_rows)
+    # the bucket rule is data-derived: tag the manifest with (rule, k,
+    # boundary digest) so a re-run with different --buckets or changed
+    # input cannot silently mix two layouts in one out_dir
+    tag = (
+        f"range:{col}:k={k}:"
+        f"b={hashlib.sha256(bounds.tobytes()).hexdigest()[:12]}"
+    )
     metrics = resumable_transform_write(
         input_files,
         out_dir,
@@ -121,6 +137,7 @@ def write_range_partitioned(
         files_per_partition=files_per_partition,
         partition_by="bucket",
         max_partition_values=max(k, 64),
+        layout_tag=tag,
     )
     return bounds, metrics
 
@@ -159,6 +176,13 @@ def range_boundaries_multi(
                     f"range_boundaries_multi: {c} values outside [0, 2^56) "
                     "— use range_boundaries per column"
                 )
+            # normalize to int64 BEFORE packing: a uint64 column would
+            # promote the concatenated key array to float64 and silently
+            # merge distinct packed keys above 2^53 (round-5 review)
+            if v.dtype == np.uint64:
+                v = v.view(np.int64)  # values < 2^56, bit-identical
+            elif v.dtype != np.int64:
+                v = v.astype(np.int64)
             keys.append((np.int64(idx[c]) << np.int64(56)) | v)
             cnts.append(g[f"{c}_count"].to_numpy(zero_copy_only=False))
         return pa.table(
@@ -197,10 +221,7 @@ def range_boundaries_multi(
         cum = cnt_all[sel].cumsum()
         if not len(vs):
             raise ValueError(f"range_boundaries_multi: no rows for {c}")
-        n = int(cum[-1])
-        targets = [-(-i * n // k) for i in range(1, k)]
-        pos = np.searchsorted(cum, targets, side="left")
-        out[c] = vs[np.minimum(pos, len(vs) - 1)].astype(np.int64)
+        out[c] = _boundaries_from_hist(vs, cum, k)
     return out
 
 
@@ -212,6 +233,7 @@ def write_zorder_partitioned(
     out_dir: str,
     max_hist_rows: int = 2_000_000,
     files_per_partition: int = 1,
+    boundary_bits: int = 20,
 ):
     """Two-dimensional balanced clustering layout: Morton-interleave
     (x, y) into one Z-order key (functions/zorder.morton_key — the
@@ -222,7 +244,17 @@ def write_zorder_partitioned(
     predicate on EITHER column prunes whole buckets (the data-clustering
     layout warehouses call Z-ORDER BY), and bucket populations stay
     balanced no matter how skewed either coordinate is.  Same recovery
-    unit and single read/write pass as :func:`write_range_partitioned`."""
+    unit and single read/write pass as :func:`write_range_partitioned`.
+
+    Z keys are near-UNIQUE, so an exact-key histogram would ship O(rows)
+    — violating the module's |distinct|-bounded premise (round-5
+    review).  Boundaries are therefore learned on keys COARSENED to the
+    top ``boundary_bits`` bits of the observed key range (one cheap
+    native max pre-pass picks the shift), capping the exchange at
+    2^boundary_bits cells regardless of corpus size, then scaled back.
+    Buckets remain exact contiguous Z-ranges; populations are equal up
+    to one quantization cell (~rows/2^boundary_bits expected), which is
+    noise for k << 2^boundary_bits."""
     import ray.data as rd
 
     from ..functions.zorder import morton_key
@@ -242,10 +274,24 @@ def write_zorder_partitioned(
         )
 
     input_files = list(input_files)
-    hist_ds = rd.read_parquet(input_files, columns=[x_col, y_col]).map_batches(
-        with_z, batch_format="pyarrow", zero_copy_batch=True
+
+    def z_ds():
+        return rd.read_parquet(input_files, columns=[x_col, y_col]).map_batches(
+            with_z, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    z_max = z_ds().max(zcol)
+    shift = max(0, int(z_max).bit_length() - boundary_bits)
+    coarse = z_ds().map_batches(
+        lambda t: pa.table(
+            {zcol: pc.shift_right(t[zcol], pa.scalar(shift, pa.int64()))}
+        ),
+        batch_format="pyarrow",
     )
-    bounds = range_boundaries(hist_ds, zcol, k, max_hist_rows=max_hist_rows)
+    bounds = (
+        range_boundaries(coarse, zcol, k, max_hist_rows=max_hist_rows)
+        << np.int64(shift)
+    )
 
     def tag(d):
         return assign_range_buckets(
@@ -256,6 +302,12 @@ def write_zorder_partitioned(
             lambda t: t.drop_columns([zcol]), batch_format="pyarrow"
         )
 
+    import hashlib
+
+    ltag = (
+        f"zorder:{x_col},{y_col}:k={k}:"
+        f"b={hashlib.sha256(bounds.tobytes()).hexdigest()[:12]}"
+    )
     metrics = resumable_transform_write(
         input_files,
         out_dir,
@@ -263,5 +315,6 @@ def write_zorder_partitioned(
         files_per_partition=files_per_partition,
         partition_by="bucket",
         max_partition_values=max(k, 64),
+        layout_tag=ltag,
     )
     return bounds, metrics

@@ -235,3 +235,20 @@ def test_layout_cli_zorder(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert len(rec["boundaries"]) == 3 and rec["written"] == 1
+
+
+def test_resume_with_different_buckets_refuses(tmp_path):
+    """Round-5 review: a killed layout re-run with different --buckets must
+    not silently mix two bucket rules in one out_dir."""
+    from sprout_ray.stages.layout import write_range_partitioned
+
+    v = _skewed(2000)
+    f = tmp_path / "s.parquet"
+    pq.write_table(pa.table({"v": pa.array(v)}), f)
+    out = tmp_path / "lay"
+    write_range_partitioned([str(f)], "v", 4, str(out))
+    with pytest.raises(ValueError, match="layout-tag mismatch"):
+        write_range_partitioned([str(f)], "v", 8, str(out))
+    # same parameters resume cleanly
+    _, m = write_range_partitioned([str(f)], "v", 4, str(out))
+    assert m["resumed"] == 1

@@ -270,3 +270,11 @@ class TestKernelGuardBypasses:
 
         with pytest.raises(ValueError, match="rescale"):
             MomentsSketch().update_batch(np.array([1.0e30, 5.0]))
+
+    def test_uint64_wrap_rejected_before_cast(self):
+        from sprout_ray.kernel.moments import MomentsSketch
+
+        with pytest.raises(ValueError, match="rescale"):
+            MomentsSketch().update_batch(
+                np.array([2**64 - 5], dtype=np.uint64)
+            )
