@@ -252,3 +252,38 @@ def test_resume_with_different_buckets_refuses(tmp_path):
     # same parameters resume cleanly
     _, m = write_range_partitioned([str(f)], "v", 4, str(out))
     assert m["resumed"] == 1
+
+
+def test_zorder_layout_degenerate_inputs(tmp_path):
+    """Coarsening edge cases: constant coordinates (z_max=0 -> shift=0,
+    all rows one bucket value) and a single-row table must lay out
+    losslessly rather than raise."""
+    from sprout_ray.stages.layout import write_zorder_partitioned
+
+    f1 = tmp_path / "const.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "x": pa.array(np.full(100, 7, np.int64)),
+                "y": pa.array(np.full(100, 3, np.int64)),
+            }
+        ),
+        f1,
+    )
+    bounds, m = write_zorder_partitioned(
+        [str(f1)], "x", "y", 4, str(tmp_path / "o1")
+    )
+    assert m["written"] == 1
+    back = pa.concat_tables(
+        pq.read_table(p)
+        for p in glob.glob(str(tmp_path / "o1" / "part=*" / "bucket=*" / "*.parquet"))
+    )
+    assert back.num_rows == 100  # all ties -> one bucket, nothing lost
+
+    f2 = tmp_path / "one.parquet"
+    pq.write_table(
+        pa.table({"x": pa.array([5], pa.int64()), "y": pa.array([9], pa.int64())}),
+        f2,
+    )
+    _, m2 = write_zorder_partitioned([str(f2)], "x", "y", 2, str(tmp_path / "o2"))
+    assert m2["written"] == 1
